@@ -1,13 +1,274 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is demonstrated as a query over the
+  * driver's synthetic tables with an equivalent DuckDB oracle. Outputs are
+  * made oracle-stable by (a) emitting timestamps as epoch-second longs,
+  * (b) summing monetary doubles through exact DECIMAL casts, and
+  * (c) rounding float aggregates at a granularity far above accumulated
+  * float error (SURVEY.md §7.4 #3).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a double column, surfaced back as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** 10-minute bucket start as epoch seconds (oracle-stable). */
+  private def bucket10(c: Column): Column =
+    TimeOps.bucketStartEpoch(c, 600).as("bucket_start")
+
+  /** Per-event-type 10-min mean series (the solar "processed 10-min"
+    * shape re-expressed over the events table).
+    */
+  private def eventSeries(s: SparkSession, dir: String, eventType: String, alias: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === eventType)
+      .groupBy(bucket10(col("ts")))
+      .agg(round(avg(col("value")), 6).as(alias))
+
+  /** Flagship: the analytical heart of the reference (SURVEY §3.2) on the
+    * events table — two 10-min resampled series, inner time-join, bias.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val a = eventSeries(spark, dir, "click", "avg_click")
+    val b = eventSeries(spark, dir, "view", "avg_view")
+    Compare.joinOnTime(a, b, "bucket_start")
+      .withColumn("bias", round(Compare.bias(col("avg_click"), col("avg_view")), 6))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: tumbling 10-min mean resample, keyed by series id.
+    "q_a1_resample" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(bucket10(col("ts")), col("event_type"))
+        .agg(count(col("value")).as("n"), round(avg(col("value")), 6).as("avg_value"))),
+
+    // R1: densified bucket grid — every 10-min bucket between min and max,
+    // empty buckets surfacing as n=0 / null mean.
+    "q_r1_densify" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(bucket10(col("ts")))
+        .agg(count(lit(1)).as("n_obs"), round(avg(col("value")), 6).as("avg_value"))
+      Resample.densify(b, "bucket_start", 600)
+        .select(col("bucket_start"), coalesce(col("n_obs"), lit(0L)).as("n"), col("avg_value"))
+    }),
+
+    // J1 + F8: inner equi-join of two resampled series on time + bias.
+    "q_j1_time_join" -> ((s, dir) => {
+      val a = eventSeries(s, dir, "click", "avg_click")
+      val b = eventSeries(s, dir, "view", "avg_view")
+      Compare.joinOnTime(a, b, "bucket_start")
+        .withColumn("bias", round(Compare.bias(col("avg_click"), col("avg_view")), 6))
+    }),
+
+    // A2: linear regression via built-in regr_* sufficient-stats aggregates.
+    "q_a2_linreg" -> ((s, dir) =>
+      LinReg.regrStats(t(s, dir, "lineitem"),
+          y = col("l_extendedprice"), x = col("l_quantity"),
+          keys = Seq(col("l_returnflag")))
+        .select(col("l_returnflag"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"), round(col("r2"), 6).as("r2"),
+          col("n").cast("long").as("n"))),
+
+    // J2: broadcast lookup join (fact × small dim) + grouped rollup.
+    "q_j2_broadcast_lookup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))),
+
+    // P3+P4: QC flag-sum filter (flags derived, schema-intersected at plan time).
+    "q_p4_qc_filter" -> ((s, dir) => {
+      val flagged = t(s, dir, "lineitem")
+        .withColumn("flag_disc", when(col("l_discount") > 0.05, 1).otherwise(0))
+        .withColumn("flag_tax", when(col("l_tax") > 0.04, 1).otherwise(0))
+        .withColumn("flag_ret", when(col("l_returnflag") === "R", 1).otherwise(0))
+      Qc.clean(flagged, Seq("flag_disc", "flag_tax", "flag_ret", "flag_not_there"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // F9: zero-divisor-guarded ratio.
+    "q_f9_ratio_guard" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("ratio", Compare.guardedRatio(col("l_extendedprice"), col("l_discount")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("ratio").isNull, 1).otherwise(0)).cast("long").as("n_null"),
+          round(avg(col("ratio")), 2).as("avg_ratio"))),
+
+    // F1/F2/F5/F6/F16: interval-start parse, UTC-offset parse, local time,
+    // epoch encoding — round-tripped through generated strings.
+    "q_f1_time_parse" -> ((s, dir) => {
+      val fmt = "yyyy-MM-dd'T'HH:mm:ss"
+      val base = Tables.events(s, dir).select(
+        col("event_id"),
+        concat(lit("UTC+"), (col("user_id") % 12).cast("int")).as("tz"),
+        concat(date_format(col("ts"), fmt), lit("/"),
+          date_format(col("ts") + expr("INTERVAL 1 MINUTE"), fmt)).as("iso"))
+      val off = TimeOps.parseUtcOffset(col("tz"))
+      val t0 = TimeOps.parseIntervalStart(col("iso"))
+      base.select(
+        col("event_id"), off.as("utc_offset"),
+        TimeOps.epochSeconds(t0).as("epoch_utc"),
+        TimeOps.epochSeconds(TimeOps.localTime(t0, off)).as("epoch_local"))
+    }),
+
+    // F11/F12/F15: station-name canonicalization / sanitization / prettify.
+    "q_f12_clean_names" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(
+        col("p_partkey"),
+        Stations.cleanStationName(translate(col("p_name"), " ", "_")).as("clean_name"),
+        Stations.sanitizeFileName(col("p_name")).as("file_name"),
+        Stations.prettify(Stations.sanitizeFileName(col("p_name"))).as("pretty_name"))
+    }),
+
+    // U1: union-all of filtered branches + grouped rollup.
+    "q_u1_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") >= 150000).withColumn("seg", lit("hi"))
+      val lo = o.filter(col("o_totalprice") < 150000).withColumn("seg", lit("lo"))
+      hi.unionByName(lo)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // A4/A5: scalar aggregates (count, max, min, distinct count).
+    "q_a4_scalars" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        TimeOps.epochSeconds(min(col("ts"))).as("min_ts_epoch"),
+        TimeOps.epochSeconds(max(col("ts"))).as("max_ts_epoch"),
+        countDistinct(col("event_type")).as("n_types"))),
+
+    // P2: dynamic numeric projection — columns chosen from the schema at
+    // plan time, then exact decimal sums.
+    "q_p2_dynamic_numeric" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val numeric = Resample.numericColumns(e)
+      e.select(numeric.map(col): _*)
+        .agg(dsum(col(numeric.head), 4).as(s"sum_${numeric.head}"),
+          numeric.tail.map(c => dsum(col(c), 4).as(s"sum_$c")): _*)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a1_resample" ->
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start, event_type,
+        |       count(value) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_r1_densify" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         count(*) AS n_obs, round(avg(value), 6) AS avg_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mm AS (SELECT min(bucket_start) AS mn, max(bucket_start) AS mx FROM b),
+        |g AS (SELECT unnest(generate_series(mn, mx, 600)) AS bucket_start FROM mm)
+        |SELECT g.bucket_start, coalesce(b.n_obs, 0) AS n, b.avg_value
+        |FROM g LEFT JOIN b USING (bucket_start)""".stripMargin,
+
+    "q_j1_time_join" ->
+      """WITH a AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         round(avg(value), 6) AS avg_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         round(avg(value), 6) AS avg_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT a.bucket_start, a.avg_click, b.avg_view,
+        |       round(a.avg_click - b.avg_view, 6) AS bias
+        |FROM a JOIN b USING (bucket_start)""".stripMargin,
+
+    "q_a2_linreg" ->
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_j2_broadcast_lookup" ->
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_p4_qc_filter" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE (CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+        |     + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END
+        |     + CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 0
+        |GROUP BY 1""".stripMargin,
+
+    "q_f9_ratio_guard" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       round(avg(CASE WHEN l_discount = 0 THEN NULL
+        |                      ELSE l_extendedprice / l_discount END), 2) AS avg_ratio
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_f1_time_parse" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |         'UTC+' || CAST(user_id % 12 AS INT) AS tz,
+        |         strftime(ts, '%Y-%m-%dT%H:%M:%S') || '/' ||
+        |         strftime(ts + INTERVAL 1 MINUTE, '%Y-%m-%dT%H:%M:%S') AS iso
+        |  FROM events)
+        |SELECT event_id,
+        |       CAST(replace(tz, 'UTC', '') AS INT) AS utc_offset,
+        |       CAST(epoch(strptime(split_part(iso, '/', 1), '%Y-%m-%dT%H:%M:%S')) AS BIGINT) AS epoch_utc,
+        |       CAST(epoch(strptime(split_part(iso, '/', 1), '%Y-%m-%dT%H:%M:%S'))
+        |            + CAST(replace(tz, 'UTC', '') AS INT) * 3600 AS BIGINT) AS epoch_local
+        |FROM base""".stripMargin,
+
+    "q_f12_clean_names" ->
+      """SELECT p_partkey,
+        |       trim(regexp_replace(regexp_replace(
+        |         lower(regexp_replace(replace(p_name, ' ', '_'), '_', ' ', 'g')),
+        |         '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS clean_name,
+        |       regexp_replace(p_name, '[^\w.-]', '_', 'g') AS file_name,
+        |       replace(regexp_replace(p_name, '[^\w.-]', '_', 'g'), '_', ' ') AS pretty_name
+        |FROM part""".stripMargin,
+
+    "q_u1_union" ->
+      """SELECT seg, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT 'hi' AS seg, o_totalprice FROM orders WHERE o_totalprice >= 150000
+        |  UNION ALL
+        |  SELECT 'lo' AS seg, o_totalprice FROM orders WHERE o_totalprice < 150000)
+        |GROUP BY 1""".stripMargin,
+
+    "q_a4_scalars" ->
+      """SELECT count(*) AS n, max(value) AS max_value, min(value) AS min_value,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events""".stripMargin,
+
+    "q_p2_dynamic_numeric" ->
+      """SELECT CAST(sum(CAST(event_id AS DECIMAL(28,4))) AS DOUBLE) AS sum_event_id,
+        |       CAST(sum(CAST(user_id AS DECIMAL(28,4))) AS DOUBLE) AS sum_user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
+  )
 }
