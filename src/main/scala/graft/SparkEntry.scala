@@ -165,7 +165,56 @@ object SparkEntry {
         .agg(dsum(col(numeric.head), 4).as(s"sum_${numeric.head}"),
           numeric.tail.map(c => dsum(col(c), 4).as(s"sum_$c")): _*)
     }),
+
+    // §3.2 end-to-end: the full compare pipeline (QC clean → unit convert
+    // → rename → time join → bias → per-component linregress), driven
+    // through graft.pipelines.SolarPipelines on series derived from the
+    // events table (ground = click, model = view).
+    "q_pipe_compare_stats" -> ((s, dir) => {
+      val ground = eventSeries(s, dir, "click", "a").select(
+        col("bucket_start").as("Datetime (UTC)"),
+        col("a").as("GHI"),
+        round(col("a") / 2, 6).as("DHI"),
+        round(col("a") * 2, 6).as("DNI"))
+      val cams = eventSeries(s, dir, "view", "v").select(
+        col("bucket_start").as("time"),
+        col("v").as("GHI"),
+        round(col("v") / 2, 6).as("DHI"),
+        round(col("v") * 2, 6).as("BNI"))
+      val cmp = pipelines.SolarPipelines.compareFrame(ground, cams)
+      pipelines.SolarPipelines.compareStats(cmp)
+        .select(col("component"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"), round(col("r2"), 6).as("r2"),
+          col("n").cast("long").as("n"), round(col("mean_bias"), 6).as("mean_bias"))
+    }),
   )
+
+  /** DuckDB rendition of the compare pipeline for one component. */
+  private def comparePipelineOracle: String = {
+    def comp(name: String, gExpr: String, cExpr: String) =
+      s"""SELECT '$name' AS component,
+         |  round(regr_slope($cExpr, $gExpr), 6) AS slope,
+         |  round(regr_intercept($cExpr, $gExpr), 4) AS intercept,
+         |  round(regr_r2($cExpr, $gExpr), 6) AS r2,
+         |  CAST(regr_count($cExpr, $gExpr) AS BIGINT) AS n,
+         |  round(avg(($cExpr) - ($gExpr)), 6) AS mean_bias
+         |FROM j""".stripMargin
+    """WITH g AS (
+      |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS b, round(avg(value),6) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |c AS (
+      |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS b, round(avg(value),6) AS v
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |j AS (
+      |  SELECT g.a AS ghi_g, round(g.a/2,6) AS dhi_g, round(g.a*2,6) AS dni_g,
+      |         c.v*60 AS ghi_c, round(c.v/2,6)*60 AS dhi_c, round(c.v*2,6)*60 AS dni_c
+      |  FROM g JOIN c USING (b))
+      |""".stripMargin +
+      Seq(
+        comp("GHI", "ghi_g", "ghi_c"),
+        comp("DHI", "dhi_g", "dhi_c"),
+        comp("DNI", "dni_g", "dni_c")).mkString("\nUNION ALL\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_a1_resample" ->
@@ -270,5 +319,7 @@ object SparkEntry {
         |       CAST(sum(CAST(user_id AS DECIMAL(28,4))) AS DOUBLE) AS sum_user_id,
         |       CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin,
+
+    "q_pipe_compare_stats" -> comparePipelineOracle,
   )
 }

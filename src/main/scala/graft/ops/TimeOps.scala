@@ -21,11 +21,11 @@ object TimeOps {
   /** F1: take the start of an ISO interval string `"start/end"`. */
   def intervalStart(c: Column): Column = split(c, "/").getItem(0)
 
-  /** F1+F2: parse the start of an ISO interval to a timestamp.
-    * Parse failure yields null (ANSI off) — matches pandas
-    * `to_datetime(errors='coerce')` (F3).
+  /** F1+F2+F3: parse the start of an ISO interval to a timestamp.
+    * `try_to_timestamp` yields null on parse failure even under ANSI mode
+    * (Spark 4 default) — matches pandas `to_datetime(errors='coerce')`.
     */
-  def parseIntervalStart(c: Column): Column = to_timestamp(intervalStart(c))
+  def parseIntervalStart(c: Column): Column = try_to_timestamp(intervalStart(c))
 
   /** F6: `'UTC+7'` / `'UTC-3'` → integer hour offset. */
   def parseUtcOffset(tz: Column): Column =
