@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** Training-data-pipeline queries (dedup, similarity, text analysis,
+  * multimodal) over the `documents` / `embeddings` tables, with DuckDB
+  * oracles wherever the semantics are SQL-expressible. Queries with no
+  * oracle entry (xxhash64-based sketches) get the driver's rows-only
+  * check; their semantics are pinned by ScalaTest specs instead.
+  */
+object ExtQueries {
+
+  // ---- DuckDB expression builders mirroring TextStats ------------------
+
+  /** DuckDB: whitespace-normalized, space-padded text. */
+  private val ddNorm = """regexp_replace(' ' || text || ' ', '\s+', ' ', 'g')"""
+
+  /** DuckDB: occurrences of `w` as a token (mirror of wordOccurrences). */
+  private def ddWc(w: String): String =
+    s"""CAST((length($ddNorm) - length(replace($ddNorm, ' $w ', ' '))) / ${w.length + 1} AS INT)"""
+
+  private def ddHits(lang: String): String =
+    TextStats.stopwords.toMap.apply(lang).map(ddWc).mkString("(", " + ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: token/char/punct counts, stopword count, quality.
+    "q_ext_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.charCount(col("text")).cast("long").as("n_chars_m"),
+        TextStats.punctCount(col("text")).cast("long").as("n_punct"),
+        TextStats.wordOccurrences(col("text"), "the").cast("long").as("the_count"),
+        TextStats.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language ID: stopword-hit argmax heuristic.
+    "q_ext_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.langId(col("text")).as("lang_pred"))),
+
+    // Exact dedup: content-fingerprint groups.
+    "q_ext_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Near-dup by word-set Jaccard (inverted-index self-join). The
+    // deterministic doc sample bounds the quadratic candidate set on the
+    // synthetic corpus, whose tiny shared vocabulary pairs every doc
+    // with every other (real corpora prune via document frequency).
+    "q_ext_dedup_jaccard" -> ((s, dir) =>
+      Dedup.wordJaccardPairs(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // MinHash+LSH candidate pairs, exact-verified (no oracle: xxhash64).
+    "q_ext_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // SimHash fingerprints + banded Hamming pairs (no oracle: xxhash64).
+    "q_ext_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 16)),
+
+    // Order-aware rolling fingerprint (no oracle: xxhash64).
+    "q_ext_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.fingerprintMd5(col("text")).as("fp_md5"),
+        TextStats.fingerprintRolling(col("text")).as("fp_roll"),
+        Dedup.simHash64(col("text")).as("simhash"))),
+
+    // Brute-force exact cosine top-k (the ANN correctness baseline).
+    "q_ext_ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(emb.filter(col("id") % 25 === 0), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LSH sign-bucketed approximate top-k (the scale path).
+    "q_ext_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bucketedTopK(emb.filter(col("id") % 25 === 0), emb, k = 3, bits = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Embedding-cosine near-dup pairs within LSH buckets.
+    "q_ext_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        "id", "embedding", minCosine = 0.3, bits = 8)),
+
+    // Multimodal: binary payload + expression-level metadata.
+    "q_ext_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.binaryMeta(media, "id", "payload")
+        .select(col("id").as("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("first_byte").cast("long").as("first_byte"))
+    }),
+
+    // Multimodal: partition-wise stub decode (no oracle: Scala checksum).
+    "q_ext_multimodal_decode" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id"), col("payload"), col("meta.content_type").as("mediaType"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ext_text_stats" ->
+      s"""SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |  length(text) AS n_chars_m,
+         |  length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+         |  CAST(${ddWc("the")} AS BIGINT) AS the_count,
+         |  round((
+         |    (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000
+         |          THEN 1.0 ELSE 0.0 END)
+         |  + (CASE WHEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+         |            * 1.0 / greatest(length(text), 1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |  + (CASE WHEN ${TextStats.stopwords.map(l => ddHits(l._1)).mkString(" + ")} > 0
+         |          THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+         |FROM documents""".stripMargin,
+
+    "q_ext_lang_id" -> {
+      val hitDefs = TextStats.stopwords.map { case (l, _) => s"${ddHits(l)} AS h_$l" }
+      val mx = TextStats.stopwords.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
+      val chain = TextStats.stopwords.map { case (l, _) =>
+        s"WHEN h_$l = mx THEN '$l'"
+      }.mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id, ${hitDefs.mkString(", ")} FROM documents),
+         |m AS (SELECT *, $mx AS mx FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN mx = 0 THEN 'und' $chain ELSE 'und' END AS lang_pred
+         |FROM m""".stripMargin
+    },
+
+    "q_ext_dedup_exact" ->
+      """SELECT substring(md5(text), 1, 16) AS fingerprint,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_dedup_jaccard" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(cnt * 1.0 / (sa.sz + sb.sz - cnt), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8""".stripMargin,
+
+    "q_ext_ann_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(qv, cv), 4) AS sim
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_ext_ann_lsh" -> {
+      def bucket(v: String) = (0 until 8)
+        .map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |         ${bucket("embedding")} AS bucket
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |c AS (
+         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         |         ${bucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(list_cosine_similarity(qv, cv), 4) AS sim
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin
+    },
+
+    "q_ext_embed_neardup" -> {
+      def bucket(v: String) = (0 until 8)
+        .map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         |         ${bucket("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         |FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin
+    },
+
+    "q_ext_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(ascii(text) AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin,
+  )
+}

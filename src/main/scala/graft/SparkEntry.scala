@@ -47,7 +47,11 @@ object SparkEntry {
       .withColumn("bias", round(Compare.bias(col("avg_click"), col("avg_view")), 6))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: tumbling 10-min mean resample, keyed by series id.
     "q_a1_resample" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -216,7 +220,7 @@ object SparkEntry {
         comp("DNI", "dni_g", "dni_c")).mkString("\nUNION ALL\n")
   }
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q_a1_resample" ->
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start, event_type,
         |       count(value) AS n, round(avg(value), 6) AS avg_value

@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * a shuffle-based plan that survives 100 TB inputs:
+  *
+  *  - exact: hash-groupBy on content (one shuffle keyed by fingerprint —
+  *    never on the raw text, so shuffle payload stays small)
+  *  - near-dup by word-set Jaccard: token-inverted-index self-join
+  *  - MinHash + LSH banding: shingle → 64-perm signature → band buckets →
+  *    candidate pairs → exact verification (no cartesian anywhere)
+  *  - SimHash: 64-bit bit-vote fingerprint + banded Hamming pairing
+  *
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+  /** One row per distinct content: keeper id (min), duplicate count.
+    * Grouping key is the 64-bit md5 prefix of the content, so the
+    * shuffle moves 8-byte keys instead of documents.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Deduplicated frame: keeps the min-id row per distinct content. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------- word-set Jaccard
+  /** Near-duplicate pairs by Jaccard similarity of distinct token sets.
+    * Inverted-index self-join: only documents sharing at least one token
+    * are ever paired (no cartesian). `minJaccard` filters the output.
+    */
+  def wordJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val words = df
+      .select(col(idCol).as("id"), explode(array_distinct(TextStats.tokens(col(textCol)))).as("w"))
+    val sizes = words.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = words.as("a")
+      .join(words.as("b"), col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --------------------------------------------------- MinHash + LSH
+  /** Word `n`-gram shingles as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature of a shingle array: `perms` independent min-hash
+    * values, permutation i implemented as xxhash64(seed=i). Stays an
+    * expression — per-row, no shuffle.
+    */
+  def minHashSignature(shingleArr: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+
+  /** Candidate duplicate pairs via LSH banding of MinHash signatures:
+    * signature split into `bands` bands of `perms/bands` rows; documents
+    * colliding in any band become candidates; candidates are verified
+    * with exact shingle-set Jaccard. Every step is a keyed shuffle —
+    * the band join only pairs documents within a bucket.
+    */
+  def minHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.7): DataFrame = {
+    val rows = perms / bands
+    require(bands * rows == perms, "bands must divide perms")
+
+    val sigs = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), perms))
+
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verification on the candidate set only
+    val shingleSets = sigs.select(col("id"), array_distinct(col("sh")).as("shs"))
+    candidates
+      .join(shingleSets.select(col("id").as("id_a"), col("shs").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("id").as("id_b"), col("shs").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ----------------------------------------------------------- SimHash
+  /** 64-bit SimHash over tokens: per-bit vote of token hashes, expressed
+    * with array functions so the whole fingerprint is one projection
+    * (no explode, no shuffle): for each bit, count tokens with that bit
+    * set vs total, bit set iff votes > half.
+    */
+  def simHash64(text: Column): Column = {
+    val hashes = transform(array_distinct(TextStats.tokens(text)), t => xxhash64(t))
+    val nTok = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, bit) => {
+        val ones = aggregate(hashes, lit(0), (c, h) => c + getbit(h, bit).cast("int"))
+        acc + when(ones * 2 > nTok,
+          call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
+      })
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ `maxHamming` between SimHash
+    * fingerprints, using 16-bit band blocking (any pair within Hamming 3
+    * of a 64-bit hash shares at least one of 4 16-bit bands intact).
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val banded = fp.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

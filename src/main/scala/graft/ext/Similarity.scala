@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Quadratic in candidates; at scale, use only with a broadcastable
+  *    query set (crossJoin(broadcast(queries)) is linear in corpus).
+  *  - [[bucketedTopK]]: sign-bit LSH (random-hyperplane style with
+  *    axis-aligned planes) coarse quantizer — candidates shrink by
+  *    ~2^bits, the scale path. Recall traded for throughput, standard
+  *    IVF/LSH shape: bucket id is a shuffle key, never a cartesian.
+  *
+  * Dot products run in double via `zip_with` + `aggregate` — pure
+  * expressions, codegen-friendly, deterministic left-to-right summation
+  * (stable against the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Cast an `array<float>` to `array<double>` for stable math. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit bucket from the first `bits` dimensions: the LSH family
+    * h(v) = sign(v·e_i). Deterministic, no trained state; swap the
+    * axis planes for hashed pseudo-random planes without changing the
+    * plan shape.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Exact top-k cosine neighbors of each query over the whole corpus.
+    * `queries`/`corpus`: (id, vec) frames. Output: query_id, neighbor_id,
+    * rank, sim (rounded to `simScale` for deterministic ranking; ties
+    * broken by neighbor id).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, simScale: Int = 4): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), simScale))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * sign-bit bucket. Same output shape as [[bruteForceTopK]].
+    */
+  def bucketedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8, simScale: Int = 4): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), bits))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
+      .withColumn("bucket", signBucket(col("cv"), bits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), simScale))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs above `minCosine`
+    * within the same sign-bucket (the dedup-flavored use of the ANN
+    * path). Output: id_a < id_b, sim.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, bits: Int = 8, simScale: Int = 4): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), simScale))
+      .filter(col("sim") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Everything is a composition of built-in column functions — fully
+  * codegen'd, no UDFs, so the hot path stays inside whole-stage codegen
+  * and scales linearly with input. Language ID is the classic stopword
+  * n-gram heuristic (cf. fastText/langdetect's cheap tier).
+  */
+object TextStats {
+
+  /** Whitespace tokens of trimmed text (empty string → one empty token,
+    * matching common split semantics across engines).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  /** Occurrences of `word` as a whitespace-delimited token. Uses the
+    * replace-length trick so it stays a pure string expression.
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val target = s" $word "
+    // overlapping " w1 w2 " occurrences need single-space padding intact;
+    // collapse any run of whitespace first so the trick is exact.
+    val norm = regexp_replace(padded, "\\s+", " ")
+    ((length(norm) - length(replace(norm, lit(target), lit(" ")))) /
+      (target.length - 1)).cast("int")
+  }
+
+  /** Small per-language stopword lists for the n-gram heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "dans", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Total stopword hits for one language. */
+  def stopwordHits(text: Column, lang: String): Column =
+    stopwords.toMap.apply(lang).map(w => wordOccurrences(text, w)).reduce(_ + _)
+
+  /** Heuristic language ID: argmax of stopword hits, ties broken by the
+    * fixed language order, zero hits → 'und'. Deterministic by
+    * construction (same CASE chain is expressible in ANSI SQL).
+    */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (l, _) => l -> stopwordHits(text, l) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    val chain = hits.foldLeft(when(maxHits === 0, lit("und"))) {
+      case (acc, (l, h)) => acc.when(h === maxHits, lit(l))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: token-length band + punctuation ratio +
+    * stopword presence, equally weighted. The exact formula is less
+    * important than it being cheap, monotone in "looks like prose", and
+    * reproducible in plain SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok >= 10 && nTok <= 5000, 1.0).otherwise(0.0)
+    val punctRatio = punctCount(text).cast("double") / greatest(charCount(text), lit(1)).cast("double")
+    val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
+    val anyStop = when(stopwords.map(l => stopwordHits(text, l._1)).reduce(_ + _) > 0, 1.0).otherwise(0.0)
+    round((lengthOk + punctOk + anyStop) / 3.0, 6)
+  }
+
+  /** Content fingerprint: first 16 hex chars of md5 — stable across
+    * engines, enough bits (64) for dedup bucketing at trillions of docs.
+    */
+  def fingerprintMd5(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** 64-bit rolling fingerprint over tokens: order-aware (unlike a
+    * bag-of-words hash), computed by chaining xxhash64(acc, token) — a
+    * hash recurrence instead of `h*31+x`, so it cannot overflow under
+    * ANSI mode and mixes bits better than a polynomial.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(1469598103934665603L), // FNV offset basis as a non-zero seed
+      (acc, t) => xxhash64(acc, t))
+}

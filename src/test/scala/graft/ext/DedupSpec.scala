@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near dup
+    (4L, "completely different words about spark catalyst optimizer and shuffle plans")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts dups") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(g.length === 3)
+    assert(g(0).getLong(1) === 1L && g(0).getLong(2) === 2L) // ids 1+2 collapse
+    val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    assert(deduped.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+  }
+
+  test("wordJaccardPairs finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup -> jaccard 1
+    assert(keys.contains((1L, 3L))) // near dup (one word differs)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 === 1.0)
+  }
+
+  test("shingles produces word n-grams; short docs collapse to one shingle") {
+    val got = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles($"text", 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+  }
+
+  test("minHashPairs surfaces near-dups and skips unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simHash: identical text equal, near text close, unrelated far") {
+    val fps = docs.select(Dedup.simHash64($"text")).as[Long].collect()
+    assert(fps(0) === fps(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(0), fps(2)) <= 16)
+    assert(hamming(fps(0), fps(3)) > 16)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical -> 1
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),   // orthogonal -> 0
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))   // opposite -> -1
+    ).toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(Similarity.asDouble($"a"), Similarity.asDouble($"b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, -0.1f, 0.0f)), // same sign bucket as id 1, cosine ~0.994
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("id", "vec")
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val got = Similarity.bruteForceTopK(corpus.filter($"id" === 1), corpus, k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(2L, 3L)) // closest first
+    assert(got(0).getInt(2) === 1)
+  }
+
+  test("bucketedTopK only pairs within the same sign bucket") {
+    val got = Similarity.bucketedTopK(corpus.filter($"id" === 1), corpus, k = 5, bits = 3)
+      .collect().map(_.getLong(1)).toSet
+    // id 4 has a different sign pattern in dim 1 -> different bucket
+    assert(got.contains(2L))
+    assert(!got.contains(4L))
+  }
+
+  test("cosineNearDupPairs finds the one close pair") {
+    val got = Similarity.cosineNearDupPairs(corpus, "id", "vec", minCosine = 0.95, bits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+}

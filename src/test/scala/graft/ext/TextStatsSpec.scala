@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token and char counts") {
+    val df = Seq("hello  world ", "one").toDF("text")
+    val got = df.select(
+      TextStats.tokenCount($"text").as("nt"),
+      TextStats.charCount($"text").as("nc")).collect()
+    assert(got(0).getInt(0) === 2)
+    assert(got(0).getInt(1) === 13)
+    assert(got(1).getInt(0) === 1)
+  }
+
+  test("wordOccurrences counts whitespace-delimited tokens only") {
+    val df = Seq("the theory of the cat", "nothing here", "the").toDF("text")
+    val got = df.select(TextStats.wordOccurrences($"text", "the")).as[Int].collect()
+    assert(got(0) === 2) // 'theory' must not match
+    assert(got(1) === 0)
+    assert(got(2) === 1) // whole-string token
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val df = Seq(
+      "the cat sat on a mat of the king",
+      "der hund und die katze und das haus",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextStats.langId($"text")).as[String].collect().toSeq
+    assert(got === Seq("en", "de", "und"))
+  }
+
+  test("qualityScore is in [0,1] and rewards prose-like text") {
+    val prose = ("the quick brown fox jumps over a lazy dog and runs to the hills. " * 3)
+    val junk = "@@@@ #### $$$$"
+    val df = Seq(prose, junk).toDF("text")
+    val got = df.select(TextStats.qualityScore($"text")).as[Double].collect()
+    assert(got(0) === 1.0)
+    assert(got(1) <= 0.5)
+  }
+
+  test("fingerprints: md5 stable, rolling hash is order-aware") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("text")
+    val md5s = df.select(TextStats.fingerprintMd5($"text")).as[String].collect()
+    assert(md5s(0) === md5s(1) && md5s(0).length === 16)
+    val rolls = df.select(TextStats.fingerprintRolling($"text")).as[Long].collect()
+    assert(rolls(0) === rolls(1))
+    assert(rolls(0) !== rolls(2)) // same bag of words, different order
+  }
+}
