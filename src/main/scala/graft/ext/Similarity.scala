@@ -24,12 +24,25 @@ object Similarity {
   /** Cast an `array<float>` to `array<double>` for stable math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Composable higher-order form — correct but interpreted
+    * (CodegenFallback); the operators below use the codegen'd native
+    * expression [[graft.functions.VectorExpressions.CosineSimilarity]]
+    * instead. Same left-to-right summation, identical results.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine; registers the native functions on the frame's
+    * session on first use.
+    */
+  private def fastCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    graft.functions.VectorExpressions.vecCosine(a, b)
+  }
 
   /** Sign-bit bucket from the first `bits` dimensions: the LSH family
     * h(v) = sign(v·e_i). Deterministic, no trained state; swap the
@@ -52,7 +65,7 @@ object Similarity {
     val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), simScale))
+      .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -71,7 +84,7 @@ object Similarity {
       .withColumn("bucket", signBucket(col("cv"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), simScale))
+      .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -89,7 +102,7 @@ object Similarity {
       .withColumn("bucket", signBucket(col("v"), bits))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), simScale))
+      .withColumn("sim", round(fastCosine(df)(col("a.v"), col("b.v")), simScale))
       .filter(col("sim") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }

@@ -11,12 +11,9 @@ object Scratch {
   }
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val mh = SparkEntry.queries("q_ext_dedup_minhash")(spark, dir)
-    time("minhash sf0.01")(mh.count())
-    val sh = SparkEntry.queries("q_ext_dedup_simhash")(spark, dir)
-    time("simhash sf0.01")(sh.count())
-    println(sh.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    for (i <- 1 to 2) time(s"ann_cosine $i")(SparkEntry.queries("q_ext_ann_cosine")(spark, dir).count())
+    for (i <- 1 to 2) time(s"ann_lsh $i")(SparkEntry.queries("q_ext_ann_lsh")(spark, dir).count())
     spark.stop()
   }
 }

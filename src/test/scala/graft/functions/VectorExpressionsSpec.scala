@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native dot/cosine agree with the higher-order forms exactly") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+      .select(Similarity.asDouble($"a").as("a"), Similarity.asDouble($"b").as("b"))
+    VectorExpressions.register(spark)
+    val got = df.select(
+      VectorExpressions.vecDot($"a", $"b").as("nd"),
+      Similarity.dot($"a", $"b").as("hd"),
+      VectorExpressions.vecCosine($"a", $"b").as("nc"),
+      Similarity.cosine($"a", $"b").as("hc")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // bit-exact: same summation order
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-15)
+    }
+  }
+
+  test("expressions survive codegen (no fallback crash) and SQL registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_cosine(CAST(array(1.0,0.0) AS ARRAY<DOUBLE>), CAST(array(1.0,0.0) AS ARRAY<DOUBLE>)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("null input yields null, not a crash") {
+    VectorExpressions.register(spark)
+    val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").head()
+    assert(r.isNullAt(0))
+  }
+}
