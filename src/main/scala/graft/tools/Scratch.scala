@@ -1,19 +1,24 @@
 package graft.tools
 
+import java.nio.file.{Files, Paths}
 import graft._
 
+/** Dumps formatted physical plans for the headline queries (SCALE.md). */
 object Scratch {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    r
-  }
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    for (i <- 1 to 2) time(s"ann_cosine $i")(SparkEntry.queries("q_ext_ann_cosine")(spark, dir).count())
-    for (i <- 1 to 2) time(s"ann_lsh $i")(SparkEntry.queries("q_ext_ann_lsh")(spark, dir).count())
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = Seq("q_a1_resample", "q_j1_time_join", "q_j2_broadcast_lookup",
+      "q_a2_linreg", "q_ext_dedup_minhash", "q_ext_ann_lsh", "q_pipe_compare_stats")
+    val sb = new StringBuilder
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      sb ++= s"==== $n ====\n"
+      sb ++= df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode) + "\n"
+    }
+    Files.writeString(Paths.get("/tmp/plans.txt"), sb.toString)
+    println("[scratch] plans written")
     spark.stop()
   }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ext.{Dedup, TextStats}
+import graft.ops.{Resample, Stations, Units}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based pins (SURVEY §5.4): algebraic laws the operators must
+  * satisfy regardless of input. Uses ScalaCheck generators with fixed
+  * seeds (scalatestplus bridge isn't in the offline cache), so runs are
+  * deterministic.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  private val tsGen: Gen[Timestamp] =
+    Gen.choose(1704067200000L, 1706745600000L).map(new Timestamp(_)) // Jan 2024
+
+  private val seriesGen: Gen[List[(Timestamp, Double)]] =
+    Gen.listOfN(30, Gen.zip(tsGen, Gen.choose(-1000.0, 1000.0)))
+
+  test("resample(a ∪ b) == resample over concatenated input (partition-invariance)") {
+    samples(Gen.zip(seriesGen, seriesGen), 5).foreach { case (a, b) =>
+      val union = Resample.tumblingMean(
+        a.toDF("time", "v").unionByName(b.toDF("time", "v")), "time", 10)
+      val direct = Resample.tumblingMean((a ++ b).toDF("time", "v"), "time", 10)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("time").collect()
+          .map(r => (r.getTimestamp(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(canon(union) === canon(direct))
+    }
+  }
+
+  test("unit conversion is linear: scale(x, 60) == 60 * x") {
+    samples(Gen.listOfN(20, Gen.choose(-1e6, 1e6)), 5).foreach { xs =>
+      val got = Units.whPerMinuteToWatts(xs.toDF("GHI")).as[Double].collect().toSeq
+      assert(got === xs.map(_ * 60.0))
+    }
+  }
+
+  private val nameGen: Gen[String] =
+    Gen.listOfN(12, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '_', '-', '(', ')', '!'))).map(_.mkString)
+
+  test("cleanStationName is idempotent on arbitrary strings") {
+    val names = samples(nameGen, 40)
+    val once = names.toDF("s").select(Stations.cleanStationName($"s").as("c"))
+    val twice = once.select(Stations.cleanStationName($"c").as("c"))
+    assert(once.as[String].collect().toSeq === twice.as[String].collect().toSeq)
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOfN(15, Gen.oneOf("spark", "data", "the", "fast", "table", "row")).map(_.mkString(" "))
+
+  test("word-set Jaccard is 1 on exact-dup pairs and bounded in [0,1]") {
+    val texts = samples(textGen, 6)
+    val docs = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t), (i * 2L + 1, t)) // duplicate every doc
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.0).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    texts.indices.foreach { i =>
+      val self = pairs.find(r => r.getLong(0) == i * 2L && r.getLong(1) == i * 2L + 1)
+      assert(self.exists(_.getDouble(2) === 1.0))
+    }
+  }
+
+  test("simHash of a permutation of tokens is identical (bag semantics)") {
+    samples(textGen, 5).foreach { t =>
+      val shuffled = new scala.util.Random(7).shuffle(t.split(" ").toList).mkString(" ")
+      val got = Seq(t, shuffled).toDF("text")
+        .select(Dedup.simHash64($"text")).as[Long].collect()
+      assert(got(0) === got(1))
+    }
+  }
+
+  test("tokenCount(a + ' ' + b) == tokenCount(a) + tokenCount(b)") {
+    samples(Gen.zip(textGen, textGen), 5).foreach { case (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b").select(
+        TextStats.tokenCount(concat($"a", lit(" "), $"b")).as("ab"),
+        (TextStats.tokenCount($"a") + TextStats.tokenCount($"b")).as("sum")).head()
+      assert(got.getInt(0) === got.getInt(1))
+    }
+  }
+}
