@@ -42,6 +42,31 @@ object SolarPipelines {
     stations
   }
 
+  /** J4/S6 (`get-cams-solrad-ts.py:130-156`): the download request
+    * matrix — stations × sky types with the CDS request parameters as
+    * columns. The reference iterates this matrix sequentially; as a
+    * frame it distributes (each row is one fetch task for a connector)
+    * and the actual HTTP fetch stays a pluggable edge (zero-egress here,
+    * SURVEY §7.3).
+    */
+  def downloadMatrix(
+      stations: DataFrame,
+      skyTypes: Seq[String] = Seq("clear", "observed_cloud"),
+      dateRange: String = "2024-01-01/2024-12-31"): DataFrame = {
+    val spark = stations.sparkSession
+    import spark.implicits._
+    validateStations(stations)
+      .crossJoin(skyTypes.toDF("sky_type"))
+      .select(
+        col("station"), col("latitude"), col("longitude"), col("elevation"),
+        col("sky_type"),
+        lit(dateRange).as("date"),
+        lit("1minute").as("time_step"),
+        lit("csv_expert").as("format"),
+        graft.ops.Stations.sanitizeFileName(
+          concat(col("station"), lit("_"), col("sky_type"))).as("file_tag"))
+  }
+
   // ---------------------------------------------------------------- 3.2
   /** Entry point 2 prep (`solrad-compare.py:8-91`): QC-clean the ground
     * series, unit-convert and rename the CAMS series, inner-join on
@@ -49,12 +74,18 @@ object SolarPipelines {
     *
     * `ground` needs `Datetime (UTC)`, GHI/DHI/DNI and flag columns;
     * `cams` needs `time`, GHI/DHI/BNI (+ optional `Cloud coverage`).
+    *
+    * `keys`: extra join keys carried through (e.g. `station`) — the
+    * reference loops this pipeline per location (`solrad-compare.py:
+    * 195-206`); with a station column both inputs run in ONE plan for
+    * every station at once, which is the whole point at scale.
     */
-  def compareFrame(ground: DataFrame, cams: DataFrame): DataFrame = {
+  def compareFrame(ground: DataFrame, cams: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
     val cleanGround = Qc.clean(ground)
       .withColumnRenamed("Datetime (UTC)", "timestamp")
-      .select(col("timestamp"), col("GHI").as("GHI_ground"),
-        col("DHI").as("DHI_ground"), col("DNI").as("DNI_ground"))
+      .select(keyCols ++ Seq(col("timestamp"), col("GHI").as("GHI_ground"),
+        col("DHI").as("DHI_ground"), col("DNI").as("DNI_ground")): _*)
 
     val camsConverted = Units.whPerMinuteToWatts(cams)
     val withCloud =
@@ -64,11 +95,11 @@ object SolarPipelines {
     val camsRenamed = withCloud
       .withColumnRenamed("time", "timestamp")
       .withColumnRenamed("BNI", "DNI")
-      .select(Seq(col("timestamp"), col("GHI").as("GHI_cams"),
+      .select(keyCols ++ Seq(col("timestamp"), col("GHI").as("GHI_cams"),
         col("DHI").as("DHI_cams"), col("DNI").as("DNI_cams")) ++
         (if (withCloud.columns.contains("cloud_cover")) Seq(col("cloud_cover")) else Nil): _*)
 
-    val joined = Compare.joinOnTime(cleanGround, camsRenamed, "timestamp").na.drop(
+    val joined = cleanGround.join(camsRenamed, keys :+ "timestamp", "inner").na.drop(
       Seq("GHI_ground", "DHI_ground", "DNI_ground", "GHI_cams", "DHI_cams", "DNI_cams"))
     joined
       .withColumn("bias_GHI", Compare.bias(col("GHI_cams"), col("GHI_ground")))
@@ -84,7 +115,7 @@ object SolarPipelines {
     * per-component aggregates run in a single Aggregate over the joined
     * frame (the reference re-scans per component).
     */
-  def compareStats(compared: DataFrame): DataFrame = {
+  def compareStats(compared: DataFrame, keys: Seq[String] = Nil): DataFrame = {
     val comps = Seq("GHI", "DHI", "DNI")
     val aggs = comps.flatMap { c =>
       Seq(
@@ -94,14 +125,23 @@ object SolarPipelines {
         regr_count(col(s"${c}_cams"), col(s"${c}_ground")).as(s"${c}_n"),
         avg(col(s"bias_$c")).as(s"${c}_mean_bias"))
     }
-    val wide = compared.agg(aggs.head, aggs.tail: _*)
-    // unpivot to one row per component
+    val wide =
+      if (keys.isEmpty) compared.agg(aggs.head, aggs.tail: _*)
+      else compared.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // unpivot to one row per component (per key group)
     val stacked = comps.map { c =>
       s"'$c', ${c}_slope, ${c}_intercept, ${c}_r2, ${c}_n, ${c}_mean_bias"
     }.mkString(", ")
-    wide.selectExpr(
-      s"stack(${comps.size}, $stacked) as (component, slope, intercept, r2, n, mean_bias)")
+    wide.selectExpr(keys :+
+      s"stack(${comps.size}, $stacked) as (component, slope, intercept, r2, n, mean_bias)": _*)
   }
+
+  /** The reference's whole compare run — 29 sequential per-location
+    * pipelines (`solrad-compare.py:195-206`) — as one declarative plan:
+    * inputs carry a `station` column, one co-keyed join, one grouped
+    * multi-regression aggregate. */
+  def compareAllStations(ground: DataFrame, cams: DataFrame): DataFrame =
+    compareStats(compareFrame(ground, cams, keys = Seq("station")), keys = Seq("station"))
 
   // ---------------------------------------------------------------- 3.3
   /** Entry point 3 (`compile-solrad.py:25-195`): glob of processed

@@ -107,6 +107,39 @@ class SolarPipelinesSpec extends SparkTestBase {
     assert(ghi.getAs[Double]("mean_bias") === 45.0) // (30+60)/2
   }
 
+  test("J4: download matrix is stations × sky_types with request params") {
+    val m = SolarPipelines.downloadMatrix(locationsDf)
+    assert(m.count() === 6) // 3 stations × 2 sky types
+    val row = m.filter($"station" === "Excluded Town" && $"sky_type" === "clear").collect()(0)
+    assert(row.getAs[String]("time_step") === "1minute")
+    assert(row.getAs[String]("file_tag") === "Excluded_Town_clear")
+    // missing required column -> hard failure
+    intercept[IllegalArgumentException] {
+      SolarPipelines.downloadMatrix(locationsDf.drop("latitude"))
+    }
+  }
+
+  test("3.2 all stations in one plan: grouped stats match per-station runs") {
+    // station A: cams = 2 * ground exactly; station B: cams = 3 * ground
+    def mk(station: String, factor: Double) = (0 until 4).map { i =>
+      (station, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i * 10}%02d:00"),
+        30.0 * (i + 1), 15.0 * (i + 1), 60.0 * (i + 1), factor)
+    }
+    val rows = mk("A", 2.0) ++ mk("B", 3.0)
+    val ground = rows.toDF("station", "Datetime (UTC)", "GHI", "DHI", "DNI", "f")
+      .drop("f")
+    val cams = rows.toDF("station", "time", "g", "d", "n", "f")
+      .select($"station", $"time",
+        ($"g" * $"f" / 60).as("GHI"), ($"d" * $"f" / 60).as("DHI"),
+        ($"n" * $"f" / 60).as("BNI"))
+    val stats = SolarPipelines.compareAllStations(ground, cams)
+    val got = stats.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("slope")).toMap
+    assert(got.size === 6) // 2 stations × 3 components, one plan
+    assert(math.abs(got(("A", "GHI")) - 2.0) < 1e-9)
+    assert(math.abs(got(("B", "DNI")) - 3.0) < 1e-9)
+  }
+
   // ---- fixture 1 + 3.3: compile to long cube ----------------------------
   private lazy val locationsDf = Seq(
     (1, "Test", -6.2, 106.8, 25.0, "UTC+7"),
