@@ -170,6 +170,22 @@ object SparkEntry {
           numeric.tail.map(c => dsum(col(c), 4).as(s"sum_$c")): _*)
     }),
 
+    // §2.6 engine extension: deterministic top-k per group via ranking
+    // window (decimal-exact revenue so ordering is reproducible).
+    "q_w1_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,4)")).as("rev"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("rev").desc, col("l_partkey"))
+      rev.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("l_returnflag"), col("l_partkey"), col("rank"),
+          col("rev").cast("double").as("revenue"))
+    }),
+
     // §3.2 end-to-end: the full compare pipeline (QC clean → unit convert
     // → rename → time join → bias → per-component linregress), driven
     // through graft.pipelines.SolarPipelines on series derived from the
@@ -325,5 +341,15 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_w1_topk" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_partkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY rev DESC, l_partkey) AS rank FROM rev)
+        |SELECT l_returnflag, l_partkey, rank, CAST(rev AS DOUBLE) AS revenue
+        |FROM r WHERE rank <= 3""".stripMargin,
   )
 }

@@ -1,0 +1,30 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table co-location (builder scale checklist: "repartition/
+  * bucketing for co-located joins").
+  *
+  * A fact table joined repeatedly on the same key (orders ⋈ lineitem on
+  * orderkey; documents ⋈ signatures on doc_id) should be written
+  * bucketed: both sides hash-partitioned into the same bucket count at
+  * write time, so every subsequent join/aggregation on that key runs
+  * with ZERO shuffle — the scan itself reports the partitioning and
+  * Catalyst drops the Exchange. At 100 TB that converts the dominant
+  * repeated cost (a full shuffle per join) into a one-time write cost.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted parquet table in the session
+    * catalog. `buckets` should be sized so each bucket is O(shuffle
+    * partition target) at full scale.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.drop(1): _*)
+      .sortBy(keys.head, keys.drop(1): _*)
+      .saveAsTable(table)
+}

@@ -45,6 +45,16 @@ class SolarPipelinesSpec extends SparkTestBase {
     assert(df.count() === 20)
   }
 
+  test("S2 failure isolation: corrupt data line yields nulls, not an abort") {
+    val p = writeFixture(tmp, "raw_corrupt.csv",
+      "# meta\n# Observation period;GHI\n2024-01-01T00:00:00.0/2024-01-01T00:01:00.0;5.0\ngarbage;not_a_number\n")
+    val df = CamsExpertCsv.read(spark, p)
+    val rows = df.orderBy(desc("GHI")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(1) === 5.0)
+    assert(rows(1).isNullAt(1)) // permissive mode: bad cell -> null
+  }
+
   test("3.1 resample: 10-min means, left-labeled, gap bin absent") {
     val out = SolarPipelines.resampleRaw(spark, rawPath).orderBy("time")
     val rows = out.collect()
