@@ -205,7 +205,7 @@ object SparkEntry {
       pipelines.SolarPipelines.compareStats(cmp)
         .select(col("component"), round(col("slope"), 6).as("slope"),
           round(col("intercept"), 4).as("intercept"), round(col("r2"), 6).as("r2"),
-          col("n").cast("long").as("n"), round(col("mean_bias"), 6).as("mean_bias"))
+          col("n").cast("long").as("n"), round(col("mean_bias"), 4).as("mean_bias"))
     }),
   )
 
@@ -217,7 +217,7 @@ object SparkEntry {
          |  round(regr_intercept($cExpr, $gExpr), 4) AS intercept,
          |  round(regr_r2($cExpr, $gExpr), 6) AS r2,
          |  CAST(regr_count($cExpr, $gExpr) AS BIGINT) AS n,
-         |  round(avg(($cExpr) - ($gExpr)), 6) AS mean_bias
+         |  round(avg(($cExpr) - ($gExpr)), 4) AS mean_bias
          |FROM j""".stripMargin
     """WITH g AS (
       |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS b, round(avg(value),6) AS a
