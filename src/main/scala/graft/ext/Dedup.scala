@@ -36,12 +36,30 @@ object Dedup {
   /** Near-duplicate pairs by Jaccard similarity of distinct token sets.
     * Inverted-index self-join: only documents sharing at least one token
     * are ever paired (no cartesian). `minJaccard` filters the output.
+    *
+    * `maxDocFreq` (0,1]: tokens present in more than that fraction of
+    * documents are dropped from the *index* (not from the set sizes) —
+    * the standard stop-token guard that keeps the hottest posting lists
+    * from driving the self-join quadratic. 1.0 disables pruning and
+    * makes the Jaccard exact; below 1.0 the result is a high-recall
+    * approximation (pairs sharing only ultra-common tokens are missed,
+    * and intersection counts exclude pruned tokens).
     */
   def wordJaccardPairs(
-      df: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val words = df
+      df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
+      maxDocFreq: Double = 1.0): DataFrame = {
+    val allWords = df
       .select(col(idCol).as("id"), explode(array_distinct(TextStats.tokens(col(textCol)))).as("w"))
-    val sizes = words.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = allWords.groupBy("id").agg(count(lit(1)).as("sz"))
+    val words =
+      if (maxDocFreq >= 1.0) allWords
+      else {
+        val nDocs = df.select(col(idCol)).distinct().count()
+        val hot = allWords.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(maxDocFreq * nDocs))
+          .select("w")
+        allWords.join(broadcast(hot), Seq("w"), "left_anti")
+      }
     val inter = words.as("a")
       .join(words.as("b"), col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -47,12 +47,27 @@ object Similarity {
   /** Sign-bit bucket from the first `bits` dimensions: the LSH family
     * h(v) = sign(v·e_i). Deterministic, no trained state; swap the
     * axis planes for hashed pseudo-random planes without changing the
-    * plan shape.
+    * plan shape ([[hyperplaneBucket]]).
     */
   def signBucket(v: Column, bits: Int): Column =
     (0 until bits).map(i =>
       when(element_at(v, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** Random-hyperplane LSH bucket, distribution-free: bit i is
+    * sign(v · p_i) with plane p_i's components drawn as ±1 from
+    * xxhash64(i, dim) — deterministic, no trained state, and unlike
+    * [[signBucket]] not at the mercy of the first dimensions' variance.
+    * Stays a pure expression (codegen'd hash + arithmetic per dim).
+    */
+  def hyperplaneBucket(v: Column, bits: Int, dims: Int): Column =
+    (0 until bits).map { i =>
+      val dotP = (0 until dims).map { d =>
+        val sign = when(getbit(xxhash64(lit(i), lit(d)), lit(0)) === 1, 1.0).otherwise(-1.0)
+        element_at(v, d + 1) * sign
+      }.reduce(_ + _)
+      when(dotP > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Exact top-k cosine neighbors of each query over the whole corpus.
     * `queries`/`corpus`: (id, vec) frames. Output: query_id, neighbor_id,
