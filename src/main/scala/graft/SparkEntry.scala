@@ -170,6 +170,21 @@ object SparkEntry {
           numeric.tail.map(c => dsum(col(c), 4).as(s"sum_$c")): _*)
     }),
 
+    // Engine extension (§2.3 note): as-of join — each click event picks
+    // up the most recent prior per-second view average of the same user.
+    // Composed as union + keyed window (one shuffle, no join node).
+    "q_x1_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sec = TimeOps.epochSeconds(col("ts")).as("sec")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), sec)
+        .agg(round(avg(col("value")), 6).as("v"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), sec)
+      AsOfJoin.priorJoin(clicks, views, Seq("user_id"), "sec", Seq("v"))
+        .select(col("event_id"), col("user_id"), col("sec"), col("asof.v").as("asof_v"))
+    }),
+
     // §2.6 engine extension: deterministic top-k per group via ranking
     // window (decimal-exact revenue so ordering is reproducible).
     "q_w1_topk" -> ((s, dir) => {
@@ -341,6 +356,17 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_x1_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         round(avg(value), 6) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.sec, r.v AS asof_v
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec""".stripMargin,
 
     "q_w1_topk" ->
       """WITH rev AS (
