@@ -170,6 +170,14 @@ object SparkEntry {
           numeric.tail.map(c => dsum(col(c), 4).as(s"sum_$c")): _*)
     }),
 
+    // Engine extension: multi-level aggregation via ROLLUP (grouping
+    // sets) — per (returnflag, linestatus), per returnflag, and grand
+    // total in one pass, decimal-exact.
+    "q_x2_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
     // Engine extension (§2.3 note): as-of join — each click event picks
     // up the most recent prior per-second view average of the same user.
     // Composed as union + keyed window (one shuffle, no join node).
@@ -356,6 +364,11 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_x2_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_x1_asof_join" ->
       """WITH r AS (
