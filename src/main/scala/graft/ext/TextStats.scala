@@ -20,6 +20,22 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-family pretokenizer pieces: contraction suffixes, optionally
+    * space-prefixed letter runs / digit runs / symbol runs, residual
+    * whitespace. This is the public BPE *pre*-tokenization regex (the
+    * merge table itself is model weights, not engine surface); counting
+    * its pieces gives the standard "BPE-ish" token estimate used for
+    * corpus budgeting. The original pattern's `\s+(?!\S)` lookahead is
+    * dropped so the same pattern runs under both Java regex and RE2
+    * (lookahead is the one feature RE2 refuses).
+    */
+  private val bpePiece =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s"
+
+  /** Number of BPE-ish pieces in `text` (0 for empty/whitespace-only). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePiece), lit(0)))
+
   def charCount(text: Column): Column = length(text)
 
   /** Count of punctuation characters. */
@@ -83,14 +99,24 @@ object TextStats {
     */
   def fingerprintMd5(text: Column): Column = substring(md5(text), 1, 16)
 
+  /** Seed for the rolling fingerprint (FNV offset basis, non-zero). */
+  val rollingSeed: Long = 1469598103934665603L
+
   /** 64-bit rolling fingerprint over tokens: order-aware (unlike a
-    * bag-of-words hash), computed by chaining xxhash64(acc, token) — a
-    * hash recurrence instead of `h*31+x`, so it cannot overflow under
-    * ANSI mode and mixes bits better than a polynomial.
+    * bag-of-words hash), the recurrence `acc' = xxhash64(acc, token)` —
+    * a hash chain instead of `h*31+x`, so it cannot overflow under ANSI
+    * mode and mixes bits better than a polynomial. Runs as the native
+    * codegen'd [[graft.functions.TextHashExpressions.RollingXxHash64]];
+    * [[fingerprintRollingHof]] is the interpreted higher-order spelling
+    * it is bit-identical to (pinned by `TextHashExpressionsSpec`).
     */
   def fingerprintRolling(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(1469598103934665603L), // FNV offset basis as a non-zero seed
-      (acc, t) => xxhash64(acc, t))
+    graft.functions.TextHashExpressions.rollingXxHash64(tokens(text), rollingSeed)
+
+  /** Reference spelling of [[fingerprintRolling]] as a higher-order
+    * aggregate — interpreted (CodegenFallback), kept for the equivalence
+    * spec and as documentation of the semantics.
+    */
+  private[graft] def fingerprintRollingHof(text: Column): Column =
+    aggregate(tokens(text), lit(rollingSeed), (acc, t) => xxhash64(acc, t))
 }

@@ -40,16 +40,23 @@ object VectorExpressions {
       s
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // fresh names: with non-nullable children, nullSafeCodeGen inlines
+      // this block unbraced — fixed locals would collide with a second
+      // instance of the expression in the same generated method
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  acc += $a.getDouble(i) * $b.getDouble(i);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
          """.stripMargin)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -76,18 +83,27 @@ object VectorExpressions {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // fresh names for the same unbraced-inline reason as DotProduct
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double xv = $a.getDouble(i);
-           |  double yv = $b.getDouble(i);
-           |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = $a.getDouble($i);
+           |  double $yv = $b.getDouble($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =

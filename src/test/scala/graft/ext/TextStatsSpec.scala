@@ -24,6 +24,20 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(2) === 1) // whole-string token
   }
 
+  test("bpeTokenCount splits contractions, numbers and symbol runs like the GPT-2 pretokenizer") {
+    // expected piece counts pinned against DuckDB's RE2 on the same
+    // pattern (the oracle engine for q_ext_bpe_tokens): leftmost-first
+    // alternation gives ["don","'t"," stop"," me"," now"] etc.
+    val df = Seq(
+      "don't stop me now",       // 5: don | 't | _stop | _me | _now
+      "it's 2024, 100% true!",   // 8: it | 's | _2024 | , | _100 | % | _true | !
+      "...!!!",                  // 1: one symbol run
+      ""                         // 0
+    ).toDF("text")
+    val got = df.select(TextStats.bpeTokenCount($"text")).as[Int].collect().toSeq
+    assert(got === Seq(5, 8, 1, 0))
+  }
+
   test("langId picks the dominant stopword language, und when none") {
     val df = Seq(
       "the cat sat on a mat of the king",
