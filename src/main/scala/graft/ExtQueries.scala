@@ -25,6 +25,32 @@ object ExtQueries {
   private def ddHits(lang: String): String =
     TextStats.stopwords.toMap.apply(lang).map(ddWc).mkString("(", " + ", ")")
 
+  /** Sign of hyperplane `bit`'s component along dimension `dim` —
+    * the exact constant Spark folds out of
+    * `xxhash64(lit(bit), lit(dim))` in [[Similarity.hyperplaneBucket]]:
+    * seed 42, ints hashed in child order ([[HyperplaneSpec]] pins the
+    * agreement). Recomputed here so the DuckDB oracle can carry the
+    * planes as literal `±v[d]` terms.
+    */
+  private[graft] def planeSign(bit: Int, dim: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(dim, XXH64.hashInt(bit, 42L))
+    if ((h & 1L) == 1L) 1 else -1
+  }
+
+  /** DuckDB rendition of [[Similarity.hyperplaneBucket]] over a DOUBLE[]
+    * column: per bit, the signed sum of all dims (same left-to-right
+    * float order as the Spark expression), thresholded at 0.
+    */
+  private def ddHyperplaneBucket(v: String, bits: Int, dims: Int): String =
+    (0 until bits).map { i =>
+      val dot = (0 until dims).map { d =>
+        val s = if (planeSign(i, d) > 0) "+" else "-"
+        s"$s $v[${d + 1}]"
+      }.mkString(" ")
+      s"(CASE WHEN (0 $dot) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text analysis: token/char/punct counts, stopword count, quality.
@@ -92,6 +118,36 @@ object ExtQueries {
       Similarity.bucketedTopK(emb.filter(col("id") % 25 === 0), emb, k = 3, bits = 8)
         .withColumn("rank", col("rank").cast("long"))
     }),
+
+    // Random-hyperplane LSH top-k (the production quantizer; signBucket
+    // stays as the teaching baseline above).
+    "q_ext_ann_hyperplane" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.hyperplaneTopK(
+          emb.filter(col("id") % 25 === 0), emb, k = 3, dims = 64, bits = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // IVF approximate top-k: inverted file over deterministically sampled
+    // centroids, 4-cell probing (the trained-index ANN shape).
+    "q_ext_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(
+          queries = emb.filter(col("id") % 25 === 0),
+          corpus = emb,
+          centroids = emb.filter(col("id") % 50 === 7),
+          k = 3, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Token budgeting: whitespace tokens vs BPE-ish pretokenizer pieces.
+    "q_ext_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
 
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q_ext_embed_neardup" -> ((s, dir) =>
@@ -203,6 +259,62 @@ object ExtQueries {
          |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin
     },
+
+    "q_ext_ann_hyperplane" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |qb AS (SELECT query_id, qv, ${ddHyperplaneBucket("qv", 8, 64)} AS bucket FROM q),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |cb AS (SELECT neighbor_id, cv, ${ddHyperplaneBucket("cv", 8, 64)} AS bucket FROM c),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(list_cosine_similarity(qv, cv), 4) AS sim
+         |  FROM cb JOIN qb USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_ext_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 7),
+        |corp AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT neighbor_id, cv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY neighbor_id
+        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+        |           AS cent_rank
+        |  FROM corp, cent),
+        |asg AS (SELECT neighbor_id, cv, cell FROM ranked WHERE cent_rank = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |pr AS (
+        |  SELECT query_id, qv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id)
+        |           AS probe_rank
+        |  FROM q, cent),
+        |probes AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 4),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(qv, cv), 4) AS sim
+        |  FROM asg JOIN probes USING (cell)
+        |  WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_ext_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s'))
+        |    AS n_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "q_ext_embed_neardup" -> {
       def bucket(v: String) = (0 until 8)

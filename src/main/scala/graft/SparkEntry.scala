@@ -86,6 +86,32 @@ object SparkEntry {
           round(col("intercept"), 4).as("intercept"), round(col("r2"), 6).as("r2"),
           col("n").cast("long").as("n"))),
 
+    // §2.11 A2 full: the scipy-linregress 5-tuple (slope, intercept, r,
+    // p-value, stderr) from the custom typed Aggregator
+    // (reference `code/solrad-compare.py:131-132`), pinned on a fixed
+    // dataset chosen so the p-values have CLOSED-FORM Student-t CDFs
+    // (n=3 -> df=1 Cauchy: p = 1 - 2*atan|t|/pi; n=4 -> df=2:
+    // p = 1 - |t|/sqrt(2+t^2)) that the DuckDB oracle recomputes from
+    // regr_sxx/syy/sxy in plain SQL — an independent check of the
+    // commons-math t-distribution path, not a restatement of it.
+    "q_a2_linreg_full" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val pts = Seq(
+        ("a", 1.0, 2.125), ("a", 2.0, 3.875), ("a", 3.0, 6.25), ("a", 4.0, 7.75),
+        ("b", 1.0, 1.0), ("b", 2.0, 2.25), ("b", 3.0, 2.875)
+      ).toDF("grp", "x", "y")
+      pts.groupBy(col("grp")).agg(LinReg.linregFull(col("x"), col("y")).as("lr"))
+        .select(col("grp"),
+          round(col("lr.slope"), 6).as("slope"),
+          round(col("lr.intercept"), 6).as("intercept"),
+          round(col("lr.r"), 6).as("r"),
+          round(col("lr.r2"), 6).as("r2"),
+          round(col("lr.pValue"), 6).as("p_value"),
+          round(col("lr.stderr"), 6).as("stderr"),
+          col("lr.n").cast("long").as("n"))
+    }),
+
     // J2: broadcast lookup join (fact × small dim) + grouped rollup.
     "q_j2_broadcast_lookup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -209,6 +235,39 @@ object SparkEntry {
           col("rev").cast("double").as("revenue"))
     }),
 
+    // S2+A1 end-to-end through the REAL csv_expert parse path: commented
+    // preamble (300 '#' lines — exercises sniffHeader's widening probe),
+    // `;`-separated, corrupt lines, a 15-min outage; sniff header → comment
+    // scan → lenient interval parse → 10-min resample. The DuckDB oracle
+    // re-reads the same file with skip/all_varchar + TRY_CAST.
+    "q_s2_cams_scan" -> ((s, dir) => {
+      val path = graft.io.VerifyFixtures.camsExpertFixture()
+      pipelines.SolarPipelines.resampleRaw(s, path, minutes = 10)
+        .select(
+          TimeOps.epochSeconds(col("time")).as("bucket_start"),
+          round(col("GHI"), 6).as("ghi"),
+          round(col("DHI"), 6).as("dhi"),
+          round(col("BNI"), 6).as("bni"),
+          round(col("Cloud coverage"), 6).as("cloud_cover"))
+    }),
+
+    // S5/F13/J2/P7/F5 end-to-end through the REAL compile path: glob scan
+    // with filename provenance, canonical-key broadcast metadata join,
+    // station exclusion, lenient time parse, local-time derivation.
+    "q_s5_compile_cube" -> ((s, dir) => {
+      val (glob, locCsv) = graft.io.VerifyFixtures.compileFixture()
+      val locations = s.read.option("header", "true")
+        .schema(graft.model.Schemas.station).csv(locCsv)
+      pipelines.SolarPipelines.compileCube(s, glob, locations)
+        .select(col("station"), col("station_original"),
+          TimeOps.epochSeconds(col("time_utc")).as("epoch_utc"),
+          TimeOps.epochSeconds(col("time_local")).as("epoch_local"),
+          round(col("GHI"), 6).as("ghi"),
+          round(col("DHI"), 6).as("dhi"),
+          round(col("DNI"), 6).as("dni"),
+          col("latitude"), col("longitude"), col("elevation"))
+    }),
+
     // §3.2 end-to-end: the full compare pipeline (QC clean → unit convert
     // → rename → time join → bias → per-component linregress), driven
     // through graft.pipelines.SolarPipelines on series derived from the
@@ -296,6 +355,39 @@ object SparkEntry {
         |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    "q_a2_linreg_full" ->
+      """WITH d AS (
+        |  SELECT * FROM (VALUES
+        |    ('a', 1.0, 2.125), ('a', 2.0, 3.875), ('a', 3.0, 6.25), ('a', 4.0, 7.75),
+        |    ('b', 1.0, 1.0),   ('b', 2.0, 2.25), ('b', 3.0, 2.875)
+        |  ) v(grp, x, y)),
+        |s AS (
+        |  SELECT grp,
+        |         regr_count(y, x) AS n,
+        |         regr_slope(y, x) AS slope,
+        |         regr_intercept(y, x) AS intercept,
+        |         regr_sxx(y, x) AS ssxx,
+        |         regr_syy(y, x) AS ssyy,
+        |         regr_sxy(y, x) AS ssxy
+        |  FROM d GROUP BY grp),
+        |t AS (
+        |  SELECT grp, n, slope, intercept,
+        |         ssxy / sqrt(ssxx * ssyy) AS r,
+        |         sqrt(greatest(ssyy - slope * ssxy, 0) / (n - 2) / ssxx) AS stderr
+        |  FROM s)
+        |SELECT grp,
+        |       round(slope, 6) AS slope,
+        |       round(intercept, 6) AS intercept,
+        |       round(r, 6) AS r,
+        |       round(r * r, 6) AS r2,
+        |       round(CASE
+        |         WHEN n = 4 THEN 1 - abs(slope / stderr) / sqrt(2 + (slope / stderr) * (slope / stderr))
+        |         WHEN n = 3 THEN 1 - 2 * atan(abs(slope / stderr)) / pi()
+        |       END, 6) AS p_value,
+        |       round(stderr, 6) AS stderr,
+        |       CAST(n AS BIGINT) AS n
+        |FROM t""".stripMargin,
+
     "q_j2_broadcast_lookup" ->
       """SELECT p_brand, count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
@@ -364,6 +456,56 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_s2_cams_scan" -> {
+      import graft.io.VerifyFixtures.{camsPath, camsPreambleLines}
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$camsPath', delim=';', header=false,
+         |    skip=$camsPreambleLines, all_varchar=true,
+         |    names=['op', 'ghi', 'dhi', 'bni', 'cc'])),
+         |parsed AS (
+         |  SELECT TRY_CAST(split_part(op, '/', 1) AS TIMESTAMP) AS t,
+         |         TRY_CAST(ghi AS DOUBLE) AS ghi, TRY_CAST(dhi AS DOUBLE) AS dhi,
+         |         TRY_CAST(bni AS DOUBLE) AS bni, TRY_CAST(cc AS DOUBLE) AS cc
+         |  FROM raw
+         |  WHERE TRY_CAST(split_part(op, '/', 1) AS TIMESTAMP) IS NOT NULL)
+         |SELECT CAST(floor(epoch(t)/600)*600 AS BIGINT) AS bucket_start,
+         |       round(avg(ghi), 6) AS ghi, round(avg(dhi), 6) AS dhi,
+         |       round(avg(bni), 6) AS bni, round(avg(cc), 6) AS cloud_cover
+         |FROM parsed GROUP BY 1""".stripMargin
+    },
+
+    "q_s5_compile_cube" -> {
+      import graft.io.VerifyFixtures.{locationPath, processedGlob}
+      val clean = (c: String) =>
+        s"trim(regexp_replace(regexp_replace(lower(regexp_replace($c, '_', ' ', 'g')), " +
+          s"'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH loc AS (
+         |  SELECT station, latitude, longitude, elevation,
+         |         CAST(replace(timezone, 'UTC', '') AS INT) AS utc_offset,
+         |         ${clean("station")} AS station_key
+         |  FROM read_csv('$locationPath', header=true)),
+         |raw AS (
+         |  SELECT *, regexp_extract(filename,
+         |           'processed_10min_(.*?)_observed_cloud\\.csv', 1) AS station_raw
+         |  FROM read_csv('$processedGlob', delim=',', header=false, skip=1,
+         |    all_varchar=true, filename=true,
+         |    names=['tcol', 'ghi', 'dhi', 'bni', 'cc'])),
+         |parsed AS (
+         |  SELECT TRY_CAST(tcol AS TIMESTAMP) AS t,
+         |         TRY_CAST(ghi AS DOUBLE) AS ghi, TRY_CAST(dhi AS DOUBLE) AS dhi,
+         |         TRY_CAST(bni AS DOUBLE) AS dni,
+         |         ${clean("station_raw")} AS station_key
+         |  FROM raw
+         |  WHERE TRY_CAST(tcol AS TIMESTAMP) IS NOT NULL)
+         |SELECT p.station_key AS station, l.station AS station_original,
+         |       CAST(floor(epoch(p.t)) AS BIGINT) AS epoch_utc,
+         |       CAST(floor(epoch(p.t)) AS BIGINT) + l.utc_offset * 3600 AS epoch_local,
+         |       round(p.ghi, 6) AS ghi, round(p.dhi, 6) AS dhi, round(p.dni, 6) AS dni,
+         |       l.latitude, l.longitude, l.elevation
+         |FROM parsed p JOIN loc l USING (station_key)
+         |WHERE p.station_key <> 'sleman'""".stripMargin
+    },
 
     "q_x2_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -92,14 +92,88 @@ object Similarity {
     */
   def bucketedTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 8, simScale: Int = 4): DataFrame = {
+      bits: Int = 8, simScale: Int = 4): DataFrame =
+    bucketedTopKBy(queries, corpus, k, simScale, signBucket(_, bits))
+
+  /** [[bucketedTopK]] with the distribution-free random-hyperplane family
+    * ([[hyperplaneBucket]]) instead of first-dimension sign bits — the
+    * production quantizer: real embeddings have correlated leading
+    * dimensions, which skews [[signBucket]]'s occupancy; hashed ±1
+    * hyperplanes spread mass over all `dims` coordinates. The plane
+    * signs constant-fold at plan time, so per row this is just `dims`
+    * adds per bit inside codegen.
+    */
+  def hyperplaneTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+      bits: Int = 8, simScale: Int = 4): DataFrame =
+    bucketedTopKBy(queries, corpus, k, simScale, hyperplaneBucket(_, bits, dims))
+
+  private def bucketedTopKBy(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      simScale: Int, bucketOf: Column => Column): DataFrame = {
     val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("bucket", bucketOf(col("qv")))
     val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
-      .withColumn("bucket", signBucket(col("cv"), bits))
+      .withColumn("bucket", bucketOf(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the trained-index shape of
+    * ANN, with the training step replaced by deterministic corpus
+    * sampling (a standard coarse-quantizer bootstrap; k-means iterations
+    * would refine the same structure without changing the plan).
+    *
+    * Three stages, each scale-shaped:
+    *  1. Assignment ("build the inverted file"): every corpus vector gets
+    *     its nearest centroid via crossJoin(broadcast(centroids)) +
+    *     `max_by` — the argmax folds in the partial aggregate, so the
+    *     shuffle carries one row per corpus vector, never corpus × cells.
+    *  2. Probing: each query ranks the (broadcast) centroids and keeps
+    *     its `nProbe` nearest cells — work is queries × cells, query side
+    *     assumed small.
+    *  3. Scan: candidates = corpus rows whose cell is probed, via a
+    *     broadcast join on cell id; exact cosine + per-query top-k window
+    *     touches ~nProbe/nCells of the corpus per query instead of all
+    *     of it.
+    *
+    * Ties everywhere break on the lower id after rounding to `simScale`,
+    * keeping ranks deterministic and oracle-stable.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int, simScale: Int = 4): DataFrame = {
+    val cos = fastCosine(corpus) _
+    val cents = broadcast(
+      centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
+
+    val assigned = corpus
+      .select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
+      .crossJoin(cents)
+      .withColumn("csim", round(cos(col("cv"), col("cvec")), simScale))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("csim"), -col("cent_id"))).as("cell"),
+        first(col("cv")).as("cv"))
+
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probes = broadcast(queries
+      .select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
+      .crossJoin(cents)
+      .withColumn("csim", round(cos(col("qv"), col("cvec")), simScale))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell")))
+
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cos(col("qv"), col("cv")), simScale))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -25,11 +25,21 @@ object CamsExpertCsv {
   private val stringCols = Set("Observation period")
 
   /** Driver-side header sniff: last `#`-prefixed line before data.
-    * Reads at most the commented prefix plus one line.
+    * Probes geometrically from `initialProbe` lines, so an arbitrarily
+    * long commented preamble still resolves — each probe reads only the
+    * top of the file (a bounded driver-side read at any file size).
     */
-  def sniffHeader(spark: SparkSession, path: String): Seq[String] = {
-    val head = spark.read.textFile(path).head(200)
-    val commented = head.takeWhile(_.startsWith("#"))
+  def sniffHeader(spark: SparkSession, path: String, initialProbe: Int = 256): Seq[String] = {
+    val lines = spark.read.textFile(path)
+    @annotation.tailrec
+    def probe(limit: Int): Seq[String] = {
+      val head = lines.head(limit)
+      val commented = head.takeWhile(_.startsWith("#"))
+      // Every fetched line commented and the probe full: the preamble may
+      // continue past the window — widen and retry.
+      if (commented.length == limit) probe(limit * 4) else commented
+    }
+    val commented = probe(initialProbe.max(1))
     require(commented.nonEmpty, s"no '#' header found in $path")
     commented.last.dropWhile(_ == '#').trim.split(";").map(_.trim).toSeq
   }

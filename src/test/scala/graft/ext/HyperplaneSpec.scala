@@ -23,6 +23,22 @@ class HyperplaneSpec extends SparkTestBase {
     assert(again === got(0)._2)
   }
 
+  test("oracle-side plane signs equal Spark's folded xxhash64 constants") {
+    // graft.ExtQueries.planeSign re-derives, outside any Spark plan, the
+    // ±1 the hyperplaneBucket expression folds out of xxhash64(bit, dim);
+    // the DuckDB oracle for q_ext_ann_hyperplane embeds those constants.
+    val bits = 8; val dims = 64
+    val sparkSigns = spark.range(1)
+      .select((for (i <- 0 until bits; d <- 0 until dims) yield
+        when(getbit(xxhash64(lit(i), lit(d)), lit(0)) === 1, 1).otherwise(-1)): _*)
+      .head().toSeq.map(_.asInstanceOf[Int])
+    val oracleSigns = for (i <- 0 until bits; d <- 0 until dims)
+      yield graft.ExtQueries.planeSign(i, d)
+    assert(sparkSigns === oracleSigns)
+    // sanity: the family is balanced enough to be useful
+    assert(math.abs(oracleSigns.sum) < bits * dims / 4)
+  }
+
   test("jaccard doc-frequency pruning drops only ultra-common tokens") {
     // 'common' appears in all 4 docs; pair similarity must still be found
     val docs = Seq(

@@ -41,6 +41,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(!got.contains(4L))
   }
 
+  test("ivfTopK: probed cells cover the true neighbor, unprobed cells are invisible") {
+    // Two well-separated clusters around +x and +y; centroids = one seed
+    // per cluster. With nProbe=1 each query only sees its own cell.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)),
+      (2L, Array(0.95f, 0.0f, 0.05f)),
+      (3L, Array(0.9f, -0.05f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.05f)),
+      (11L, Array(0.05f, 0.95f, 0.0f)),
+      (12L, Array(0.0f, 0.9f, -0.05f))
+    ).toDF("id", "vec")
+    val cents = vecs.filter($"id".isin(1L, 10L))
+    val got = Similarity.ivfTopK(
+        vecs.filter($"id" === 2L), vecs, cents, k = 5, nProbe = 1)
+      .collect()
+    val neighbors = got.map(_.getLong(1)).toSet
+    // own-cluster members found, cross-cluster members never scanned
+    assert(neighbors === Set(1L, 3L))
+    // nProbe=2 opens the second cell: all five other vectors now visible
+    val wide = Similarity.ivfTopK(
+        vecs.filter($"id" === 2L), vecs, cents, k = 10, nProbe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(wide === Set(1L, 3L, 10L, 11L, 12L))
+    // ranks are exact-cosine order within the probed set
+    assert(got.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq === Seq(1L, 3L))
+  }
+
   test("cosineNearDupPairs finds the one close pair") {
     val got = Similarity.cosineNearDupPairs(corpus, "id", "vec", minCosine = 0.95, bits = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
