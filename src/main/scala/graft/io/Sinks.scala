@@ -54,4 +54,98 @@ object Sinks {
     Files.write(Paths.get(s"$path/_attributes.json"), json.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
+
+  /** S8 binary-fidelity variant: the compiled cube as an actual NetCDF
+    * classic file (the reference's artifact shape,
+    * `compile-solrad.py:176-195`): `time` is the UNLIMITED dimension,
+    * `station` the fixed one, CF-style char attributes on every
+    * variable. Expects `writeCube`'s long schema (`station`, `time_utc`,
+    * value columns, `latitude`/`longitude`/`elevation`).
+    *
+    * Scale posture: a classic `.nc` is a single sequential file by
+    * format definition, so this is an *export edge*, not a distributed
+    * sink. The station dimension is collected (it is the broadcast-small
+    * metadata side, ~dozens of rows); the time axis is streamed through
+    * `toLocalIterator` over a time-sorted frame — driver memory holds
+    * one time slab (`n_stations` doubles per variable), never the cube.
+    * Missing (time, station) cells become NaN, NetCDF's conventional
+    * missing-value marker.
+    */
+  def writeNetCdf(
+      cube: DataFrame, path: String,
+      valueCols: Seq[String] = Seq("GHI", "DHI", "DNI"),
+      attrs: Map[String, String] = cfAttributes()): Unit = {
+    import NetCdf3._
+    val stations = cube
+      .select(col("station"), col("latitude").cast("double"),
+        col("longitude").cast("double"), col("elevation").cast("double"))
+      .distinct().orderBy("station").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    require(stations.nonEmpty, "empty cube: no stations")
+    val names = stations.map(_._1)
+    val slot = names.zipWithIndex.toMap
+    val strlen = names.map(_.getBytes("UTF-8").length).max
+
+    val dims = Seq(Dim("time", 0), Dim("station", names.length), Dim("name_strlen", strlen))
+    val TimeD = 0; val StationD = 1; val StrlenD = 2
+    val vars =
+      Seq(
+        Var("time", Seq(TimeD), Seq(
+          Attr("units", attrs.getOrElse("time_units", "seconds since 1970-01-01")),
+          Attr("calendar", attrs.getOrElse("calendar", "proleptic_gregorian"))), NcDouble),
+        Var("station_name", Seq(StationD, StrlenD),
+          Seq(Attr("cf_role", attrs.getOrElse("station_cf_role", "timeseries_id"))), NcChar),
+        Var("latitude", Seq(StationD), Seq(Attr("units", "degrees_north")), NcDouble),
+        Var("longitude", Seq(StationD), Seq(Attr("units", "degrees_east")), NcDouble),
+        Var("elevation", Seq(StationD), Seq(Attr("units", "m")), NcDouble)) ++
+      valueCols.map(c =>
+        Var(c, Seq(TimeD, StationD),
+          Seq(Attr("units", attrs.getOrElse(s"${c}_units", "1"))), NcDouble))
+
+    val nameGrid = {
+      val g = Array.fill[Byte](names.length * strlen)(0)
+      names.zipWithIndex.foreach { case (n, i) =>
+        val b = n.getBytes("UTF-8"); System.arraycopy(b, 0, g, i * strlen, b.length)
+      }
+      g
+    }
+    val fixed = Map[String, AnyRef](
+      "station_name" -> nameGrid,
+      "latitude" -> stations.map(_._2),
+      "longitude" -> stations.map(_._3),
+      "elevation" -> stations.map(_._4))
+
+    val gattrs = attrs.toSeq.sortBy(_._1).map { case (k, v) => Attr(k, v) }
+    val w = new Writer(path, dims, gattrs, vars, fixed)
+
+    val rows = cube
+      .select(unix_timestamp(col("time_utc")).as("epoch") +:
+        col("station") +: valueCols.map(c => col(c).cast("double")): _*)
+      .orderBy("epoch", "station")
+      .toLocalIterator()
+
+    var curEpoch = Long.MinValue
+    var slabs: Array[Array[Double]] = null
+    def flush(): Unit = if (slabs != null) {
+      val rec = Map[String, AnyRef]("time" -> Array(curEpoch.toDouble)) ++
+        valueCols.zipWithIndex.map { case (c, i) => c -> (slabs(i): AnyRef) }
+      w.writeRecord(rec)
+    }
+    try {
+      while (rows.hasNext) {
+        val r = rows.next()
+        val e = r.getLong(0)
+        if (e != curEpoch) {
+          flush()
+          curEpoch = e
+          slabs = Array.fill(valueCols.length)(Array.fill(names.length)(Double.NaN))
+        }
+        val s = slot(r.getString(1))
+        valueCols.indices.foreach { i =>
+          slabs(i)(s) = if (r.isNullAt(i + 2)) Double.NaN else r.getDouble(i + 2)
+        }
+      }
+      flush()
+    } finally w.close()
+  }
 }
