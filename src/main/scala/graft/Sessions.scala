@@ -13,6 +13,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // engine extensions: native vector/text-hash functions, the HOF
+      // dot-product rewrite, and the window-top-k operator rewrite +
+      // strategy (graft.plans.TopKPerKey)
+      .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // to TimestampType in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -67,9 +67,66 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: inject the native vector functions and the HOF
-  * rewrite rule. Activate with
-  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+/** Optimizer rule: recognize the declarative top-k-per-key window
+  * pattern
+  * {{{ Filter(rank <= k, Window(rank := row_number() OVER (PARTITION BY keys ORDER BY o))) }}}
+  * and replace both nodes with the custom [[graft.plans.TopKPerKey]]
+  * logical operator, planned by [[graft.plans.TopKPerKeyStrategy]] as a
+  * partial/final bounded-heap pair — the shuffle then carries at most
+  * k rows per key per map partition instead of every candidate row, and
+  * nothing ever fully sorts a key's row set. Output attributes (incl.
+  * the rank attribute's id) are preserved, so downstream references are
+  * untouched.
+  *
+  * Conservative matching: exactly one window expression, plain
+  * `row_number()` with the default running frame, the filter condition
+  * alone bounds that rank attribute with a literal (`<=` / `<`), and a
+  * positive k. Anything else stays a Window.
+  */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+
+  private object RankBound {
+    import org.apache.spark.sql.types.LongType
+
+    /** The bounded rank reference: bare, or behind a lossless
+      * int→long cast (the `row_number().cast("long")` spelling).
+      */
+    private object RankRef {
+      def unapply(e: Expression): Option[Attribute] = e match {
+        case a: Attribute => Some(a)
+        case Cast(a: Attribute, LongType, _, _) => Some(a)
+        case _ => None
+      }
+    }
+
+    /** Extracts (rankAttr, k) from the filter condition. */
+    def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
+      case LessThanOrEqual(RankRef(a), Literal(k: Int, _)) => Some((a, k))
+      case LessThan(RankRef(a), Literal(k: Int, _)) => Some((a, k - 1))
+      case LessThanOrEqual(RankRef(a), Literal(k: Long, _)) if k <= Int.MaxValue =>
+        Some((a, k.toInt))
+      case LessThan(RankRef(a), Literal(k: Long, _)) if k <= Int.MaxValue =>
+        Some((a, k.toInt - 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(RankBound(rankRef, k),
+          w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(_, _,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+            partitionSpec, orderSpec, child, _))
+        if k > 0 && rankRef.exprId == alias.exprId && orderSpec.nonEmpty =>
+      graft.plans.TopKPerKey(k, partitionSpec, orderSpec, alias.toAttribute, child)
+  }
+}
+
+/** Session extensions: inject the native vector functions, the HOF
+  * rewrite rule, and the window-top-k operator (rule + strategy).
+  * Activated engine-wide via `spark.sql.extensions` in
+  * [[graft.Sessions.tuned]], or per session with
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -83,5 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => VectorExpressions.CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
