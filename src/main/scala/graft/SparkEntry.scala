@@ -235,6 +235,37 @@ object SparkEntry {
           col("rev").cast("double").as("revenue"))
     }),
 
+    // P5/P6: NA-drop in both modes over derived-nullable columns — the
+    // reference's dropna(how='any'/'all') semantics as one scalar row.
+    "q_p5_na_drop" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("event_id") % 7 =!= 0, col("value")).as("a"),
+        when(col("event_id") % 11 =!= 0, col("value")).as("b"))
+      val anyCnt = e.na.drop("any", Seq("a", "b")).count()
+      val allCnt = e.na.drop("all", Seq("a", "b")).count()
+      val total = e.count()
+      val sp = s
+      import sp.implicits._
+      Seq((anyCnt, allCnt, total)).toDF("kept_any", "kept_all", "total")
+    }),
+
+    // S7 end-to-end: the CSV sink under test — write through writeCsv
+    // (ordered, single header file), read the artifact back. The write
+    // during query construction is deliberate: the sink IS the operator,
+    // and the DuckDB oracle reads the same files this query produced.
+    "q_s7_csv_sink" -> ((s, dir) => {
+      val out = graft.io.VerifyFixtures.csvSinkDir
+      val summary = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(sum(col("l_quantity").cast("decimal(28,2)")).as("qty"),
+          count(lit(1)).as("n"))
+      graft.io.Sinks.writeCsv(summary, out, orderCol = Some("flag"))
+      s.read.option("header", "true").schema("flag STRING, qty DECIMAL(28,2), n LONG")
+        .csv(out)
+        .select(col("flag"), col("qty").cast("double").as("qty"), col("n"))
+    }),
+
     // S2+A1 end-to-end through the REAL csv_expert parse path: commented
     // preamble (300 '#' lines — exercises sniffHeader's widening probe),
     // `;`-separated, corrupt lines, a 15-min outage; sniff header → comment
@@ -456,6 +487,25 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_p5_na_drop" ->
+      """SELECT
+        |  count(*) FILTER (
+        |    WHERE (CASE WHEN event_id % 7 <> 0 THEN value END) IS NOT NULL
+        |      AND (CASE WHEN event_id % 11 <> 0 THEN value END) IS NOT NULL)
+        |    AS kept_any,
+        |  count(*) FILTER (
+        |    WHERE (CASE WHEN event_id % 7 <> 0 THEN value END) IS NOT NULL
+        |       OR (CASE WHEN event_id % 11 <> 0 THEN value END) IS NOT NULL)
+        |    AS kept_all,
+        |  count(*) AS total
+        |FROM events""".stripMargin,
+
+    "q_s7_csv_sink" -> {
+      val glob = s"${graft.io.VerifyFixtures.csvSinkDir}/*.csv"
+      s"""SELECT flag, round(CAST(qty AS DOUBLE), 2) AS qty, CAST(n AS BIGINT) AS n
+         |FROM read_csv('$glob', header=true, all_varchar=true)""".stripMargin
+    },
 
     "q_s2_cams_scan" -> {
       import graft.io.VerifyFixtures.{camsPath, camsPreambleLines}

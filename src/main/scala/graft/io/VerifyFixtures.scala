@@ -59,6 +59,12 @@ object VerifyFixtures {
     sb.result()
   }
 
+  /** Output directory for the S7 CSV-sink round-trip query — written by
+    * `q_s7_csv_sink` at query-construction time, read back by both the
+    * Spark query and the DuckDB oracle.
+    */
+  val csvSinkDir = s"$root/csv_sink"
+
   // ------------------------------------------------------ compile pipeline
   val processedDir = s"$root/processed"
   val processedGlob = s"$processedDir/processed_10min_*_observed_cloud.csv"

@@ -9,7 +9,8 @@ object Scratch {
     val spark = Sessions.local()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = Seq("q_a1_resample", "q_j1_time_join", "q_j2_broadcast_lookup",
-      "q_a2_linreg", "q_ext_dedup_minhash", "q_ext_ann_lsh", "q_pipe_compare_stats")
+      "q_a2_linreg", "q_ext_dedup_minhash", "q_ext_ann_lsh", "q_pipe_compare_stats",
+      "q_ext_ann_ivf", "q_ext_ann_hyperplane", "q_w1_topk", "q_ext_fingerprint")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
