@@ -152,14 +152,20 @@ object Similarity {
     val cents = broadcast(
       centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
 
+    // Nearest-cell assignment = top-1 per corpus vector, spelled as the
+    // row_number window so the engine's own TopKPerKey operator executes
+    // it (bounded heap, no sort). A max_by aggregate would be the
+    // textbook spelling, but its struct buffer falls to SortAggregate —
+    // a per-partition sort of corpus × cells rows the heap never pays.
+    val assignW = Window.partitionBy("neighbor_id")
+      .orderBy(col("csim").desc, col("cent_id"))
     val assigned = corpus
       .select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
       .crossJoin(cents)
       .withColumn("csim", round(cos(col("cv"), col("cvec")), simScale))
-      .groupBy(col("neighbor_id"))
-      .agg(
-        max_by(col("cent_id"), struct(col("csim"), -col("cent_id"))).as("cell"),
-        first(col("cv")).as("cv"))
+      .withColumn("cent_rank", row_number().over(assignW))
+      .filter(col("cent_rank") <= 1)
+      .select(col("neighbor_id"), col("cv"), col("cent_id").as("cell"))
 
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id"))
