@@ -235,6 +235,59 @@ object SparkEntry {
           col("rev").cast("double").as("revenue"))
     }),
 
+    // §2.4 extension: exact interpolated percentiles per group (quality
+    // thresholds for filtering pipelines). Exact `percentile` buffers
+    // each group's values — the small-group stats path; at corpus scale
+    // use `approx_percentile` (t-digest sketch, mergeable) and accept
+    // the approximation.
+    "q_a6_percentile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))),
+
+    // §2.8 extension: semi-structured extraction — events.props is a
+    // JSON string; schema-on-read with from_json, typed field out.
+    // Scale note: from_json is a per-row codegen'd projection; the
+    // schema literal keeps Catalyst pruning the parse to one field.
+    "q_f17_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))),
+
+    // §2.5 extension: gap-based sessionization — the canonical events
+    // windowing pattern (new session when the user pauses > 30 min).
+    // Two windows over ONE (user_id, ts) partitioning: lag to mark
+    // session starts, running sum to number them; Catalyst reuses the
+    // sort/shuffle across both, then one keyed aggregate.
+    "q_w2_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("sec")
+      // distinct (user, second): duplicate seconds would make lag/frame
+      // semantics tie-dependent (Spark's default RANGE frame vs ROWS)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), TimeOps.epochSeconds(col("ts")).as("sec"))
+        .distinct()
+      val marked = e.withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > 1800, 1)
+          .otherwise(lit(0)))
+      marked.withColumn("session_id", sum(col("new_session")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("duration_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_events"),
+          max(col("duration_s")).as("max_duration_s"))
+    }),
+
     // P5/P6: NA-drop in both modes over derived-nullable columns — the
     // reference's dropna(how='any'/'all') semantics as one scalar row.
     "q_p5_na_drop" -> ((s, dir) => {
@@ -487,6 +540,40 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_f17_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "q_w2_sessionize" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |marked AS (
+        |  SELECT user_id, sec,
+        |         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |numbered AS (
+        |  SELECT user_id, sec,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         max(sec) - min(sec) AS duration_s
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+        |       max(duration_s) AS max_duration_s
+        |FROM sessions GROUP BY 1""".stripMargin,
+
+    "q_a6_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_p5_na_drop" ->
       """SELECT

@@ -30,6 +30,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(0).width >= 16 && feats(0).height >= 16)
   }
 
+  // minimal synthesized containers: headers are real, pixel data absent
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.array()
+  }
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+    out.array()
+  }
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 8 + 11)
+    out.put(Array[Byte](0xFF.toByte, 0xD8.toByte))                      // SOI
+    out.put(Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 6)).putInt(0)      // APP0, len 6
+    out.put(Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 9, 8))             // SOF0, len 9
+    out.putShort(h.toShort).putShort(w.toShort).put(1.toByte)
+    out.array()
+  }
+
+  test("image header decode: real dimensions from PNG/GIF/JPEG byte headers") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(640, 480), "application/octet-stream"),
+      Multimodal.MediaRow(2L, gifBytes(320, 200), "application/octet-stream"),
+      Multimodal.MediaRow(3L, jpegBytes(1920, 1080), "application/octet-stream"),
+      Multimodal.MediaRow(4L, "not an image".getBytes("UTF-8"), "text/plain")
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert((feats(0).mediaType, feats(0).width, feats(0).height) === (("image/png", 640, 480)))
+    assert((feats(1).mediaType, feats(1).width, feats(1).height) === (("image/gif", 320, 200)))
+    assert((feats(2).mediaType, feats(2).width, feats(2).height) === (("image/jpeg", 1920, 1080)))
+    assert(feats(3).mediaType === "text/plain") // falls back to the stub
+  }
+
+  test("pngDims: codegen'd expression path extracts PNG size, null for non-PNG") {
+    val df = Seq(
+      (1L, pngBytes(800, 600)),
+      (2L, "plain bytes".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val got = df.select($"id", Multimodal.pngDims($"payload").as("dims"))
+      .orderBy("id").collect()
+    assert(got(0).getStruct(1).getInt(0) === 800)
+    assert(got(0).getStruct(1).getInt(1) === 600)
+    assert(got(1).getStruct(1).isNullAt(0))
+  }
+
   test("binaryFile source reads payload bytes with provenance") {
     val dir = Files.createTempDirectory("graft-bin")
     Files.write(dir.resolve("img_001.bin"), Array[Byte](1, 2, 3, 4))

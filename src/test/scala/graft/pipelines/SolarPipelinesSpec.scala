@@ -55,6 +55,17 @@ class SolarPipelinesSpec extends SparkTestBase {
     assert(rows(1).isNullAt(1)) // permissive mode: bad cell -> null
   }
 
+  test("P8: empty input collapses to an empty local plan, no distributed work") {
+    val empty = Seq.empty[(String, Double)].toDF("Observation period", "GHI")
+    val out = SolarPipelines.resampleRawDf(empty, 10)
+    assert(out.isEmpty)
+    // PropagateEmptyRelation folds the whole pipeline away — the
+    // engine-level form of the reference's explicit empty-input guard
+    val optimized = out.queryExecution.optimizedPlan
+    assert(optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      optimized.toString)
+  }
+
   test("3.1 resample: 10-min means, left-labeled, gap bin absent") {
     val out = SolarPipelines.resampleRaw(spark, rawPath).orderBy("time")
     val rows = out.collect()
