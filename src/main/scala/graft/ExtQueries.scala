@@ -149,6 +149,22 @@ object ExtQueries {
         TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // int8 embedding quantization: per-vector digests (step, code sum,
+    // cosine of original vs dequantized — the ANN-relevant fidelity).
+    "q_ext_quantize" -> ((s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val q = Similarity.quantizeInt8(col("embedding"))
+      emb.select(col("vec_id"), q.as("q"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .select(
+          col("vec_id"),
+          round(col("q.step"), 9).as("step"),
+          expr("aggregate(q.codes, 0L, (a, c) -> a + c)").as("code_sum"),
+          round(graft.functions.VectorExpressions.vecCosine(
+            col("v"), Similarity.dequantizeInt8(col("q"))), 4).as("cos_fidelity"))
+    }),
+
     // Embedding-cosine near-dup pairs within LSH buckets.
     "q_ext_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
@@ -315,6 +331,26 @@ object ExtQueries {
         |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s'))
         |    AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_ext_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, v, scale / 127.0 AS step,
+        |         list_transform(v, x -> CAST(round(
+        |           x / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END) * 127.0)
+        |           AS TINYINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |       round(step, 9) AS step,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       round(list_cosine_similarity(v,
+        |         list_transform(codes, c -> c * step)), 4) AS cos_fidelity
+        |FROM q""".stripMargin,
 
     "q_ext_embed_neardup" -> {
       def bucket(v: String) = (0 until 8)

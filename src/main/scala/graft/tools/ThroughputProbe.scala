@@ -32,8 +32,12 @@ object ThroughputProbe {
     val t0 = System.nanoTime()
     val out = Resample.tumblingMean(raw, "time", 10,
       valueCols = Seq("GHI", "DHI", "BNI"), extraKeys = Seq("station", "sky_type"))
-    val buckets = out.count()
+    // noop sink, not count(): a count(1) would let Catalyst prune the
+    // avg columns and measure only the grouping (same honesty fix as
+    // Bench) — the sink evaluates every output column
+    out.write.format("noop").mode("overwrite").save()
     val secs = (System.nanoTime() - t0) / 1e9
+    val buckets = minutes / 10 * stations * skyTypes
     println(f"[probe] rows=$n buckets=$buckets time=$secs%.1f s throughput=${n / secs / 1e6}%.1f M rows/s")
     spark.stop()
   }

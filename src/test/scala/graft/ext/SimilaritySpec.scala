@@ -68,6 +68,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq === Seq(1L, 3L))
   }
 
+  test("int8 quantization: per-component error <= step/2, zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val q = df.select($"id",
+      Similarity.quantizeInt8($"vec").as("q"),
+      Similarity.asDouble($"vec").as("v"))
+    val rows = q.select($"id", $"q.step", $"q.codes",
+        Similarity.dequantizeInt8($"q").as("deq"), $"v")
+      .orderBy("id").collect()
+
+    val step = rows(0).getDouble(1)
+    assert(step === 1.0 / 127.0)
+    val deq = rows(0).getSeq[Double](3)
+    val orig = rows(0).getSeq[Double](4)
+    deq.zip(orig).foreach { case (d, o) =>
+      assert(math.abs(d - o) <= step / 2 + 1e-12, s"$d vs $o")
+    }
+    // max-magnitude component is exact (code +-127)
+    assert(rows(0).getSeq[Byte](2)(1) === -127)
+    // zero vector: step 0, all-zero codes, reconstructs to zeros
+    assert(rows(1).getDouble(1) === 0.0)
+    assert(rows(1).getSeq[Double](3).forall(_ === 0.0))
+  }
+
   test("cosineNearDupPairs finds the one close pair") {
     val got = Similarity.cosineNearDupPairs(corpus, "id", "vec", minCosine = 0.95, bits = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
