@@ -249,6 +249,30 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"),
           count(lit(1)).as("n"))),
 
+    // §2.9 extension: long → wide pivot with a pinned column set (the
+    // scalable form: explicit values make the pivot one partial-agg
+    // shuffle; value discovery would add a distinct pass).
+    "q_r6_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", (TimeOps.epochSeconds(col("ts")) / 86400)
+          .cast("long"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 4))),
+
+    // §2.9 extension: linear interpolation over the densified grid —
+    // pandas interpolate(method='linear') on the reference's dense cube
+    // shape; gaps fill proportionally, edges stay null.
+    "q_r5_interpolate" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(bucket10(col("ts")))
+        .agg(round(avg(col("value")), 6).as("avg_value"))
+      val dense = Resample.densify(b, "bucket_start", 600)
+      Resample.interpolateLinear(dense, "bucket_start", "avg_value")
+        .select(col("bucket_start"), round(col("avg_value"), 6).as("v"))
+    }),
+
     // §2.8 extension: semi-structured extraction — events.props is a
     // JSON string; schema-on-read with from_json, typed field out.
     // Scale note: from_json is a per-row codegen'd projection; the
@@ -540,6 +564,40 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_r6_pivot" ->
+      """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_r5_interpolate" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         round(avg(value), 6) AS avg_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mm AS (SELECT min(bucket_start) AS mn, max(bucket_start) AS mx FROM b),
+        |g AS (SELECT unnest(generate_series(mn, mx, 600)) AS bucket_start FROM mm),
+        |d AS (SELECT g.bucket_start, b.avg_value
+        |      FROM g LEFT JOIN b USING (bucket_start)),
+        |w AS (
+        |  SELECT bucket_start, avg_value,
+        |    last_value(avg_value IGNORE NULLS) OVER
+        |      (ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket_start END IGNORE NULLS) OVER
+        |      (ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(avg_value IGNORE NULLS) OVER
+        |      (ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket_start END IGNORE NULLS) OVER
+        |      (ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM d)
+        |SELECT bucket_start,
+        |       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+        |             ELSE pv + (nv - pv) * (bucket_start - pt) / (nt - pt) END, 6) AS v
+        |FROM w""".stripMargin,
 
     "q_f17_json_extract" ->
       """SELECT event_id,

@@ -112,13 +112,20 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     }
   }
 
+  /** Above this bound the pattern is pagination, not top-k: the heap
+    * holds k rows per key per partition, so the memory win over the
+    * (spilling) window evaporates as k grows.
+    */
+  private val MaxRewriteK = 1000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(RankBound(rankRef, k),
           w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(_, _,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
             partitionSpec, orderSpec, child, _))
-        if k > 0 && rankRef.exprId == alias.exprId && orderSpec.nonEmpty =>
+        if k > 0 && k <= MaxRewriteK && rankRef.exprId == alias.exprId &&
+          orderSpec.nonEmpty =>
       graft.plans.TopKPerKey(k, partitionSpec, orderSpec, alias.toAttribute, child)
   }
 }

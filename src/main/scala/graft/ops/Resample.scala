@@ -74,6 +74,39 @@ object Resample {
     keyed.join(bucketed, bucketCol +: keys, "left")
   }
 
+  /** Linear interpolation of null values in a densified series — the
+    * pandas `interpolate(method='linear')` semantics over the dense
+    * grid [[densify]] produces: each null between two observations is
+    * filled proportionally to its time distance; leading/trailing gaps
+    * (no neighbor on one side) stay null.
+    *
+    * Two windows over ONE (keys, time) partitioning — running
+    * `last(ignoreNulls)` backward-fill state and its mirror
+    * `first(ignoreNulls)` forward — so Catalyst plans a single
+    * sort/shuffle reused by all four window functions. Shuffle bytes =
+    * the series itself; no driver work, no UDF.
+    */
+  def interpolateLinear(
+      dense: DataFrame,
+      bucketCol: String,
+      valueCol: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val back = base.orderBy(col(bucketCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.orderBy(col(bucketCol)).rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val t = col(bucketCol)
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(fwd)
+    dense.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .otherwise(
+          prevV + (nextV - prevV) * (t - prevT) / (nextT - prevT)))
+  }
+
   /** Convenience: mean resample keyed to epoch-seconds bucket starts
     * (oracle-stable long instead of timestamp).
     */

@@ -63,6 +63,29 @@ class ResampleSpec extends SparkTestBase {
     assert(dense(1).isNullAt(1)) // the gap bin surfaces as null mean
   }
 
+  test("interpolateLinear: proportional fill, edges stay null, keyed series independent") {
+    val dense = Seq(
+      ("a", 0L, Some(1.0)),
+      ("a", 600L, None),       // one-step gap -> midpoint
+      ("a", 1200L, Some(5.0)),
+      ("a", 1800L, None),      // two-step gap, first third
+      ("a", 2400L, None),      // two-step gap, second third
+      ("a", 3000L, Some(8.0)),
+      ("a", 3600L, None),      // trailing gap -> stays null
+      ("b", 0L, None),         // leading gap -> stays null
+      ("b", 600L, Some(10.0))
+    ).toDF("key", "bucket", "v")
+    val got = Resample.interpolateLinear(dense, "bucket", "v", keys = Seq("key"))
+      .orderBy("key", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got(1) === (("a", 600L, Some(3.0))))
+    assert(got(3) === (("a", 1800L, Some(6.0))))
+    assert(got(4) === (("a", 2400L, Some(7.0))))
+    assert(got(6)._3 === None) // trailing
+    assert(got(7)._3 === None) // leading, other key unaffected by 'a'
+    assert(got(8) === (("b", 600L, Some(10.0))))
+  }
+
   test("resample of a union equals resample over concatenated input") {
     val a = Seq((ts("2024-01-01 00:00:00"), 2.0)).toDF("time", "v")
     val b = Seq((ts("2024-01-01 00:01:00"), 4.0)).toDF("time", "v")
