@@ -83,7 +83,8 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   * alone bounds that rank attribute with a literal (`<=` / `<`), and a
   * positive k. Anything else stays a Window.
   */
-object RewriteWindowTopK extends Rule[LogicalPlan] {
+object RewriteWindowTopK extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
 
   private object RankBound {
@@ -119,14 +120,57 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
   private val MaxRewriteK = 1000
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Filter(RankBound(rankRef, k),
+    case f @ Filter(cond,
           w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(_, _,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
             partitionSpec, orderSpec, child, _))
-        if k > 0 && k <= MaxRewriteK && rankRef.exprId == alias.exprId &&
-          orderSpec.nonEmpty =>
-      graft.plans.TopKPerKey(k, partitionSpec, orderSpec, alias.toAttribute, child)
+        if orderSpec.nonEmpty =>
+      // the tightest rank bound becomes the operator's k; every other
+      // conjunct (rank still in scope) stays as a residual filter above
+      val conjuncts = splitConjunctivePredicates(cond)
+      val ks = conjuncts.collect {
+        case RankBound(a, k) if a.exprId == alias.exprId => k
+      }
+      if (ks.isEmpty || ks.min < 1 || ks.min > MaxRewriteK) f
+      else {
+        val rest = conjuncts.filter {
+          case RankBound(a, _) if a.exprId == alias.exprId => false
+          case _ => true
+        }
+        val topk = graft.plans.TopKPerKey(
+          ks.min, partitionSpec, orderSpec, alias.toAttribute, child)
+        rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
+      }
+  }
+}
+
+/** Optimizer rule: push key-predicate filters below [[graft.plans.TopKPerKey]].
+  *
+  * Catalyst pushes deterministic partition-key predicates through
+  * `Window`; a custom operator loses that for free, so this rule
+  * restores it. Safe exactly when the predicate references only keys
+  * that are bare attributes: every row of a key group then shares the
+  * predicate's inputs, so filtering groups before or after the top-k
+  * selects the same rows — and pushing lets the predicate reach the
+  * scan (partition pruning / parquet filters) instead of discarding
+  * rows after the heaps did their work.
+  */
+object PushFilterThroughTopK extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, t: graft.plans.TopKPerKey) =>
+      val keyAttrs = AttributeSet(t.keys.collect { case a: Attribute => a })
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.nonEmpty &&
+          p.references.subsetOf(keyAttrs))
+      if (push.isEmpty) f
+      else {
+        val pushed = t.copy(child = Filter(push.reduce(And), t.child))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 
@@ -148,6 +192,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => VectorExpressions.CosineSimilarity(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
+    e.injectOptimizerRule(_ => PushFilterThroughTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

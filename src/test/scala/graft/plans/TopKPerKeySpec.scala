@@ -57,6 +57,33 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(df.groupBy("key").count().select(max("count")).as[Long].head() === 2L)
   }
 
+  test("key-predicate filters push below TopKPerKey; order-column filters stay above") {
+    val keyFiltered = windowTopK(3).filter($"key" === 2)
+    val optimized = keyFiltered.queryExecution.optimizedPlan
+    // the key filter must sit BELOW the TopKPerKey node
+    val topk = optimized.collectFirst { case t: TopKPerKey => t }
+    assert(topk.isDefined, optimized.toString)
+    assert(topk.get.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isDefined, optimized.toString)
+    // and the result equals filter-after-topk semantics
+    val got = keyFiltered.select("id", "rank").as[(Long, Int)].collect().toSet
+    val expected = base.as[(Long, Long, Long)].collect()
+      .filter(_._1 == 2).sortBy(r => (-r._2, r._3)).take(3)
+      .zipWithIndex.map { case ((_, _, id), r) => (id, r + 1) }.toSet
+    assert(got === expected)
+
+    // a filter on the ORDER column must NOT push (it would change group
+    // contents and therefore ranks)
+    val scoreFiltered = windowTopK(3).filter($"score" > 500)
+    val opt2 = scoreFiltered.queryExecution.optimizedPlan
+    val topk2 = opt2.collectFirst { case t: TopKPerKey => t }
+    assert(topk2.isDefined)
+    assert(topk2.get.child.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, opt2.toString)
+  }
+
   test("non-row_number ranking windows are left untouched") {
     val w = Window.partitionBy("key").orderBy($"score".desc, $"id")
     val df = base.withColumn("rank", rank().over(w)).filter($"rank" <= 3)
