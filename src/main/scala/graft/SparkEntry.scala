@@ -359,6 +359,23 @@ object SparkEntry {
           round(col("Cloud coverage"), 6).as("cloud_cover"))
     }),
 
+    // Same pipeline through the DataSource V2 provider
+    // (spark.read.format("cams"), graft.io.CamsDataSource): an
+    // independent read path - schema inference from the commented
+    // header, reader-level column pruning - against the SAME DuckDB
+    // oracle, so both sources must agree bit-for-bit.
+    "q_s2b_cams_dsv2" -> ((s, dir) => {
+      val path = graft.io.VerifyFixtures.camsExpertFixture()
+      val raw = s.read.format("cams").load(path)
+      pipelines.SolarPipelines.resampleRawDf(raw, minutes = 10)
+        .select(
+          TimeOps.epochSeconds(col("time")).as("bucket_start"),
+          round(col("GHI"), 6).as("ghi"),
+          round(col("DHI"), 6).as("dhi"),
+          round(col("BNI"), 6).as("bni"),
+          round(col("Cloud coverage"), 6).as("cloud_cover"))
+    }),
+
     // S5/F13/J2/P7/F5 end-to-end through the REAL compile path: glob scan
     // with filename provenance, canonical-key broadcast metadata join,
     // station exclusion, lenient time parse, local-time derivation.
@@ -653,6 +670,25 @@ object SparkEntry {
     },
 
     "q_s2_cams_scan" -> {
+      import graft.io.VerifyFixtures.{camsPath, camsPreambleLines}
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$camsPath', delim=';', header=false,
+         |    skip=$camsPreambleLines, all_varchar=true,
+         |    names=['op', 'ghi', 'dhi', 'bni', 'cc'])),
+         |parsed AS (
+         |  SELECT TRY_CAST(split_part(op, '/', 1) AS TIMESTAMP) AS t,
+         |         TRY_CAST(ghi AS DOUBLE) AS ghi, TRY_CAST(dhi AS DOUBLE) AS dhi,
+         |         TRY_CAST(bni AS DOUBLE) AS bni, TRY_CAST(cc AS DOUBLE) AS cc
+         |  FROM raw
+         |  WHERE TRY_CAST(split_part(op, '/', 1) AS TIMESTAMP) IS NOT NULL)
+         |SELECT CAST(floor(epoch(t)/600)*600 AS BIGINT) AS bucket_start,
+         |       round(avg(ghi), 6) AS ghi, round(avg(dhi), 6) AS dhi,
+         |       round(avg(bni), 6) AS bni, round(avg(cc), 6) AS cloud_cover
+         |FROM parsed GROUP BY 1""".stripMargin
+    },
+
+    // identical oracle: the V2 source must agree with the csv path
+    "q_s2b_cams_dsv2" -> {
       import graft.io.VerifyFixtures.{camsPath, camsPreambleLines}
       s"""WITH raw AS (
          |  SELECT * FROM read_csv('$camsPath', delim=';', header=false,
