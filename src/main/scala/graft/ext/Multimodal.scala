@@ -80,15 +80,25 @@ object Multimodal {
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
       Some(("gif", le16(b, 6), le16(b, 8)))
     else if (b.length >= 4 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) {
-      // JPEG: walk segments until a frame header
+      // JPEG: walk the marker stream until a frame header. Per ISO
+      // 10918-1 B.1.1.2, any marker may be preceded by 0xFF fill bytes,
+      // and TEM (0x01) / RSTn (0xD0-D7) are standalone markers with no
+      // length field.
       var i = 2
-      while (i + 9 < b.length) {
+      while (i + 1 < b.length) {
         if (b(i) != 0xFF.toByte) return None // desynced marker stream
+        while (i + 1 < b.length && b(i + 1) == 0xFF.toByte) i += 1 // fill bytes
+        if (i + 1 >= b.length) return None
         val marker = b(i + 1) & 0xFF
         if (marker >= 0xC0 && marker <= 0xCF &&
-            marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
-          return Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
-        i += 2 + be16(b, i + 2) // segment length includes its own 2 bytes
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          return if (i + 9 < b.length) Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
+          else None // truncated frame header
+        }
+        if (marker == 0xD9) return None // EOI before any frame header
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+        else if (i + 3 < b.length) i += 2 + be16(b, i + 2) // length incl. itself
+        else return None
       }
       None
     } else None

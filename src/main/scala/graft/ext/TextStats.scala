@@ -27,12 +27,18 @@ object TextStats {
     * its pieces gives the standard "BPE-ish" token estimate used for
     * corpus budgeting. The original pattern's `\s+(?!\S)` lookahead is
     * dropped so the same pattern runs under both Java regex and RE2
-    * (lookahead is the one feature RE2 refuses).
+    * (lookahead is the one feature RE2 refuses); the cost is that each
+    * whitespace character not consumed by a ` ?X` piece counts as its
+    * own piece (GPT-2 counts one per run) — an overcount only on
+    * consecutive whitespace, which real tokenizers also bill roughly
+    * per character once runs get long.
     */
   private val bpePiece =
     "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+|\\s"
 
-  /** Number of BPE-ish pieces in `text` (0 for empty/whitespace-only). */
+  /** Number of BPE-ish pieces in `text` (0 for empty; whitespace-only
+    * text counts its characters, see [[bpePiece]]).
+    */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePiece), lit(0)))
 

@@ -44,8 +44,14 @@ class CamsDataSource extends TableProvider with DataSourceRegister {
 
   private def paths(options: CaseInsensitiveStringMap): Seq[Path] = {
     val spark = SparkSession.active
-    val raw = Option(options.get("path")).toSeq ++
-      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+    // multi-path load(p1, p2, ...) arrives as a JSON-encoded array in
+    // the 'paths' option (DataFrameReader serializes it with Jackson),
+    // NOT comma-separated
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
+    }
+    val raw = Option(options.get("path")).toSeq ++ multi
     require(raw.nonEmpty, "cams source requires a path")
     val conf = spark.sessionState.newHadoopConf()
     raw.flatMap { p =>
@@ -181,7 +187,10 @@ private[io] class CamsPartitionReader(
 
   override def next(): Boolean = {
     var line = reader.readLine()
-    while (line != null && line.startsWith("#")) line = reader.readLine()
+    // skip the comment preamble AND blank lines — Spark's csv source
+    // drops empty lines, and the two read paths must agree row-for-row
+    while (line != null && (line.startsWith("#") || line.trim.isEmpty))
+      line = reader.readLine()
     if (line == null) { current = null; false }
     else {
       val parts = line.split(";", -1)

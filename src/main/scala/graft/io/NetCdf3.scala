@@ -65,12 +65,25 @@ object NetCdf3 {
     require(vars.filter(isRecordVar).forall(_.dimIds.head == recordDimId),
       "record dim must be a record variable's outermost dimension")
 
+    /** Classic-format special case: a file whose ONLY record variable
+      * is byte/char/short typed packs its record slabs WITHOUT padding
+      * (and advertises the unpadded vsize) — external readers depend on
+      * it, so a symmetric writer/reader pair alone would hide getting
+      * it wrong.
+      */
+    private lazy val specialUnpaddedRecord: Boolean = {
+      val recs = vars.filter(isRecordVar)
+      recs.length == 1 && recs.head.tpe.size < 4
+    }
+
     /** Bytes of one variable's per-record (or whole, if fixed) slab,
-      * padded to the 4-byte boundary the spec requires.
+      * padded to the 4-byte boundary the spec requires — except the
+      * single-small-record-variable special case above.
       */
     private def vsize(v: Var): Long = {
       val n = v.dimIds.filterNot(_ == recordDimId).map(dims(_).length.toLong).product
-      pad4(n * v.tpe.size)
+      val raw = n * v.tpe.size
+      if (isRecordVar(v) && specialUnpaddedRecord) raw else pad4(raw)
     }
     private def pad4(n: Long): Long = (n + 3) / 4 * 4
 
@@ -172,7 +185,7 @@ object NetCdf3 {
         case other => throw new IllegalArgumentException(
           s"unsupported slab payload ${other.getClass} for var ${v.name}")
       }
-      require(pad4(bytes) == vsize(v),
+      require(bytes == vsize(v) || pad4(bytes) == vsize(v),
         s"var ${v.name}: slab of $bytes bytes does not fill vsize ${vsize(v)}")
       data match {
         case a: Array[Double] => a.foreach(d.writeDouble)

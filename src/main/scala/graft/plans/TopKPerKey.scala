@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -46,6 +46,9 @@ case class TopKPerKey(
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is minted here, not consumed from the child — without this
+  // the node has a nonempty missingInput and renders as invalid ('!')
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
@@ -54,34 +57,67 @@ case class TopKPerKey(
 /** Shared bounded-heap machinery for the two phases. */
 private[plans] object TopKHeaps {
 
-  /** Per-partition reduction: at most `k` rows per key survive, ordered
-    * ascending by `ordering` (i.e. best-first for the caller's
-    * descending sort). Returns (key, sortedRows) pairs.
+  /** Keys held in one partial-phase map before it flushes downstream.
+    * Flushing early is CORRECT for the partial phase — its survivors
+    * are re-reduced by the final phase, so an early flush only costs
+    * some map-side dedup — and it bounds memory at ~k × this many rows
+    * where the old spilling Window had an external sorter. High-
+    * cardinality keys (near-unique per partition) degrade to a pass-
+    * through instead of an OOM.
+    */
+  val PartialFlushKeys = 1 << 17
+
+  /** Per-partition reduction: at most `k` rows per key survive per
+    * flush, ordered ascending by `ordering` (i.e. best-first for the
+    * caller's descending sort). `maxKeys = None` (final phase) holds
+    * every key until input end — required there, since groups must be
+    * complete; memory is then O(k × keys-in-partition), the same order
+    * as the operator's output.
     */
   def reduce(
       iter: Iterator[InternalRow],
       k: Int,
       keyProj: UnsafeProjection,
-      ordering: Ordering[InternalRow]): Iterator[(UnsafeRow, Array[InternalRow])] = {
+      ordering: Ordering[InternalRow],
+      maxKeys: Option[Int] = None): Iterator[(UnsafeRow, Array[InternalRow])] = {
     // worst row first, so the head is the eviction candidate
     val heapOrd = ordering.reverse
-    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k.min(16), heapOrd)
-        heaps.put(key.copy(), heap)
-      }
-      if (heap.size < k) heap.add(row.copy())
-      else if (ordering.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
-    }
-    val entries = heaps.entrySet().iterator()
+
     new Iterator[(UnsafeRow, Array[InternalRow])] {
-      override def hasNext: Boolean = entries.hasNext
+      private var heaps =
+        new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      private var drain: java.util.Iterator[
+        java.util.Map.Entry[UnsafeRow, java.util.PriorityQueue[InternalRow]]] = _
+
+      private def fill(): Unit = {
+        while (iter.hasNext &&
+            !(maxKeys.exists(heaps.size >= _))) {
+          val row = iter.next()
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](k.min(16), heapOrd)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < k) heap.add(row.copy())
+          else if (ordering.lt(row, heap.peek())) { heap.poll(); heap.add(row.copy()) }
+        }
+        drain = heaps.entrySet().iterator()
+      }
+      fill()
+
+      override def hasNext: Boolean = {
+        if (drain.hasNext) true
+        else if (iter.hasNext) { // flushed early: start a fresh map
+          heaps = new java.util.LinkedHashMap()
+          fill()
+          drain.hasNext
+        } else false
+      }
+
       override def next(): (UnsafeRow, Array[InternalRow]) = {
-        val e = entries.next()
+        if (!hasNext) throw new NoSuchElementException
+        val e = drain.next()
         val arr = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
         java.util.Arrays.sort(arr, ordering)
         (e.getKey, arr)
@@ -109,7 +145,8 @@ case class PartialTopKPerKeyExec(
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
-      TopKHeaps.reduce(iter, kLocal, keyProj, ordering).flatMap(_._2)
+      TopKHeaps.reduce(iter, kLocal, keyProj, ordering,
+        maxKeys = Some(TopKHeaps.PartialFlushKeys)).flatMap(_._2)
     }, preservesPartitioning = true)
   }
 
@@ -129,8 +166,11 @@ case class FinalTopKPerKeyExec(
     rankAttr: Attribute,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  // no keys = global top-k: every partial survivor must meet in one
+  // place (ClusteredDistribution(Nil) is rejected by Spark)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (keys.isEmpty) AllTuples else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k

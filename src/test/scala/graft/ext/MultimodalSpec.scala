@@ -52,6 +52,21 @@ class MultimodalSpec extends SparkTestBase {
     out.array()
   }
 
+  test("JPEG walk: fill bytes before markers and standalone RST/TEM markers") {
+    // SOI, fill byte, APP0, TEM (standalone), SOF0 — all spec-legal
+    val out = java.nio.ByteBuffer.allocate(2 + 1 + 8 + 2 + 11)
+    out.put(Array[Byte](0xFF.toByte, 0xD8.toByte))
+    out.put(0xFF.toByte)                                           // fill byte
+    out.put(Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 6)).putInt(0) // APP0
+    out.put(Array[Byte](0xFF.toByte, 0x01.toByte))                 // TEM, no length
+    out.put(Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 9, 8))        // SOF0
+    out.putShort(600.toShort).putShort(800.toShort).put(1.toByte)
+    assert(Multimodal.imageHeaderDims(out.array()) === Some(("jpeg", 800, 600)))
+    // EOI before any frame header -> unparseable, not garbage
+    assert(Multimodal.imageHeaderDims(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)) === None)
+  }
+
   test("image header decode: real dimensions from PNG/GIF/JPEG byte headers") {
     val media = Seq(
       Multimodal.MediaRow(1L, pngBytes(640, 480), "application/octet-stream"),

@@ -32,10 +32,11 @@ class TextStatsSpec extends SparkTestBase {
       "don't stop me now",       // 5: don | 't | _stop | _me | _now
       "it's 2024, 100% true!",   // 8: it | 's | _2024 | , | _100 | % | _true | !
       "...!!!",                  // 1: one symbol run
-      ""                         // 0
+      "",                        // 0
+      "   "                      // 3: each uncaptured whitespace is a piece
     ).toDF("text")
     val got = df.select(TextStats.bpeTokenCount($"text")).as[Int].collect().toSeq
-    assert(got === Seq(5, 8, 1, 0))
+    assert(got === Seq(5, 8, 1, 0, 3))
   }
 
   test("langId picks the dominant stopword language, und when none") {

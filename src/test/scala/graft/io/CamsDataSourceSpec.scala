@@ -34,6 +34,23 @@ class CamsDataSourceSpec extends SparkTestBase {
     assert(vals.flatten.nonEmpty)
   }
 
+  test("multi-path load decodes the JSON-encoded paths option") {
+    val two = spark.read.format("cams").load(fixture, fixture)
+    val one = spark.read.format("cams").load(fixture)
+    assert(two.count() === 2 * one.count())
+  }
+
+  test("blank lines are skipped, matching the csv reader path") {
+    val dir = java.nio.file.Files.createTempDirectory("cams-blank")
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture)), "UTF-8")
+    val p = dir.resolve("raw_blank.csv")
+    java.nio.file.Files.write(p, (src + "\n\n\n").getBytes("UTF-8"))
+    val v2 = spark.read.format("cams").load(p.toString)
+    val v1 = CamsExpertCsv.read(spark, p.toString)
+    assert(v2.count() === v1.count())
+  }
+
   test("schema inference types the observation period as string, data columns as double") {
     val schema = spark.read.format("cams").load(fixture).schema
     assert(schema.fields.head.name === "Observation period")

@@ -61,6 +61,26 @@ class NetCdf3Spec extends SparkTestBase {
     assert(byName("GHI")._1.attrs.exists(a => a.name == "units" && a.text == "Wh/m^2"))
   }
 
+  test("single char record variable: record slabs are UNPADDED per the classic spec") {
+    import NetCdf3._
+    val out = Files.createTempDirectory("graft-nc").resolve("chars.nc").toString
+    val w = new Writer(out,
+      dims = Seq(Dim("t", 0), Dim("strlen", 5)),
+      gattrs = Nil,
+      vars = Seq(Var("name", Seq(0, 1), Nil, NcChar)),
+      fixedData = Map.empty)
+    w.writeRecord(Map("name" -> "aaaaa".getBytes("US-ASCII")))
+    w.writeRecord(Map("name" -> "bbbbb".getBytes("US-ASCII")))
+    w.writeRecord(Map("name" -> "ccccc".getBytes("US-ASCII")))
+    w.close()
+    val bytes = Files.readAllBytes(Paths.get(out))
+    // records are 5 bytes apart, not 8: the payload is contiguous
+    assert(new String(bytes.takeRight(15), "US-ASCII") === "aaaaabbbbbccccc")
+    val nc = NetCdf3.read(out)
+    assert(new String(nc.vars.head._2.asInstanceOf[Array[Byte]], "US-ASCII")
+      === "aaaaabbbbbccccc")
+  }
+
   test("writer enforces slab shape and patches record count") {
     import NetCdf3._
     val out = Files.createTempDirectory("graft-nc").resolve("tiny.nc").toString

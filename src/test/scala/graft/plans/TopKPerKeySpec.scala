@@ -84,6 +84,28 @@ class TopKPerKeySpec extends SparkTestBase {
     }.isEmpty, opt2.toString)
   }
 
+  test("global top-k (empty PARTITION BY) plans and runs") {
+    val w = Window.orderBy($"score".desc, $"id")
+    val df = base.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopKPerKey"), plan)
+    val got = df.select("score", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+    // global maxima of (id*37)%1000 over 0..999
+    val top = base.as[(Long, Long, Long)].collect().map(_._2).sorted.reverse.take(3)
+    assert(got.map(_._1).toSeq === top.toSeq)
+  }
+
+  test("partial-phase flush: high-cardinality keys stay correct") {
+    // every row its own key: the partial map would hold the whole
+    // partition; the flush path must still produce rank 1 per key
+    val df = spark.range(0, 300000).select($"id".as("key"), ($"id" % 97).as("score"))
+    val w = Window.partitionBy("key").orderBy($"score".desc)
+    val got = df.withColumn("rank", row_number().over(w)).filter($"rank" <= 1)
+    assert(got.queryExecution.executedPlan.toString.contains("FinalTopKPerKey"))
+    assert(got.count() === 300000L)
+  }
+
   test("non-row_number ranking windows are left untouched") {
     val w = Window.partitionBy("key").orderBy($"score".desc, $"id")
     val df = base.withColumn("rank", rank().over(w)).filter($"rank" <= 3)
