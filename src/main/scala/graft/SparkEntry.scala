@@ -249,6 +249,40 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"),
           count(lit(1)).as("n"))),
 
+    // §2.5 extension: centered rolling statistics over a resampled
+    // series — moving mean and lag-delta share one (order) sort, the
+    // classic smoothing + rate-of-change pass over sensor series.
+    "q_w3_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val series = Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(bucket10(col("ts")))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val byTime = Window.orderBy("bucket_start")
+      val win3 = byTime.rowsBetween(-1, 1)
+      series.select(
+        col("bucket_start"),
+        round(avg(col("v")).over(win3), 6).as("smooth3"),
+        round(col("v") - lag(col("v"), 1).over(byTime), 6).as("delta"),
+        count(lit(1)).over(win3).cast("long").as("support"))
+    }),
+
+    // §2.7: EXCEPT / anti-join — distinct users that clicked but never
+    // purchased, both as the set operator and its anti-join plan.
+    "q_u2_except" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clickers = e.filter(col("event_type") === "click").select("user_id")
+      val buyers = e.filter(col("event_type") === "purchase").select("user_id")
+      clickers.except(buyers)
+    }),
+
+    // §2.7: INTERSECT — users present in both behaviors.
+    "q_u3_intersect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+    }),
+
     // §2.9 extension: long → wide pivot with a pinned column set (the
     // scalable form: explicit values make the pivot one partial-agg
     // shuffle; value discovery would add a distinct pass).
@@ -581,6 +615,29 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_w3_rolling" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         round(avg(value), 6) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT bucket_start,
+        |  round(avg(v) OVER (ORDER BY bucket_start
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS smooth3,
+        |  round(v - lag(v) OVER (ORDER BY bucket_start), 6) AS delta,
+        |  count(*) OVER (ORDER BY bucket_start
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS support
+        |FROM s""".stripMargin,
+
+    "q_u2_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_u3_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "q_r6_pivot" ->
       """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
