@@ -249,6 +249,25 @@ object SparkEntry {
           round(expr("percentile(value, 0.99)"), 6).as("p99"),
           count(lit(1)).as("n"))),
 
+    // Engine extension (builder checklist: range join): clicks joined to
+    // ±5-minute windows around the same user's purchases — binned
+    // interval join (equi-join on (user, bin) + exact containment), the
+    // scale-shaped form of a BETWEEN join Spark would otherwise plan as
+    // a nested loop.
+    "q_x4_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          TimeOps.epochSeconds(col("ts")).as("sec"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("sec"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("sec") - 300).as("lo"), (col("sec") + 300).as("hi"))
+      RangeJoin.pointInInterval(clicks, "sec", windows, "lo", "hi",
+          keys = Seq("user_id"), binSeconds = 600L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+    }),
+
     // §2.5 extension: centered rolling statistics over a resampled
     // series — moving mean and lag-delta share one (order) sort, the
     // classic smoothing + rate-of-change pass over sensor series.
@@ -615,6 +634,16 @@ object SparkEntry {
         |FROM events""".stripMargin,
 
     "q_pipe_compare_stats" -> comparePipelineOracle,
+
+    "q_x4_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+        |  FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.sec BETWEEN p.sec - 300 AND p.sec + 300""".stripMargin,
 
     "q_w3_rolling" ->
       """WITH s AS (
