@@ -95,11 +95,18 @@ object ExtQueries {
     "q_ext_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
 
-    // Order-aware rolling fingerprint (no oracle: xxhash64).
+    // Content fingerprint, oracle-checked: DuckDB spells the md5-64
+    // fingerprint identically (split out of q_ext_fingerprint so the
+    // SQL-expressible column is hash-gated, not rows-only).
+    "q_ext_fp_md5" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    // Order-aware rolling fingerprint + simhash (no oracle: xxhash64).
     "q_ext_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextStats.fingerprintMd5(col("text")).as("fp_md5"),
         TextStats.fingerprintRolling(col("text")).as("fp_roll"),
         Dedup.simHash64(col("text")).as("simhash"))),
 
@@ -219,6 +226,10 @@ object ExtQueries {
          |  CASE WHEN mx = 0 THEN 'und' $chain ELSE 'und' END AS lang_pred
          |FROM m""".stripMargin
     },
+
+    "q_ext_fp_md5" ->
+      """SELECT doc_id, substring(md5(text), 1, 16) AS fp_md5
+        |FROM documents""".stripMargin,
 
     "q_ext_dedup_exact" ->
       """SELECT substring(md5(text), 1, 16) AS fingerprint,

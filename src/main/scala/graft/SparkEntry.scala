@@ -286,6 +286,25 @@ object SparkEntry {
         count(lit(1)).over(win3).cast("long").as("support"))
     }),
 
+    // §2.5 KEYED rolling statistics — the form a real caller uses first:
+    // one window partitioning per series key (event_type), so the sort
+    // is per-partition and the plan has NO single-partition WindowExec.
+    // q_w3_rolling above stays as the tiny bounded global example.
+    "q_w4_rolling_keyed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val series = Tables.events(s, dir)
+        .groupBy(col("event_type"), bucket10(col("ts")))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val byKey = Window.partitionBy("event_type").orderBy("bucket_start")
+      val win3 = byKey.rowsBetween(-1, 1)
+      series.select(
+        col("event_type"),
+        col("bucket_start"),
+        round(avg(col("v")).over(win3), 6).as("smooth3"),
+        round(col("v") - lag(col("v"), 1).over(byKey), 6).as("delta"),
+        count(lit(1)).over(win3).cast("long").as("support"))
+    }),
+
     // §2.7: EXCEPT / anti-join — distinct users that clicked but never
     // purchased, both as the set operator and its anti-join plan.
     "q_u2_except" -> ((s, dir) => {
@@ -324,6 +343,26 @@ object SparkEntry {
       val dense = Resample.densify(b, "bucket_start", 600)
       Resample.interpolateLinear(dense, "bucket_start", "avg_value")
         .select(col("bucket_start"), round(col("avg_value"), 6).as("v"))
+    }),
+
+    // §2.9 KEYED interpolation — densify + linear-fill per series key
+    // (event_type), one keyed window partitioning end-to-end; the
+    // operators' `keys` parameter is the scale path (q_r5_interpolate
+    // stays as the single-series global example).
+    "q_r5b_interpolate_keyed" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "signup", "error"))
+        .groupBy(col("event_type"), bucket10(col("ts")))
+        .agg(round(avg(col("value")), 6).as("avg_value"))
+      val dense = Resample.densify(b, "bucket_start", 600, keys = Seq("event_type"))
+      // floor(x*1e6+0.5)/1e6 instead of round(): interpolated doubles can
+      // land exactly on the .5 ulp boundary where Spark's BigDecimal
+      // HALF_UP and DuckDB's round disagree; this formula is the same
+      // double arithmetic in both engines.
+      Resample.interpolateLinear(dense, "bucket_start", "avg_value",
+          keys = Seq("event_type"))
+        .select(col("event_type"), col("bucket_start"),
+          (floor(col("avg_value") * 1e6 + 0.5) / 1e6).as("v"))
     }),
 
     // §2.8 extension: semi-structured extraction — events.props is a
@@ -467,6 +506,113 @@ object SparkEntry {
           round(col("intercept"), 4).as("intercept"), round(col("r2"), 6).as("r2"),
           col("n").cast("long").as("n"), round(col("mean_bias"), 4).as("mean_bias"))
     }),
+
+    // §3.2 AT SCALE: the reference's 29 sequential per-location pipelines
+    // (`solrad-compare.py:195-206`) as ONE plan — both inputs carry a
+    // station key, compareAllStations runs one co-keyed join + one
+    // grouped multi-regression. This is the engine's core scale claim,
+    // now driver-gated: DuckDB recomputes per (station, component).
+    "q_pipe_compare_all" -> ((s, dir) => {
+      def series(tpe: String, alias: String) =
+        Tables.events(s, dir)
+          .filter(col("event_type") === tpe)
+          .groupBy(concat(lit("st"), (col("user_id") % 3).cast("int")).as("station"),
+            bucket10(col("ts")))
+          .agg(round(avg(col("value")), 6).as(alias))
+      val ground = series("click", "a").select(
+        col("station"), col("bucket_start").as("Datetime (UTC)"),
+        col("a").as("GHI"), round(col("a") / 2, 6).as("DHI"),
+        round(col("a") * 2, 6).as("DNI"))
+      val cams = series("view", "v").select(
+        col("station"), col("bucket_start").as("time"),
+        col("v").as("GHI"), round(col("v") / 2, 6).as("DHI"),
+        round(col("v") * 2, 6).as("BNI"))
+      pipelines.SolarPipelines.compareAllStations(ground, cams)
+        .select(col("station"), col("component"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"), round(col("r2"), 6).as("r2"),
+          col("n").cast("long").as("n"), round(col("mean_bias"), 4).as("mean_bias"))
+    }),
+
+    // Scale utility under the gate: two-phase salted aggregation must be
+    // EXACTLY equal to the plain groupBy (the oracle is the plain form).
+    // Values go through decimal so both phases sum exactly; the avg is
+    // derived from the exact sums with one double division on each side.
+    "q_x5_salted_agg" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("v", col("value").cast("decimal(28,6)"))
+      Salting.saltedStats(e, Seq("event_type"), "v", col("event_id"), saltBuckets = 8)
+        .select(col("event_type"),
+          round(col("sum_v").cast("double"), 2).as("sum_value"),
+          col("n_v").as("n"),
+          round(col("sum_v").cast("double") / col("n_v"), 6).as("avg_value"))
+    }),
+
+    // Scale utility under the gate: bucketed co-located join — both
+    // sides written hash-bucketed on the join key, re-read from the
+    // catalog, joined with ZERO Exchange (BucketingSpec asserts the
+    // plan shape; this query gates the numbers). The bucketed write is
+    // part of the query on purpose: it IS the operator under test.
+    "q_x6_bucketed_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      graft.io.Bucketing.writeBucketed(o, "g_orders_bkt", Seq("o_orderkey"), 8)
+      graft.io.Bucketing.writeBucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "g_lineitem_bkt", Seq("o_orderkey"), 8)
+      s.table("g_lineitem_bkt").join(s.table("g_orders_bkt"), "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // §2.4 sketch path: approx_percentile (mergeable quantile sketch —
+    // the corpus-scale form of q_a6_percentile). The approximation can't
+    // be hash-matched value-for-value, so the gate is rank-space, where
+    // the sketch has a hard guarantee: the fraction of values at or
+    // below each approximate quantile must sit within ±0.02 of the
+    // target rank (accuracy 10000 => rank error 1e-4; the slack covers
+    // sample granularity). The exact percentiles ride along hash-checked.
+    "q_a6b_approx_percentile" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sketch = e.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+      e.join(broadcast(sketch), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          avg(when(col("value") <= col("ap")(0), 1.0).otherwise(0.0)).as("f50"),
+          avg(when(col("value") <= col("ap")(1), 1.0).otherwise(0.0)).as("f90"),
+          avg(when(col("value") <= col("ap")(2), 1.0).otherwise(0.0)).as("f99"))
+        .select(col("event_type"), col("p50"), col("p99"),
+          col("f50").between(0.48, 0.52).as("p50_ok"),
+          col("f90").between(0.88, 0.92).as("p90_ok"),
+          col("f99").between(0.97, 1.0).as("p99_ok"))
+    }),
+
+    // S6 under the gate: the distributed CDS download request matrix
+    // (stations × sky types with the request parameters as columns,
+    // `get-cams-solrad-ts.py:130-156`). The HTTP fetch itself stays a
+    // pluggable edge (zero-egress environment, SURVEY §7.3) — the
+    // request construction is the engine's part and DuckDB recomputes it.
+    "q_s6_download_matrix" -> ((s, dir) => {
+      val (_, locCsv) = graft.io.VerifyFixtures.compileFixture()
+      val locations = s.read.option("header", "true")
+        .schema(graft.model.Schemas.station).csv(locCsv)
+      pipelines.SolarPipelines.downloadMatrix(locations)
+    }),
+
+    // P8 under the gate: empty-input tolerance — the full densify +
+    // interpolate pipeline over a filter that matches nothing must plan
+    // and return an empty frame (no crash, no null-sequence explosion);
+    // Catalyst's PropagateEmptyRelation collapses most of the plan.
+    "q_p8_empty_input" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .filter(col("event_type") === "no_such_type")
+        .groupBy(bucket10(col("ts")))
+        .agg(round(avg(col("value")), 6).as("avg_value"))
+      val dense = Resample.densify(b, "bucket_start", 600)
+      Resample.interpolateLinear(dense, "bucket_start", "avg_value")
+        .select(col("bucket_start"), col("avg_value"))
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -496,7 +642,77 @@ object SparkEntry {
         comp("DNI", "dni_g", "dni_c")).mkString("\nUNION ALL\n")
   }
 
+  /** DuckDB rendition of the MULTI-station compare — same pipeline as
+    * [[comparePipelineOracle]] but keyed by station throughout, one
+    * GROUP BY station per component.
+    */
+  private def compareAllOracle: String = {
+    def comp(name: String, gExpr: String, cExpr: String) =
+      s"""SELECT station, '$name' AS component,
+         |  round(regr_slope($cExpr, $gExpr), 6) AS slope,
+         |  round(regr_intercept($cExpr, $gExpr), 4) AS intercept,
+         |  round(regr_r2($cExpr, $gExpr), 6) AS r2,
+         |  CAST(regr_count($cExpr, $gExpr) AS BIGINT) AS n,
+         |  round(avg(($cExpr) - ($gExpr)), 4) AS mean_bias
+         |FROM j GROUP BY station""".stripMargin
+    """WITH g AS (
+      |  SELECT 'st' || CAST(user_id % 3 AS INT) AS station,
+      |         CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS b, round(avg(value),6) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |c AS (
+      |  SELECT 'st' || CAST(user_id % 3 AS INT) AS station,
+      |         CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS b, round(avg(value),6) AS v
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |j AS (
+      |  SELECT station,
+      |         g.a AS ghi_g, round(g.a/2,6) AS dhi_g, round(g.a*2,6) AS dni_g,
+      |         c.v*60 AS ghi_c, round(c.v/2,6)*60 AS dhi_c, round(c.v*2,6)*60 AS dni_c
+      |  FROM g JOIN c USING (station, b))
+      |""".stripMargin +
+      Seq(
+        comp("GHI", "ghi_g", "ghi_c"),
+        comp("DHI", "dhi_g", "dhi_c"),
+        comp("DNI", "dni_g", "dni_c")).mkString("\nUNION ALL\n")
+  }
+
   private def coreOracleSql: Map[String, String] = Map(
+    "q_pipe_compare_all" -> compareAllOracle,
+
+    "q_x5_salted_agg" ->
+      """SELECT event_type,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+        |       count(value) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value), 6)
+        |         AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_x6_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_a6b_approx_percentile" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_s6_download_matrix" -> {
+      val loc = graft.io.VerifyFixtures.locationPath
+      s"""SELECT station, latitude, longitude, elevation, sky_type,
+         |       '2024-01-01/2024-12-31' AS "date", '1minute' AS time_step,
+         |       'csv_expert' AS "format",
+         |       regexp_replace(station || '_' || sky_type, '[^\\w.-]', '_', 'g') AS file_tag
+         |FROM read_csv('$loc', header=true)
+         |CROSS JOIN (SELECT unnest(['clear', 'observed_cloud']) AS sky_type)""".stripMargin
+    },
+
+    "q_p8_empty_input" ->
+      """SELECT CAST(NULL AS BIGINT) AS bucket_start, CAST(NULL AS DOUBLE) AS avg_value
+        |WHERE FALSE""".stripMargin,
+
     "q_a1_resample" ->
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start, event_type,
         |       count(value) AS n, round(avg(value), 6) AS avg_value
@@ -658,6 +874,19 @@ object SparkEntry {
         |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS support
         |FROM s""".stripMargin,
 
+    "q_w4_rolling_keyed" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket_start,
+        |  round(avg(v) OVER (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS smooth3,
+        |  round(v - lag(v) OVER (PARTITION BY event_type ORDER BY bucket_start), 6) AS delta,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY bucket_start
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS support
+        |FROM s""".stripMargin,
+
     "q_u2_except" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |EXCEPT
@@ -700,6 +929,37 @@ object SparkEntry {
         |SELECT bucket_start,
         |       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
         |             ELSE pv + (nv - pv) * (bucket_start - pt) / (nt - pt) END, 6) AS v
+        |FROM w""".stripMargin,
+
+    "q_r5b_interpolate_keyed" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         round(avg(value), 6) AS avg_value
+        |  FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+        |  GROUP BY 1, 2),
+        |mm AS (SELECT min(bucket_start) AS mn, max(bucket_start) AS mx FROM b),
+        |k AS (SELECT DISTINCT event_type FROM b),
+        |g AS (SELECT k.event_type, unnest(generate_series(mn, mx, 600)) AS bucket_start
+        |      FROM mm, k),
+        |d AS (SELECT g.event_type, g.bucket_start, b.avg_value
+        |      FROM g LEFT JOIN b USING (event_type, bucket_start)),
+        |w AS (
+        |  SELECT event_type, bucket_start, avg_value,
+        |    last_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket_start END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY bucket_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(avg_value IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket_start END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type
+        |      ORDER BY bucket_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM d)
+        |SELECT event_type, bucket_start,
+        |       floor((CASE WHEN avg_value IS NOT NULL THEN avg_value
+        |              ELSE pv + (nv - pv) * (bucket_start - pt) / (nt - pt) END)
+        |             * 1000000 + 0.5) / 1000000 AS v
         |FROM w""".stripMargin,
 
     "q_f17_json_extract" ->
