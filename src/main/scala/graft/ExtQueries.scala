@@ -186,8 +186,31 @@ object ExtQueries {
           col("first_byte").cast("long").as("first_byte"))
     }),
 
-    // Multimodal: partition-wise stub decode (no oracle: Scala checksum).
+    // Multimodal decode, oracle-checked: real container bytes through the
+    // binaryFile source -> partition-wise header parse (PNG/GIF/JPEG) with
+    // the stub fallback; expected (format, dims) are pinned literals in
+    // the fixture's expected_media.csv, which DuckDB reads back.
     "q_ext_multimodal_decode" -> ((s, dir) => {
+      val glob = graft.io.VerifyFixtures.mediaFixture()
+      val sp = s
+      import sp.implicits._
+      val media = Multimodal.readBinaryFiles(s, glob)
+        .select(
+          regexp_extract(col("path"), "media_0*([0-9]+)\\.bin", 1)
+            .cast("long").as("id"),
+          col("content").as("payload"),
+          lit("application/octet-stream").as("mediaType"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("id"), col("mediaType").as("media_type"),
+          col("byteLength").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+    }),
+
+    // The stub-decode path over the documents table stays demonstrated,
+    // rows-only (Scala checksum is not SQL-expressible).
+    "q_ext_multimodal_stub" -> ((s, dir) => {
       val sp = s
       import sp.implicits._
       val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -375,6 +398,12 @@ object ExtQueries {
          |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
          |FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin
+    },
+
+    "q_ext_multimodal_decode" -> {
+      val p = graft.io.VerifyFixtures.mediaExpectedPath
+      s"""SELECT id, media_type, n_bytes, width, height
+         |FROM read_csv('$p', header=true)""".stripMargin
     },
 
     "q_ext_multimodal_meta" ->

@@ -485,6 +485,24 @@ object SparkEntry {
           col("latitude"), col("longitude"), col("elevation"))
     }),
 
+    // S8 end-to-end: the compiled cube through the BINARY NetCDF classic
+    // writer and back through the format-spec reader — the .nc artifact
+    // itself under the DuckDB gate (the oracle recomputes the cube from
+    // the raw CSVs; the round-trip must reproduce it bit-for-bit).
+    "q_s8_netcdf_roundtrip" -> ((s, dir) => {
+      val (glob, locCsv) = graft.io.VerifyFixtures.compileFixture()
+      val locations = s.read.option("header", "true")
+        .schema(graft.model.Schemas.station).csv(locCsv)
+      val cube = pipelines.SolarPipelines.compileCube(s, glob, locations)
+      val nc = s"${graft.io.VerifyFixtures.root}/cube.nc"
+      graft.io.Sinks.writeNetCdf(cube, nc)
+      graft.io.Sinks.readNetCdfCube(s, nc)
+        .select(col("station"), col("epoch_utc"),
+          round(col("GHI"), 6).as("ghi"), round(col("DHI"), 6).as("dhi"),
+          round(col("DNI"), 6).as("dni"),
+          col("latitude"), col("longitude"), col("elevation"))
+    }),
+
     // §3.2 end-to-end: the full compare pipeline (QC clean → unit convert
     // → rename → time join → bias → per-component linregress), driven
     // through graft.pipelines.SolarPipelines on series derived from the
@@ -1078,6 +1096,39 @@ object SparkEntry {
          |SELECT p.station_key AS station, l.station AS station_original,
          |       CAST(floor(epoch(p.t)) AS BIGINT) AS epoch_utc,
          |       CAST(floor(epoch(p.t)) AS BIGINT) + l.utc_offset * 3600 AS epoch_local,
+         |       round(p.ghi, 6) AS ghi, round(p.dhi, 6) AS dhi, round(p.dni, 6) AS dni,
+         |       l.latitude, l.longitude, l.elevation
+         |FROM parsed p JOIN loc l USING (station_key)
+         |WHERE p.station_key <> 'sleman'""".stripMargin
+    },
+
+    // Same raw-CSV recomputation as q_s5_compile_cube, projected to the
+    // columns that survive the NetCDF container (no station_original /
+    // local time in the .nc).
+    "q_s8_netcdf_roundtrip" -> {
+      import graft.io.VerifyFixtures.{locationPath, processedGlob}
+      val clean = (c: String) =>
+        s"trim(regexp_replace(regexp_replace(lower(regexp_replace($c, '_', ' ', 'g')), " +
+          s"'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH loc AS (
+         |  SELECT station, latitude, longitude, elevation,
+         |         ${clean("station")} AS station_key
+         |  FROM read_csv('$locationPath', header=true)),
+         |raw AS (
+         |  SELECT *, regexp_extract(filename,
+         |           'processed_10min_(.*?)_observed_cloud\\.csv', 1) AS station_raw
+         |  FROM read_csv('$processedGlob', delim=',', header=false, skip=1,
+         |    all_varchar=true, filename=true,
+         |    names=['tcol', 'ghi', 'dhi', 'bni', 'cc'])),
+         |parsed AS (
+         |  SELECT TRY_CAST(tcol AS TIMESTAMP) AS t,
+         |         TRY_CAST(ghi AS DOUBLE) AS ghi, TRY_CAST(dhi AS DOUBLE) AS dhi,
+         |         TRY_CAST(bni AS DOUBLE) AS dni,
+         |         ${clean("station_raw")} AS station_key
+         |  FROM raw
+         |  WHERE TRY_CAST(tcol AS TIMESTAMP) IS NOT NULL)
+         |SELECT p.station_key AS station,
+         |       CAST(floor(epoch(p.t)) AS BIGINT) AS epoch_utc,
          |       round(p.ghi, 6) AS ghi, round(p.dhi, 6) AS dhi, round(p.dni, 6) AS dni,
          |       l.latitude, l.longitude, l.elevation
          |FROM parsed p JOIN loc l USING (station_key)

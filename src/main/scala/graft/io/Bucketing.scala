@@ -18,13 +18,24 @@ object Bucketing {
   /** Write `df` as a bucketed, sorted parquet table in the session
     * catalog. `buckets` should be sized so each bucket is O(shuffle
     * partition target) at full scale.
+    *
+    * Idempotent across JVMs: the in-memory catalog forgets tables on
+    * restart while the warehouse directory persists, so a bare
+    * `saveAsTable` would refuse the stale location — drop both first.
     */
   def writeBucketed(
-      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.drop(1): _*)
       .sortBy(keys.head, keys.drop(1): _*)
       .saveAsTable(table)
+  }
 }

@@ -2,8 +2,9 @@ package graft.io
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Sinks (SURVEY.md §2.1 S7, S8).
   *
@@ -147,5 +148,51 @@ object Sinks {
       }
       flush()
     } finally w.close()
+  }
+
+  /** Reader-side counterpart of [[writeNetCdf]]: re-assembles the classic
+    * file's (time × station) grids back into the long format the writer
+    * consumed — station, epoch_utc, value columns, coordinates. Cells
+    * that are NaN across every value column are the writer's
+    * missing-data marker and are dropped; a NaN in a single column
+    * surfaces as null.
+    *
+    * Export-edge posture, like the writer: a classic `.nc` is one
+    * sequential file, so rows materialize on the driver (bounded by the
+    * grid the writer could produce). Built to round-trip-verify the
+    * binary artifact, not for distributed ingestion.
+    */
+  def readNetCdfCube(
+      spark: SparkSession, path: String,
+      valueCols: Seq[String] = Seq("GHI", "DHI", "DNI")): DataFrame = {
+    val nc = NetCdf3.read(path)
+    val byName = nc.vars.map { case (v, data) => v.name -> data }.toMap
+    val nStations = nc.dims.find(_.name == "station").get.length
+    val strlen = nc.dims.find(_.name == "name_strlen").get.length
+    val times = byName("time").asInstanceOf[Array[Double]]
+    val nameBytes = byName("station_name").asInstanceOf[Array[Byte]]
+    val names = (0 until nStations).map { i =>
+      new String(nameBytes, i * strlen, strlen, "UTF-8").takeWhile(_ != '\u0000')
+    }
+    val lat = byName("latitude").asInstanceOf[Array[Double]]
+    val lon = byName("longitude").asInstanceOf[Array[Double]]
+    val elev = byName("elevation").asInstanceOf[Array[Double]]
+    val grids = valueCols.map(c => byName(c).asInstanceOf[Array[Double]])
+    val rows = for {
+      t <- times.indices
+      s <- 0 until nStations
+      cell = grids.map(g => g(t * nStations + s))
+      if cell.exists(!_.isNaN)
+    } yield Row.fromSeq(
+      Seq(names(s), times(t).toLong) ++
+        cell.map(v => if (v.isNaN) null else (v: java.lang.Double)) ++
+        Seq(lat(s), lon(s), elev(s)))
+    val schema = StructType(
+      Seq(StructField("station", StringType), StructField("epoch_utc", LongType)) ++
+        valueCols.map(StructField(_, DoubleType)) ++
+        Seq(StructField("latitude", DoubleType), StructField("longitude", DoubleType),
+          StructField("elevation", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 }

@@ -114,6 +114,70 @@ object VerifyFixtures {
     (processedGlob, locationPath)
   }
 
+  // --------------------------------------------------------------- media
+  val mediaDir = s"$root/media"
+  val mediaGlob = s"$mediaDir/media_*.bin"
+  val mediaExpectedPath = s"$mediaDir/expected_media.csv"
+
+  /** Binary media fixture for the oracle-gated decode query: one file per
+    * container format with a REAL header (PNG IHDR, GIF screen
+    * descriptor, JPEG marker walk incl. a fill byte and a COM segment)
+    * plus one non-image payload that exercises the stub path. All files
+    * share a `.bin` extension on purpose — format comes from content
+    * sniffing, not the name. The expected (media_type, n_bytes, width,
+    * height) per file is PINNED as literals in `expected_media.csv`
+    * (the DuckDB oracle reads it), independent of the Scala decode.
+    */
+  def mediaFixture(): String = {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(33)
+      out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      out.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      out.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+      out.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI, fill byte, COM segment, SOF0 (3 components), EOI = 30 bytes
+      val out = java.nio.ByteBuffer.allocate(30)
+      out.put(Array[Byte](0xFF.toByte, 0xD8.toByte))                  // SOI
+      out.put(0xFF.toByte)                                            // fill
+      out.put(Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 4, 'h', 'i')) // COM
+      out.put(Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8))        // SOF0
+      out.putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      (1 to 3).foreach(c => out.put(c.toByte).put(0x11.toByte).put(0.toByte))
+      out.put(Array[Byte](0xFF.toByte, 0xD9.toByte))                  // EOI
+      out.array()
+    }
+    writeBytesIfAbsent(Paths.get(s"$mediaDir/media_001.bin"), png(640, 480))
+    writeBytesIfAbsent(Paths.get(s"$mediaDir/media_002.bin"), gif(320, 200))
+    writeBytesIfAbsent(Paths.get(s"$mediaDir/media_003.bin"), jpeg(1920, 1080))
+    writeBytesIfAbsent(Paths.get(s"$mediaDir/media_004.bin"),
+      "not an image".getBytes(StandardCharsets.UTF_8))
+    writeIfAbsent(Paths.get(mediaExpectedPath)) {
+      // media_004: stub-decode constants (FNV-ish checksum -> fake dims),
+      // pinned here once so a stub regression can't silently re-pin them.
+      """id,media_type,n_bytes,width,height
+        |1,image/png,33,640,480
+        |2,image/gif,10,320,200
+        |3,image/jpeg,30,1920,1080
+        |4,application/octet-stream,12,360,383
+        |""".stripMargin
+    }
+    mediaGlob
+  }
+
+  private def writeBytesIfAbsent(p: Path, bytes: Array[Byte]): Unit = {
+    if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+  }
+
   private def writeIfAbsent(p: Path)(content: => String): String = {
     val bytes = content.getBytes(StandardCharsets.UTF_8)
     if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
