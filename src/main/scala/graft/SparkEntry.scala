@@ -269,21 +269,28 @@ object SparkEntry {
     }),
 
     // §2.5 extension: centered rolling statistics over a resampled
-    // series — moving mean and lag-delta share one (order) sort, the
-    // classic smoothing + rate-of-change pass over sensor series.
+    // series — moving mean and lag-delta, GLOBAL order with NO
+    // single-partition window: ChunkedWindow partitions by a coarse
+    // day-chunk and carries one boundary row per direction between
+    // neighbor chunks, so the bounded frames see exactly the rows the
+    // global sort would have given them.
     "q_w3_rolling" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val series = Tables.events(s, dir)
         .filter(col("event_type") === "view")
         .groupBy(bucket10(col("ts")))
         .agg(round(avg(col("value")), 6).as("v"))
-      val byTime = Window.orderBy("bucket_start")
+      val chunked = ops.ChunkedWindow.withCarries(
+        series, "bucket_start", chunkSeconds = 86400L, before = 1, after = 1)
+      val byTime = Window.partitionBy(ops.ChunkedWindow.chunk).orderBy("bucket_start")
       val win3 = byTime.rowsBetween(-1, 1)
-      series.select(
-        col("bucket_start"),
-        round(avg(col("v")).over(win3), 6).as("smooth3"),
-        round(col("v") - lag(col("v"), 1).over(byTime), 6).as("delta"),
-        count(lit(1)).over(win3).cast("long").as("support"))
+      ops.ChunkedWindow.finish(
+        chunked.select(
+          col(ops.ChunkedWindow.chunk), col(ops.ChunkedWindow.carry),
+          col("bucket_start"),
+          round(avg(col("v")).over(win3), 6).as("smooth3"),
+          round(col("v") - lag(col("v"), 1).over(byTime), 6).as("delta"),
+          count(lit(1)).over(win3).cast("long").as("support")))
     }),
 
     // §2.5 KEYED rolling statistics — the form a real caller uses first:
@@ -334,14 +341,18 @@ object SparkEntry {
 
     // §2.9 extension: linear interpolation over the densified grid —
     // pandas interpolate(method='linear') on the reference's dense cube
-    // shape; gaps fill proportionally, edges stay null.
+    // shape; gaps fill proportionally, edges stay null. Global series,
+    // chunked execution: interpolateLinearChunked keeps every
+    // data-sized window keyed by day-chunk and resolves cross-chunk
+    // gaps via a one-row-per-chunk summary (bit-identical arithmetic).
     "q_r5_interpolate" -> ((s, dir) => {
       val b = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy(bucket10(col("ts")))
         .agg(round(avg(col("value")), 6).as("avg_value"))
       val dense = Resample.densify(b, "bucket_start", 600)
-      Resample.interpolateLinear(dense, "bucket_start", "avg_value")
+      Resample.interpolateLinearChunked(dense, "bucket_start", "avg_value",
+          chunkSeconds = 86400L)
         .select(col("bucket_start"), round(col("avg_value"), 6).as("v"))
     }),
 
@@ -628,7 +639,8 @@ object SparkEntry {
         .groupBy(bucket10(col("ts")))
         .agg(round(avg(col("value")), 6).as("avg_value"))
       val dense = Resample.densify(b, "bucket_start", 600)
-      Resample.interpolateLinear(dense, "bucket_start", "avg_value")
+      Resample.interpolateLinearChunked(dense, "bucket_start", "avg_value",
+          chunkSeconds = 86400L)
         .select(col("bucket_start"), col("avg_value"))
     }),
   )
