@@ -218,6 +218,28 @@ object ExtQueries {
         .as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media).toDF()
     }),
+
+    // Deterministic hash sampling: a pure pushed-down predicate, stable
+    // under reruns/partitionings/engines — the oracle recomputes the
+    // SAME membership in DuckDB.
+    "q_ext_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.2, "s1")
+        .select(col("doc_id"), col("source"))),
+
+    // Train/val/test split assignment — per-key deterministic, so a
+    // document's split never changes as the corpus grows.
+    "q_ext_split_assign" -> ((s, dir) =>
+      Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+        .select(col("doc_id"), col("split"))),
+
+    // Weighted source mixing (the corpus-recipe operator): one
+    // codegen'd predicate, per-source admission rates, no shuffle.
+    "q_ext_mix_sources" -> ((s, dir) =>
+      Sampling.mixBySource(Tables.documents(s, dir), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          "mx")
+        .select(col("doc_id"), col("source"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,5 +432,35 @@ object ExtQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(ascii(text) AS BIGINT) AS first_byte
         |FROM documents""".stripMargin,
+
+    // The thresholds interpolate from Sampling.rateThreshold so the
+    // oracle and the operator can never disagree on the boundary.
+    "q_ext_sample_hash" -> {
+      val thr = Sampling.rateThreshold(0.2)
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '$thr'""".stripMargin
+    },
+
+    "q_ext_split_assign" -> {
+      val (t80, t90) = (Sampling.rateThreshold(0.8), Sampling.rateThreshold(0.9))
+      s"""SELECT doc_id,
+         |  CASE WHEN h < '$t80' THEN 'train'
+         |       WHEN h < '$t90' THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        substring(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |      FROM documents)""".stripMargin
+    },
+
+    "q_ext_mix_sources" -> {
+      def t(r: Double) = Sampling.rateThreshold(r)
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         substring(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |  FROM documents)
+         |WHERE h < CASE source
+         |  WHEN 'src0' THEN '${t(1.0)}' WHEN 'src1' THEN '${t(0.5)}'
+         |  WHEN 'src2' THEN '${t(0.25)}' WHEN 'src3' THEN '${t(0.1)}'
+         |  ELSE '' END""".stripMargin
+    },
   )
 }

@@ -643,6 +643,56 @@ object SparkEntry {
           chunkSeconds = 86400L)
         .select(col("bucket_start"), col("avg_value"))
     }),
+
+    // §2.10 driver-gated streaming: the file-source → tumbling-mean
+    // stream run to completion with Trigger.AvailableNow over the same
+    // parquet the batch queries read. Complete-mode memory sink so every
+    // window flushes at end-of-stream (the memory table holds only the
+    // bucketed aggregates — the sink is the verification edge; the
+    // append+watermark production path is spec-gated in
+    // streaming/StreamResampleSpec). The streamed answer must equal the
+    // batch groupBy bit-for-bit, which the DuckDB oracle pins.
+    "q_st1_stream_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // The sf tables are single files; the file-source needs a
+      // directory, so stream the dir with a glob pinned to the table.
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = graft.streaming.StreamResample.tumblingMean(
+        events, "ts", 10, Seq("value"), extraKeys = Seq("event_type"))
+      s.catalog.dropTempView("g_st1")
+      val q = agg.writeStream.format("memory").queryName("g_st1")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st1").select(
+        TimeOps.epochSeconds(col("time")).as("bucket_start"),
+        col("event_type"),
+        round(col("value"), 6).as("avg_value"),
+        col("n_rows").cast("long").as("n"))
+    }),
+
+    // §2.10 driver-gated streaming dedup: first-seen fingerprints over a
+    // document stream (append mode; state = 8-byte fingerprints only).
+    // Projecting JUST the fingerprint keeps the emitted set independent
+    // of arrival order, so the batch DISTINCT oracle pins it exactly.
+    "q_st2_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val fp = docs.select(substring(md5(col("text")), 1, 16).as("fp"))
+        .dropDuplicates("fp")
+      s.catalog.dropTempView("g_st2")
+      val q = fp.writeStream.format("memory").queryName("g_st2")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st2")
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1172,5 +1222,15 @@ object SparkEntry {
         |        ORDER BY rev DESC, l_partkey) AS rank FROM rev)
         |SELECT l_returnflag, l_partkey, rank, CAST(rev AS DOUBLE) AS revenue
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // The streamed tumbling mean must equal the batch aggregation.
+    "q_st1_stream_resample" ->
+      """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start, event_type,
+        |       round(avg(value), 6) AS avg_value, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // First-seen streaming dedup emits exactly the distinct fingerprints.
+    "q_st2_stream_dedup" ->
+      "SELECT DISTINCT substring(md5(text), 1, 16) AS fp FROM documents",
   )
 }

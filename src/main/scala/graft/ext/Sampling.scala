@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling, splitting, and source mixing — the
+  * data-selection layer of a training-data pipeline (extension; the
+  * reference selects by station list, `code/solrad-compare.py:21-49`,
+  * which is [[graft.ops.Stations]] — this is the corpus-scale analogue).
+  *
+  * Why hash-based instead of `df.sample()`: the sample is a pure
+  * per-row predicate — stable across reruns, retries, partitionings,
+  * and engines (reproducible experiments); it pushes down to the scan
+  * like any filter; adding data never reshuffles prior membership
+  * (incremental corpus growth keeps yesterday's split); and the SAME
+  * rows come back in any system that can compute md5, which is exactly
+  * how the DuckDB oracle pins it.
+  *
+  * Mechanics: the first 8 hex chars of `md5(salt || key)` are compared
+  * LEXICOGRAPHICALLY against a hex threshold — both engines agree on
+  * lowercase-hex md5 and string ordering, so no engine-specific
+  * hex→int conversion enters the contract. 8 hex digits = 32 bits of
+  * uniformity, plenty for split rates; the salt decorrelates
+  * independent selections over the same keys.
+  */
+object Sampling {
+
+  /** Lowercase-hex 32-bit bucket of `md5(salt || key)`. */
+  def hashHex(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+
+  /** `floor(rate * 2^32)` as the 8-hex-digit threshold the hash is
+    * compared against; rate 1.0 admits everything.
+    */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    if (rate >= 1.0) "g" // sorts after every hex digit
+    else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** Keep ~`rate` of rows, deterministically by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
+    df.filter(hashHex(col(keyCol), salt) < lit(rateThreshold(rate)))
+
+  /** Assign each row a split label by cumulative rate: `splits` maps
+    * label -> fraction (must sum to ~1; the last split absorbs
+    * rounding). Deterministic per key — a row's split never changes as
+    * the corpus grows.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val h = hashHex(col(keyCol), salt)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val labeled = splits.map(_._1).zip(cum).dropRight(1)
+      .foldLeft(None: Option[Column]) { case (acc, (label, upper)) =>
+        val cond = h < lit(rateThreshold(upper))
+        Some(acc.fold(when(cond, label))(_.when(cond, label)))
+      }
+    val expr = labeled.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", expr)
+  }
+
+  /** Weighted source mixing: keep ~`rates(source)` of each source's
+    * rows (sources absent from the map are dropped) — the "30% web,
+    * 100% books" corpus-recipe operator. One codegen'd predicate, no
+    * shuffle, no per-source pass.
+    */
+  def mixBySource(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      rates: Map[String, Double],
+      salt: String): DataFrame = {
+    val h = hashHex(col(keyCol), salt)
+    val threshold = rates.foldLeft(None: Option[Column]) {
+      case (acc, (src, rate)) =>
+        val c = col(sourceCol) === src
+        Some(acc.fold(when(c, rateThreshold(rate)))(_.when(c, rateThreshold(rate))))
+    }.map(_.otherwise(lit("")))
+      .getOrElse(lit(""))
+    df.filter(h < threshold)
+  }
+}

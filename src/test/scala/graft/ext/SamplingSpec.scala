@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = (0 until 2000)
+    .map(i => (i.toLong, s"src${i % 5}")).toDF("id", "source")
+
+  test("rate thresholds: 0 admits nothing, 1 admits everything") {
+    assert(Sampling.rateThreshold(0.0) === "00000000")
+    assert(Sampling.hashSample(docs, "id", 0.0, "z").isEmpty)
+    assert(Sampling.hashSample(docs, "id", 1.0, "z").count() === 2000L)
+  }
+
+  test("hash sample is deterministic, near-rate, and salt-decorrelated") {
+    val a = Sampling.hashSample(docs, "id", 0.3, "a").select("id").as[Long].collect().toSet
+    val a2 = Sampling.hashSample(docs, "id", 0.3, "a").select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "id", 0.3, "b").select("id").as[Long].collect().toSet
+    assert(a === a2)
+    assert(math.abs(a.size - 600) < 100, s"rate drift: ${a.size}")
+    assert(a !== b)
+    // independence: overlap ≈ rate² of the corpus
+    assert(math.abs(a.intersect(b).size - 180) < 100)
+  }
+
+  test("assignSplit labels every row exactly once, near the requested fractions") {
+    val out = Sampling.assignSplit(docs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L)
+    assert(math.abs(counts("train") - 1600) < 120, counts.toString)
+    assert(counts.keySet === Set("train", "val", "test"))
+  }
+
+  test("mixBySource drops unlisted sources and rates per listed source") {
+    val out = Sampling.mixBySource(docs, "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5), "mx")
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.keySet === Set("src0", "src1"))
+    assert(bySrc("src0") === 400L)
+    assert(math.abs(bySrc("src1") - 200) < 80)
+  }
+}
