@@ -240,6 +240,44 @@ object ExtQueries {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
           "mx")
         .select(col("doc_id"), col("source"))),
+
+    // Per-key deterministic sample: N docs per source, chosen by hash
+    // order — "give me 5 representative docs from every source" without
+    // a shuffle of anything but (key, hash). The row_number filter is
+    // rewritten to the bounded-heap TopKPerKey, so no per-source sort
+    // exists in the plan.
+    "q_ext_sample_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(Sampling.hashHex(col("doc_id"), "pk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+    }),
+
+    // Corpus length histogram in power-of-two token buckets (the
+    // sequence-length profile that sizes packing/context decisions):
+    // bucket = bit-length of the whitespace token count — integer-exact
+    // in both engines, no float log at bucket boundaries.
+    "q_ext_len_histogram" -> ((s, dir) => {
+      val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+      Tables.documents(s, dir)
+        .select(length(bin(nTok)).cast("long").as("len_class"))
+        .groupBy("len_class")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Sequence packing: documents into 512-token bins in deterministic
+    // hash order, via the distributed PrefixSum (no global window — the
+    // DuckDB oracle recomputes the same integer arithmetic with one).
+    "q_ext_pack_bins" -> ((s, dir) => {
+      val sized = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("sz"))
+      Packing.assignBins(sized, "doc_id", "sz", 512L, "pb")
+        .select(col("doc_id"), col("sz"), col("bin_id"), col("bin_offset"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -462,5 +500,34 @@ object ExtQueries {
          |  WHEN 'src2' THEN '${t(0.25)}' WHEN 'src3' THEN '${t(0.1)}'
          |  ELSE '' END""".stripMargin
     },
+
+    "q_ext_sample_per_key" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY substring(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |                    doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q_ext_len_histogram" ->
+      """SELECT CAST(length(bin(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |         AS BIGINT))) AS BIGINT) AS len_class,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_pack_bins" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS sz,
+        |         substring(md5('pb' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, sz,
+        |         coalesce(sum(sz) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM s)
+        |SELECT doc_id, sz, strt // 512 AS bin_id, strt % 512 AS bin_offset
+        |FROM c""".stripMargin,
   )
 }
