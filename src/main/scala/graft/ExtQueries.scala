@@ -278,6 +278,17 @@ object ExtQueries {
       Packing.assignBins(sized, "doc_id", "sz", 512L, "pb")
         .select(col("doc_id"), col("sz"), col("bin_id"), col("bin_offset"))
     }),
+
+    // Duplicate clusters: transitive closure over the SAME jaccard
+    // pairs q_ext_dedup_jaccard pins, each component labeled by its
+    // smallest doc — the canonical-document assignment. The DuckDB
+    // oracle recomputes the closure with a recursive CTE.
+    "q_ext_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.wordJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 0.8)
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -524,10 +535,34 @@ object ExtQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, sz,
-        |         coalesce(sum(sz) OVER (ORDER BY h, doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |         CAST(coalesce(sum(sz) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS strt
         |  FROM s)
         |SELECT doc_id, sz, strt // 512 AS bin_id, strt % 512 AS bin_offset
         |FROM c""".stripMargin,
+
+    "q_ext_dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
   )
 }

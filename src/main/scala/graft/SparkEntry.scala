@@ -693,6 +693,59 @@ object SparkEntry {
       q.awaitTermination()
       s.table("g_st2")
     }),
+
+    // §2.10 driver-gated custom state: the flatMapGroupsWithState
+    // ingestion tracker run to completion. Input times are truncated to
+    // whole seconds so the state's millisecond arithmetic is exactly
+    // reproducible in epoch-seconds SQL; a single AvailableNow batch
+    // (one source file, default maxFilesPerTrigger) makes the per-group
+    // fold order the tracker's own within-batch sort.
+    "q_st3_stream_tracker" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sp = s
+      import sp.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val obs = events.select(
+          col("user_id").cast("string").as("station"),
+          date_trunc("second", col("ts")).as("time"))
+        .as[graft.streaming.StatefulTracker.Obs]
+      val tracked = graft.streaming.StatefulTracker.track(obs).toDF()
+      s.catalog.dropTempView("g_st3")
+      val q = tracked.writeStream.format("memory").queryName("g_st3")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st3").select(
+        col("station"),
+        col("n"),
+        TimeOps.epochSeconds(col("last")).as("last_sec"),
+        (col("maxGapMillis") / 1000).cast("long").as("max_gap_s"))
+    }),
+
+    // §2.10 driver-gated stream-static enrichment: per-event broadcast
+    // lookup against a static dimension, streamed to completion — must
+    // equal the batch join row-for-row.
+    "q_st4_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = raw.select(col("event_id"),
+        pmod(col("user_id"), lit(25)).as("n_nationkey"))
+      val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val enriched = graft.streaming.StreamEnrich.enrich(stream, dim, Seq("n_nationkey"))
+        .select(col("event_id"), col("n_name"))
+      s.catalog.dropTempView("g_st4")
+      val q = enriched.writeStream.format("memory").queryName("g_st4")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st4")
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1232,5 +1285,25 @@ object SparkEntry {
     // First-seen streaming dedup emits exactly the distinct fingerprints.
     "q_st2_stream_dedup" ->
       "SELECT DISTINCT substring(md5(text), 1, 16) AS fp FROM documents",
+
+    // The tracker's final state per key == the batch count/max/max-gap.
+    "q_st3_stream_tracker" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS station,
+        |         date_trunc('second', ts) AS t
+        |  FROM events),
+        |g AS (
+        |  SELECT station, t,
+        |         epoch(t) - epoch(lag(t) OVER (PARTITION BY station ORDER BY t)) AS gap
+        |  FROM o)
+        |SELECT station, count(*) AS n,
+        |       CAST(floor(epoch(max(t))) AS BIGINT) AS last_sec,
+        |       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_s
+        |FROM g GROUP BY station""".stripMargin,
+
+    // Stream-static broadcast enrichment == the batch join.
+    "q_st4_stream_enrich" ->
+      """SELECT event_id, n_name
+        |FROM events JOIN nation ON n_nationkey = user_id % 25""".stripMargin,
   )
 }

@@ -1,0 +1,31 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class ClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components: chain, clique, and a detached pair resolve to min labels") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 1..5
+      (20L, 21L), (21L, 22L), (20L, 22L),     // triangle
+      (30L, 31L)                              // pair
+    ).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(out(_) == 1L))
+    assert(Seq(20L, 21L, 22L).forall(out(_) == 20L))
+    assert(out(30L) === 30L && out(31L) === 30L)
+    assert(out.size === 10)
+  }
+
+  test("a long chain needs ~diameter rounds; a tight cap fails loudly") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain, "id_a", "id_b", maxIterations = 3)
+    }
+    val ok = Clusters.connectedComponents(chain, "id_a", "id_b", maxIterations = 60)
+      .as[(Long, Long)].collect()
+    assert(ok.length === 41 && ok.forall(_._2 == 0L))
+  }
+}
