@@ -19,6 +19,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** File-source stream over one sf table. The testdata tables are
+    * single parquet FILES — the file source wants a directory, so
+    * stream the parent dir with a glob pinned to the leaf name. Scaled
+    * replicas ([[graft.io.ScaleReplicate]]) are parquet DIRECTORIES of
+    * part files — `pathGlobFilter` matches leaf *file* names only, so
+    * the same glob would silently stream zero files; stream the
+    * directory itself instead.
+    */
+  private def streamTable(s: SparkSession, dir: String, table: String) = {
+    val path = s"$dir/$table.parquet"
+    val schema = s.read.parquet(path).schema
+    if (new java.io.File(path).isDirectory)
+      s.readStream.schema(schema).parquet(path)
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Exact decimal sum of a double column, surfaced back as double. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double")
@@ -654,11 +672,7 @@ object SparkEntry {
     // batch groupBy bit-for-bit, which the DuckDB oracle pins.
     "q_st1_stream_resample" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // The sf tables are single files; the file-source needs a
-      // directory, so stream the dir with a glob pinned to the table.
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = streamTable(s, dir, "events")
       val events =
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -682,9 +696,7 @@ object SparkEntry {
     // of arrival order, so the batch DISTINCT oracle pins it exactly.
     "q_st2_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val docs = streamTable(s, dir, "documents")
       val fp = docs.select(substring(md5(col("text")), 1, 16).as("fp"))
         .dropDuplicates("fp")
       s.catalog.dropTempView("g_st2")
@@ -704,9 +716,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val sp = s
       import sp.implicits._
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = streamTable(s, dir, "events")
       val events =
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -732,9 +742,7 @@ object SparkEntry {
     // equal the batch join row-for-row.
     "q_st4_stream_enrich" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val raw = streamTable(s, dir, "events")
       val stream = raw.select(col("event_id"),
         pmod(col("user_id"), lit(25)).as("n_nationkey"))
       val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
