@@ -289,6 +289,45 @@ object ExtQueries {
         "doc_id", "text", 0.8)
       Clusters.connectedComponents(pairs, "id_a", "id_b")
     }),
+
+    // Gopher-family repetition quality signals, all per-row HOFs (zero
+    // shuffle): within-doc duplicate-token fraction and the fraction of
+    // n-grams taken by the most frequent 2-/3-gram. The oracle
+    // recomputes them relationally (unnest → count → max).
+    "q_ext_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.dupTokenFrac(col("text")).as("dup_token_frac"),
+        TextStats.topNgramFrac(col("text"), 2).as("top_bigram_frac"),
+        TextStats.topNgramFrac(col("text"), 3).as("top_trigram_frac"))
+    }),
+
+    // Per-document TF-IDF top terms: the keyword-extraction primitive.
+    // Ranking runs through the TopKPerKey rewrite (row_number <= k).
+    "q_ext_tfidf" -> ((s, dir) => {
+      TextStats.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Corpus-level top n-grams: global frequency ranking, planned as
+    // TakeOrderedAndProject (bounded top-k, no full sort shuffle).
+    "q_ext_top_ngrams" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextStats.ngramArray(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20)
+    }),
+
+    // The full near-dup pipeline end-to-end: detect pairs, resolve
+    // clusters, keep one canonical doc per cluster. The oracle removes
+    // exactly the non-min members of the recursive-CTE closure.
+    "q_ext_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.8)
+      Dedup.keepCanonical(docs, "doc_id", pairs)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -564,5 +603,86 @@ object ExtQueries {
         |  UNION
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
+
+    "q_ext_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |         round(tf * ln(n_docs * 1.0 / df_t), 6) AS tf_idf
+        |  FROM tf JOIN dfreq USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tf_idf DESC, term) AS rank FROM scored)
+        |SELECT doc_id, term, tf, tf_idf, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_ext_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS gram
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks))
+        |SELECT gram, count(*) AS n FROM grams GROUP BY 1
+        |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "q_ext_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, count(*) AS tot, count(DISTINCT w) AS dis
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1),
+        |big AS (
+        |  SELECT doc_id, max(c) AS top, sum(c) AS tot FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |tri AS (
+        |  SELECT doc_id, max(c) AS top, sum(c) AS tot FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks))
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT k.doc_id,
+        |       CAST(len(k.t) AS BIGINT) AS n_tokens,
+        |       round(1.0 - u.dis * 1.0 / u.tot, 6) AS dup_token_frac,
+        |       round(coalesce(b.top * 1.0 / b.tot, 0), 6) AS top_bigram_frac,
+        |       round(coalesce(t3.top * 1.0 / t3.tot, 0), 6) AS top_trigram_frac
+        |FROM toks k
+        |JOIN uni u USING (doc_id)
+        |LEFT JOIN big b USING (doc_id)
+        |LEFT JOIN tri t3 USING (doc_id)""".stripMargin,
+
+    "q_ext_dedup_keep" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |losers AS (SELECT node FROM reach GROUP BY node HAVING min(r) <> node)
+        |SELECT doc_id, length(text) AS text_len
+        |FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT node FROM losers)""".stripMargin,
   )
 }

@@ -33,6 +33,27 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** The end of every near-dup pipeline: given detector PAIRS (from
+    * [[wordJaccardPairs]] / [[minHashPairs]] / [[simHashPairs]] /
+    * [[Similarity.cosineNearDupPairs]]), keep exactly one document per
+    * duplicate cluster — the transitive closure's min-id member — plus
+    * every document that paired with nothing.
+    *
+    * Scale shape: the closure runs over the pair graph only (tiny next
+    * to the corpus — near-dup rates are single-digit percent), and the
+    * corpus-side filter is one anti-join on the loser set, so the
+    * corpus shuffles once by id (or not at all when the loser side
+    * broadcasts).
+    */
+  def keepCanonical(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = Clusters.connectedComponents(pairs, aCol, bCol)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- word-set Jaccard
   /** Near-duplicate pairs by Jaccard similarity of distinct token sets.
     * Inverted-index self-join: only documents sharing at least one token

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for large-scale training-data pipelines: tokenization,
@@ -98,6 +98,88 @@ object TextStats {
     val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
     val anyStop = when(stopwords.map(l => stopwordHits(text, l._1)).reduce(_ + _) > 0, 1.0).otherwise(0.0)
     round((lengthOk + punctOk + anyStop) / 3.0, 6)
+  }
+
+  // ------------------------------------- repetition quality signals
+  /** Word n-grams of the text as an array column; empty array when the
+    * document has fewer than `n` tokens (a bare `sequence(0, size-n)`
+    * would flip to a DESCENDING sequence there and fabricate grams).
+    */
+  def ngramArray(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of the document's n-grams taken by its single most
+    * frequent n-gram — the Gopher-family repetition signal (high value
+    * = boilerplate / degenerate repetition; typical filter keeps docs
+    * under ~0.2 for 2-grams). Runs per-row with ZERO shuffle: sort the
+    * gram array, then one `aggregate` pass finds the longest equal run
+    * — O(L log L) per doc, not the O(L²) count-each-gram spelling, so
+    * it stays viable on long documents at corpus scale.
+    */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val grams = ngramArray(text, n)
+    val sorted = array_sort(grams)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(grams) > 0, round(best.cast("double") / size(grams), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of token occurrences that are repeats of an earlier
+    * token (1 - distinct/total) — the companion within-document
+    * duplication signal. Per-row, shuffle-free.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF — the standard
+    * keyword-extraction / topic-tagging primitive over a corpus.
+    *
+    * Plan shape at scale: one explode → (doc, term) partial-aggregated
+    * count (map-side combine before the shuffle); document frequency is
+    * a second aggregate over that same frame (vocabulary-sized, heavy
+    * tail — kept as a shuffle join on term, NOT broadcast: a 100 TB
+    * corpus's vocabulary does not fit an executor); the corpus doc
+    * count rides the plan as a broadcast scalar (no driver action);
+    * the final per-doc ranking is the row_number()<=k spelling that
+    * [[graft.plans.TopKPerKey]]'s rule rewrites to the bounded-heap
+    * operator — the shuffle carries at most k rows per document.
+    * tf_idf is rounded BEFORE ranking so rank boundaries are stable
+    * across engines.
+    */
+  def tfIdfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6))
+    val w = Window.partitionBy("id").orderBy(col("tf_idf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("tf_idf"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Content fingerprint: first 16 hex chars of md5 — stable across

@@ -19,6 +19,15 @@ class ClustersSpec extends SparkTestBase {
     assert(out.size === 10)
   }
 
+  test("keepCanonical drops exactly the non-min cluster members") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
+
   test("a long chain needs ~diameter rounds; a tight cap fails loudly") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {

@@ -57,6 +57,37 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(1) <= 0.5)
   }
 
+  test("repetition signals: dup-token and top-n-gram fractions") {
+    val df = Seq(
+      "a b a b a b",        // bigrams: "a b"x3, "b a"x2 -> top 3/5
+      "x y z w",            // all distinct
+      "q",                  // shorter than any bigram
+      ""                    // empty
+    ).toDF("text")
+    val got = df.select(
+      TextStats.dupTokenFrac($"text").as("d"),
+      TextStats.topNgramFrac($"text", 2).as("b2"),
+      TextStats.topNgramFrac($"text", 3).as("b3")).collect()
+    assert(got(0).getDouble(0) === 0.666667) // 1 - 2/6 rounded
+    assert(got(0).getDouble(1) === 0.6) // "a b" 3 of 5 bigrams
+    assert(got(0).getDouble(2) === 0.5) // "a b a" 2 of 4 trigrams
+    assert(got(1).getDouble(0) === 0.0 && got(1).getDouble(1) === 0.333333)
+    assert(got(2).getDouble(1) === 0.0) // no bigrams, not a DESC sequence
+    assert(got(3).getDouble(1) === 0.0)
+  }
+
+  test("tfIdfTopTerms surfaces rare terms over common ones") {
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common common other"),
+      (3L, "common unique unique")).toDF("doc_id", "text")
+    val top = TextStats.tfIdfTopTerms(df, "doc_id", "text", 1)
+      .select("id", "term").as[(Long, String)].collect().toMap
+    // 'common' is in every doc (idf = ln(1) = 0); each doc's rarest
+    // term wins even with lower tf.
+    assert(top === Map(1L -> "rare", 2L -> "other", 3L -> "unique"))
+  }
+
   test("fingerprints: md5 stable, rolling hash is order-aware") {
     val df = Seq("a b c", "a b c", "c b a").toDF("text")
     val md5s = df.select(TextStats.fingerprintMd5($"text")).as[String].collect()
