@@ -303,6 +303,31 @@ object ExtQueries {
         TextStats.topNgramFrac(col("text"), 3).as("top_trigram_frac"))
     }),
 
+    // Canonical text normalization + its fingerprint: the tier-1 dedup
+    // key (case/punctuation/spacing-invariant). The oracle spells the
+    // same pipeline in DuckDB regexes ('g' flag = Spark's replace-all).
+    "q_ext_normalize" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.normalizeForDedup(col("text")).as("norm"),
+        TextStats.fingerprintMd5(TextStats.normalizeForDedup(col("text"))).as("norm_fp"))
+    }),
+
+    // Per-label embedding centroids (class prototypes), long format —
+    // one partially-aggregated shuffle on (label, dim).
+    "q_ext_centroids" -> ((s, dir) => {
+      Similarity.groupCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .withColumnRenamed("key", "label")
+    }),
+
+    // Cosine similarity between label centroids: the label-confusion /
+    // domain-drift probe. Assembled through the native vec_cosine
+    // expression; DuckDB recomputes via list_cosine_similarity.
+    "q_ext_centroid_sim" -> ((s, dir) => {
+      Similarity.centroidSimilarity(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("key_a").as("label_a"), col("key_b").as("label_b"), col("sim"))
+    }),
+
     // Per-document TF-IDF top terms: the keyword-extraction primitive.
     // Ranking runs through the TopKPerKey rewrite (row_number <= k).
     "q_ext_tfidf" -> ((s, dir) => {
@@ -603,6 +628,34 @@ object ExtQueries {
         |  UNION
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
+
+    "q_ext_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         lower(trim(regexp_replace(
+        |           regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g'),
+        |           '\s+', ' ', 'g'))) AS norm
+        |  FROM documents)
+        |SELECT doc_id, norm, substring(md5(norm), 1, 16) AS norm_fp FROM n""".stripMargin,
+
+    "q_ext_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         unnest(range(len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim, round(avg(v), 6) AS centroid
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_ext_centroid_sim" ->
+      """WITH e AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         unnest(range(len(embedding))) AS dim
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim, round(avg(v), 6) AS c FROM e GROUP BY 1, 2),
+        |vecs AS (SELECT label, list(c ORDER BY dim) AS v FROM cent GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM vecs a JOIN vecs b ON a.label < b.label""".stripMargin,
 
     "q_ext_tfidf" ->
       """WITH terms AS (

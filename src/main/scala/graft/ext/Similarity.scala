@@ -222,4 +222,35 @@ object Similarity {
       .filter(col("sim") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
+
+  /** Per-group mean vector (class prototype / cluster centroid), in
+    * long format (key, dim, centroid) — the oracle-stable shape, and
+    * the shape downstream per-dimension work (PCA-ish stats, per-dim
+    * clipping) wants anyway.
+    *
+    * Scale shape: posexplode multiplies rows by the fixed embedding
+    * dim, then ONE partially-aggregated shuffle on (key, dim) — the
+    * mean is computed map-side first, so the shuffle carries one
+    * partial per task per (key, dim), not the exploded data.
+    */
+  def groupCentroids(
+      df: DataFrame, keyCol: String, vecCol: String, scale: Int = 6): DataFrame =
+    df.select(col(keyCol).as("key"), posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("key"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("v")), scale).as("centroid"))
+
+  /** Cosine similarity between every pair of group centroids — the
+    * label-confusion / domain-drift probe over [[groupCentroids]].
+    * Group count is small by construction, so the pair join broadcasts.
+    */
+  def centroidSimilarity(
+      df: DataFrame, keyCol: String, vecCol: String, simScale: Int = 6): DataFrame = {
+    val vecs = groupCentroids(df, keyCol, vecCol)
+      .groupBy("key")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("v"))
+    vecs.as("a").join(broadcast(vecs.as("b")), col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        round(fastCosine(df)(col("a.v"), col("b.v")), simScale).as("sim"))
+  }
 }

@@ -182,6 +182,18 @@ object TextStats {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Dedup-grade canonical form: lowercase, punctuation stripped to
+    * spaces, whitespace collapsed, trimmed. Exact dedup over this form
+    * catches the trivial-variant duplicates (case, punctuation,
+    * spacing) that byte-exact dedup misses — the standard first
+    * normalization tier before MinHash. Character classes are the
+    * Unicode letter/number properties, identical under Java regex and
+    * RE2, so the form is engine-portable.
+    */
+  def normalizeForDedup(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " ")))
+
   /** Content fingerprint: first 16 hex chars of md5 — stable across
     * engines, enough bits (64) for dedup bucketing at trillions of docs.
     */

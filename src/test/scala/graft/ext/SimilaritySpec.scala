@@ -99,4 +99,21 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("groupCentroids averages per (key, dim); centroidSimilarity is cosine of prototypes") {
+    val df = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(3.0, 0.0)),   // centroid (2, 0)
+      ("b", Seq(0.0, 2.0)),                          // centroid (0, 2)
+      ("c", Seq(4.0, 0.0))                           // centroid (4, 0)
+    ).toDF("k", "vec")
+    val cent = Similarity.groupCentroids(df, "k", "vec")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cent(("a", 0L)) === 2.0 && cent(("a", 1L)) === 0.0)
+    assert(cent(("b", 1L)) === 2.0)
+    val sims = Similarity.centroidSimilarity(df, "k", "vec")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(sims(("a", "b")) === 0.0) // orthogonal prototypes
+    assert(sims(("a", "c")) === 1.0) // parallel prototypes
+    assert(sims(("b", "c")) === 0.0)
+  }
 }

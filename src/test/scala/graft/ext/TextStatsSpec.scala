@@ -76,6 +76,12 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(3).getDouble(1) === 0.0)
   }
 
+  test("normalizeForDedup: case, punctuation, and spacing variants collapse") {
+    val df = Seq("Hello,  World!", "hello world", "HELLO -- world ").toDF("text")
+    val got = df.select(TextStats.normalizeForDedup($"text")).as[String].collect()
+    assert(got.toSet === Set("hello world"))
+  }
+
   test("tfIdfTopTerms surfaces rare terms over common ones") {
     val df = Seq(
       (1L, "common common rare"),
