@@ -303,6 +303,28 @@ object ExtQueries {
         TextStats.topNgramFrac(col("text"), 3).as("top_trigram_frac"))
     }),
 
+    // Incremental dedup: the docs in the "new drop" (doc_id >= 400)
+    // whose content was never seen in the "historical store" (< 400) —
+    // one anti-join on 8-byte fingerprints, O(new batch) per ingest.
+    "q_ext_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.exactGroups(docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .select(col("fingerprint"))
+      Dedup.dropSeenFingerprints(docs.filter(col("doc_id") >= 400), "text", store)
+        .select(col("doc_id"))
+    }),
+
+    // One-pass per-column data profile (the corpus-drop validation
+    // report): null counts, exact distincts, stringified min/max.
+    "q_ext_profile" -> ((s, dir) =>
+      Profile.profile(Tables.documents(s, dir), Seq("lang", "source", "n_chars"))),
+
+    // Referential-integrity check: events whose user_id has no matching
+    // customer row (NULL fks excluded per SQL FK semantics).
+    "q_ext_fk_check" -> ((s, dir) =>
+      Profile.fkViolations(Tables.events(s, dir), "user_id",
+        Tables.load(s, dir, "customer"), "c_custkey")),
+
     // Canonical text normalization + its fingerprint: the tier-1 dedup
     // key (case/punctuation/spacing-invariant). The oracle spells the
     // same pipeline in DuckDB regexes ('g' flag = Spark's replace-all).
@@ -628,6 +650,48 @@ object ExtQueries {
         |  UNION
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
+
+    "q_ext_dedup_incremental" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id >= 400
+        |  AND substring(md5(text), 1, 16) NOT IN (
+        |    SELECT substring(md5(text), 1, 16) FROM documents WHERE doc_id < 400)""".stripMargin,
+
+    "q_ext_profile" ->
+      """SELECT 'lang' AS column, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / greatest(count(*), 1), 6) AS null_frac,
+        |       count(DISTINCT lang) AS n_distinct,
+        |       CAST(min(lang) AS VARCHAR) AS min_value,
+        |       CAST(max(lang) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / greatest(count(*), 1), 6),
+        |       count(DISTINCT source),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*),
+        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / greatest(count(*), 1), 6),
+        |       count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
+
+    "q_ext_fk_check" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n_orphans FROM events e
+        |  WHERE e.user_id IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)),
+        |c AS (SELECT count(*) AS n_child FROM events)
+        |SELECT c.n_child, o.n_orphans,
+        |       round(o.n_orphans * 1.0 / greatest(c.n_child, 1), 6) AS orphan_frac
+        |FROM c, o""".stripMargin,
 
     "q_ext_normalize" ->
       """WITH n AS (

@@ -54,6 +54,21 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-batch) exact dedup: drop rows whose content
+    * fingerprint already exists in `seenFps` — the "new corpus drop vs
+    * historical store" operation that makes dedup O(new batch), not
+    * O(whole corpus), per ingest. One anti-join on the 8-byte
+    * fingerprint; persist the store bucketed by fingerprint
+    * ([[graft.io.Bucketing]]) and the join co-locates with no shuffle
+    * of the store side.
+    */
+  def dropSeenFingerprints(
+      df: DataFrame, textCol: String,
+      seenFps: DataFrame, fpCol: String = "fingerprint"): DataFrame =
+    df.join(
+      seenFps.select(col(fpCol).as("__seen_fp")).distinct(),
+      TextStats.fingerprintMd5(col(textCol)) === col("__seen_fp"), "left_anti")
+
   // ------------------------------------------------- word-set Jaccard
   /** Near-duplicate pairs by Jaccard similarity of distinct token sets.
     * Inverted-index self-join: only documents sharing at least one token

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling / validation primitives (the deequ-style tier a
+  * training-data pipeline runs before it trusts a new corpus drop):
+  * one-pass per-column profiles and referential-integrity checks.
+  *
+  * Reference scope note: the reference pipeline validates its inputs
+  * ad hoc (required-column checks, NA drops); this module is the
+  * engine-level generalization of that tier for arbitrary tables.
+  */
+object Profile {
+
+  /** Per-column profile in long format: column, n_rows, n_null,
+    * null_frac, n_distinct, min/max (stringified so heterogeneous
+    * column types share one schema).
+    *
+    * Single aggregate over one scan. Exact distinct counts compile to
+    * Expand (one grouping per distinct column) — the right gate
+    * semantics; at corpus scale swap in [[approxProfile]], whose
+    * HLL-sketch distincts keep the plan a single pass with no Expand.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value")).as(structName(c))
+    }
+    explodeProfiles(df, cols, perCol)
+  }
+
+  /** [[profile]] with sketch-based distinct counts — single pass, no
+    * Expand, the 100 TB shape. Estimates, so spec-gated, not
+    * oracle-gated (`rsd` = HLL++ relative standard deviation).
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        approx_count_distinct(col(c), rsd).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value")).as(structName(c))
+    }
+    explodeProfiles(df, cols, perCol)
+  }
+
+  // Struct aggregates get predictable aliases so the explode can
+  // reference them; backticks guard dotted/spaced source column names.
+  private def structName(c: String): String = s"profile_$c"
+
+  private def explodeProfiles(
+      df: DataFrame, cols: Seq[String],
+      perCol: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"), perCol: _*)
+      .select(col("n_rows"),
+        explode(array(cols.map(c => col(s"`${structName(c)}`")): _*)).as("p"))
+      .select(
+        col("p.column").as("column"),
+        col("n_rows"),
+        col("p.n_null").as("n_null"),
+        round(col("p.n_null").cast("double") / greatest(col("n_rows"), lit(1L)), 6)
+          .as("null_frac"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.min_value").as("min_value"),
+        col("p.max_value").as("max_value"))
+
+  /** Referential-integrity check: child rows whose `fkCol` value has no
+    * match in `parent.pkCol` (NULL fks are not violations, matching SQL
+    * FK semantics). Returns one row: n_child, n_orphans, orphan_frac.
+    * Plan: one anti-join — broadcast when the parent key side is small,
+    * shuffle otherwise; Catalyst picks by stats.
+    */
+  def fkViolations(
+      child: DataFrame, fkCol: String, parent: DataFrame, pkCol: String): DataFrame = {
+    val orphans = child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+    val nOrphans = orphans.agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(broadcast(nOrphans))
+      .select(col("n_child"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / greatest(col("n_child"), lit(1L)), 6)
+          .as("orphan_frac"))
+  }
+}

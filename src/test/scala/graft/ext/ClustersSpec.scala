@@ -28,6 +28,15 @@ class ClustersSpec extends SparkTestBase {
     assert(kept.toSeq === Seq(1L, 4L, 5L))
   }
 
+  test("dropSeenFingerprints keeps only unseen content") {
+    val hist = Seq((1L, "seen text"), (2L, "other")).toDF("doc_id", "text")
+    val store = Dedup.exactGroups(hist, "doc_id", "text").select("fingerprint")
+    val fresh = Seq((10L, "seen text"), (11L, "brand new")).toDF("doc_id", "text")
+    val kept = Dedup.dropSeenFingerprints(fresh, "text", store)
+      .select("doc_id").as[Long].collect()
+    assert(kept.toSeq === Seq(11L))
+  }
+
   test("a long chain needs ~diameter rounds; a tight cap fails loudly") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
