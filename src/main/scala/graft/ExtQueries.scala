@@ -303,6 +303,16 @@ object ExtQueries {
         TextStats.topNgramFrac(col("text"), 3).as("top_trigram_frac"))
     }),
 
+    // Ordered conversion funnel over the event log: view -> click ->
+    // purchase, each step strictly after the previous per user.
+    "q_ext_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnelCounts(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // Daily cohort retention triangle over the event log.
+    "q_ext_retention" -> ((s, dir) =>
+      graft.ops.Funnel.retention(Tables.events(s, dir), "user_id", "ts")),
+
     // Incremental dedup: the docs in the "new drop" (doc_id >= 400)
     // whose content was never seen in the "historical store" (< 400) —
     // one anti-join on 8-byte fingerprints, O(new batch) per ingest.
@@ -650,6 +660,32 @@ object ExtQueries {
         |  UNION
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
+
+    "q_ext_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t0
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 0 AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin,
+
+    "q_ext_retention" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT u, min(d) AS cohort FROM acts GROUP BY 1)
+        |SELECT cohort, CAST(d - cohort AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM acts JOIN coh USING (u)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_ext_dedup_incremental" ->
       """SELECT doc_id FROM documents
