@@ -335,6 +335,21 @@ object ExtQueries {
       Profile.fkViolations(Tables.events(s, dir), "user_id",
         Tables.load(s, dir, "customer"), "c_custkey")),
 
+    // PII redaction: the corpus has no real PII, so the query PLANTS
+    // deterministic emails/URLs/phones/IPs derived from doc_id, then
+    // scrubs them — the oracle re-plants and re-scrubs with the same
+    // RE2-compatible patterns, pinning regex semantics across engines.
+    "q_ext_redact_pii" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or http://site.example/p/"), col("doc_id"),
+        lit(" tel +62 811 555 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextStats.redactPii(dirty).as("clean"))
+    }),
+
     // Canonical text normalization + its fingerprint: the tier-1 dedup
     // key (case/punctuation/spacing-invariant). The oracle spells the
     // same pipeline in DuckDB regexes ('g' flag = Spark's replace-all).
@@ -728,6 +743,23 @@ object ExtQueries {
         |SELECT c.n_child, o.n_orphans,
         |       round(o.n_orphans * 1.0 / greatest(c.n_child, 1), 6) AS orphan_frac
         |FROM c, o""".stripMargin,
+
+    "q_ext_redact_pii" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id ||
+        |         '@mail.example.com or http://site.example/p/' || doc_id ||
+        |         ' tel +62 811 555 ' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(d,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         '\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}', '<PHONE>', 'g'),
+        |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM dirty""".stripMargin,
 
     "q_ext_normalize" ->
       """WITH n AS (

@@ -102,16 +102,32 @@ object TextStats {
 
   // ------------------------------------- repetition quality signals
   /** Word n-grams of the text as an array column; empty array when the
-    * document has fewer than `n` tokens (a bare `sequence(0, size-n)`
-    * would flip to a DESCENDING sequence there and fabricate grams).
+    * document has fewer than `n` tokens.
+    *
+    * Built by zipping the token array with its own k-shifted slices
+    * (`zip_with` materializes each argument array ONCE per row) rather
+    * than indexing back into the tokens with `element_at` inside a
+    * lambda — higher-order lambdas run interpreted, where every
+    * `element_at(tokens(text), i)` reference would re-split the whole
+    * document per element: O(L²) re-parses that measured ~30 s for one
+    * small scale factor. The zip spelling is O(L·n).
+    *
+    * zip_with pads the shorter side with nulls; the null tail of the
+    * accumulator is always a subset of the shift's null tail, so one
+    * final isNotNull filter yields exactly the L-n+1 grams.
     */
   def ngramArray(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1: $n")
     val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    if (n == 1) toks
+    else {
+      val grams = (2 to n).foldLeft(toks) { (acc, k) =>
+        val shifted = slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0)))
+        zip_with(acc, shifted,
+          (a, b) => when(b.isNotNull && a.isNotNull, concat_ws(" ", a, b)))
+      }
+      filter(grams, x => x.isNotNull)
+    }
   }
 
   /** Fraction of the document's n-grams taken by its single most
@@ -193,6 +209,29 @@ object TextStats {
   def normalizeForDedup(text: Column): Column =
     lower(trim(regexp_replace(
       regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " ")))
+
+  /** PII patterns for [[redactPii]], deliberately in the common
+    * RE2-compatible subset (no backreferences, no lookaround) so the
+    * same pattern strings run identically under Java regex and RE2 —
+    * portable across engines and auditable as data, not code.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // order matters: emails before bare domains, URLs before hostnames
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}" -> "<PHONE>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+
+  /** Scrub personally-identifiable patterns (emails, URLs, phone
+    * numbers, IPv4s) to typed placeholders — the standard pre-training
+    * hygiene pass. A chain of codegen'd regexp_replace calls; each
+    * replaces ALL occurrences (Spark default, = the 'g' flag
+    * elsewhere).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
 
   /** Content fingerprint: first 16 hex chars of md5 — stable across
     * engines, enough bits (64) for dedup bucketing at trillions of docs.

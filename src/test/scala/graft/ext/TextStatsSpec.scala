@@ -76,6 +76,21 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(3).getDouble(1) === 0.0)
   }
 
+  test("redactPii replaces emails, URLs, phones, and IPs with typed tags") {
+    val df = Seq(
+      "mail a.b+c@x-corp.co.id now",
+      "see https://ex.am/ple?q=1 and http://plain.net",
+      "call +62 811 555 0042 ok",
+      "host 192.168.0.1 up",
+      "clean text stays").toDF("text")
+    val got = df.select(TextStats.redactPii($"text")).as[String].collect()
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "see <URL> and <URL>")
+    assert(got(2).startsWith("call <PHONE>") && got(2).endsWith("ok"))
+    assert(got(3) === "host <IP> up")
+    assert(got(4) === "clean text stays")
+  }
+
   test("normalizeForDedup: case, punctuation, and spacing variants collapse") {
     val df = Seq("Hello,  World!", "hello world", "HELLO -- world ").toDF("text")
     val got = df.select(TextStats.normalizeForDedup($"text")).as[String].collect()
