@@ -303,6 +303,32 @@ object ExtQueries {
         TextStats.topNgramFrac(col("text"), 3).as("top_trigram_frac"))
     }),
 
+    // The SQL entry point end-to-end: registered tables + the engine's
+    // native vec_cosine expression driven purely from SQL text (the
+    // extension registers it into every session via
+    // spark.sql.extensions; register() below covers bare sessions).
+    "q_ext_sql_api" -> ((s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("g_emb")
+      s.sql("""
+        SELECT a.vec_id,
+               round(vec_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                CAST(b.embedding AS ARRAY<DOUBLE>)), 6) AS sim
+        FROM g_emb a JOIN g_emb b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 50 = 0""")
+    }),
+
+    // Snapshot diff between two simulated corpus drops: old = docs
+    // < 450, new = docs >= 50 with every doc_id % 100 == 0 edited.
+    "q_ext_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") < 450)
+      val newSnap = docs.filter(col("doc_id") >= 50).withColumn("text",
+        when(col("doc_id") % 100 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      graft.ops.Diff.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("text"))
+    }),
+
     // Ordered conversion funnel over the event log: view -> click ->
     // purchase, each step strictly after the previous per user.
     "q_ext_funnel" -> ((s, dir) =>
@@ -675,6 +701,30 @@ object ExtQueries {
         |  UNION
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
+
+    "q_ext_sql_api" ->
+      """SELECT a.vec_id,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id % 50 = 0""".stripMargin,
+
+    "q_ext_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 450),
+        |n AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 100 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |       END AS change_type
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+        |           WHEN n.doc_id IS NULL THEN 'removed'
+        |           WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+        |      END IS NOT NULL""".stripMargin,
 
     "q_ext_funnel" ->
       """WITH s0 AS (
