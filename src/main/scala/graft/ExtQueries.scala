@@ -303,6 +303,21 @@ object ExtQueries {
         TextStats.topNgramFrac(col("text"), 3).as("top_trigram_frac"))
     }),
 
+    // Partition-pruned layout: write the event log date-partitioned,
+    // read back a 3-day window — the scan prunes directories at
+    // planning time (PartitionFilters; asserted in LayoutSpec). The
+    // oracle computes the same window from the raw table.
+    "q_ext_partition_prune" -> ((s, dir) => {
+      val out = "target/g_events_by_day"
+      graft.io.Layout.writeDatePartitioned(
+        Tables.events(s, dir).select(col("event_id"), col("ts"),
+          col("event_type"), col("value")), "ts", out)
+      graft.io.Layout.readDatePartitioned(s, out)
+        .filter(col("p_date").between(lit("2024-01-05"), lit("2024-01-07")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+    }),
+
     // The SQL entry point end-to-end: registered tables + the engine's
     // native vec_cosine expression driven purely from SQL text (the
     // extension registers it into every session via
@@ -701,6 +716,12 @@ object ExtQueries {
         |  UNION
         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
         |SELECT node, min(r) AS cluster FROM reach GROUP BY node""".stripMargin,
+
+    "q_ext_partition_prune" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        |GROUP BY 1""".stripMargin,
 
     "q_ext_sql_api" ->
       """SELECT a.vec_id,
