@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Fleet-wide plan-shape guardrail: every driver query's physical plan
+  * is checked for the two unambiguous scale-killers —
+  *
+  *  - `CartesianProductExec`: an unbounded all-pairs join (a broadcast
+  *    nested-loop against a bounded side is fine and is what the ANN
+  *    baseline plans; the non-broadcast cartesian is never fine);
+  *  - `WindowExec` with an empty partition spec: "moving all data to a
+  *    single partition" — the round-2 verdict's named scale-killer,
+  *    engineered out via keyed windows and ChunkedWindow.
+  *
+  * Checked on the pre-AQE physical plan (`sparkPlan`), which exposes
+  * the full operator tree without executing most queries. Queries
+  * whose BUILDER already runs jobs (streams run to completion, sink
+  * round-trips) still pass through at the smallest scale factor.
+  * This spec is what keeps future queries honest: a regression that
+  * reintroduces either shape fails the suite, not a human review.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: no cartesian product, no unpartitioned window") {
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val cartesians = plan.collect { case c: CartesianProductExec => c }
+      assert(cartesians.isEmpty,
+        s"$name plans CartesianProductExec — unbounded all-pairs join")
+      val globalWindows = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$name plans a single-partition global WindowExec")
+    }
+  }
+}
