@@ -737,6 +737,30 @@ object SparkEntry {
         (col("maxGapMillis") / 1000).cast("long").as("max_gap_s"))
     }),
 
+    // §2.10 driver-gated file-sink persistence: the production
+    // streaming path (parquet sink + checkpoint) run to completion and
+    // READ BACK — output-commit correctness, not just in-memory state.
+    // Output and checkpoint are cleared first so the query is
+    // idempotent across driver runs.
+    "q_st5_stream_file_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = new java.io.File("target/g_st5_out").getAbsolutePath
+      val ckpt = new java.io.File("target/g_st5_ckpt").getAbsolutePath
+      Seq(out, ckpt).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+      val docs = streamTable(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("fp"))
+      val q = fp.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
@@ -1313,5 +1337,9 @@ object SparkEntry {
     "q_st4_stream_enrich" ->
       """SELECT event_id, n_name
         |FROM events JOIN nation ON n_nationkey = user_id % 25""".stripMargin,
+
+    // The parquet-sink stream's committed output == the batch projection.
+    "q_st5_stream_file_sink" ->
+      "SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents",
   )
 }
