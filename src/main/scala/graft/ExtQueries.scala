@@ -290,6 +290,18 @@ object ExtQueries {
       Clusters.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Context-window chunking: 32-token windows, stride 24 (8-token
+    // overlap), exploded to one row per chunk with its token count.
+    "q_ext_chunk" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextStats.chunkTokens(col("text"), 32, 24))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk"),
+          TextStats.tokenCount(col("chunk")).cast("long").as("n_tokens"))
+    }),
+
     // Gopher-family repetition quality signals, all per-row HOFs (zero
     // shuffle): within-doc duplicate-token fraction and the fraction of
     // n-grams taken by the most frequent 2-/3-gram. The oracle
@@ -885,6 +897,22 @@ object ExtQueries {
         |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks))
         |SELECT gram, count(*) AS n FROM grams GROUP BY 1
         |ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "q_ext_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         greatest(CAST(ceil((len(t) - 32) * 1.0 / 24) AS INTEGER) + 1, 1)
+        |           AS n_chunks
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, unnest(range(n_chunks)) AS chunk_id, t FROM n)
+        |SELECT doc_id, chunk_id,
+        |       array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk,
+        |       CAST(least(len(t) - chunk_id * 24, 32) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
 
     "q_ext_repetition" ->
       """WITH toks AS (

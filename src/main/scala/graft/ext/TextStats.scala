@@ -210,6 +210,27 @@ object TextStats {
     lower(trim(regexp_replace(
       regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " ")))
 
+  /** Split a document into fixed-size token windows with stride
+    * `stride` (overlap = size - stride) — context-window / RAG chunk
+    * preparation. Returns the array of chunk strings; explode it for
+    * the long form. A document shorter than `size` yields one chunk.
+    *
+    * Cost note (see the HOF lesson in SCALE.md): the slice lambda
+    * re-derives the token array per CHUNK (not per token), so the
+    * per-row cost is O(chunks × L) — bounded and fine for documents;
+    * for pathological multi-million-token rows, explode to (doc, pos)
+    * and group by pos div stride instead.
+    */
+  def chunkTokens(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size: size=$size stride=$stride")
+    val nChunks = greatest(
+      ceil((tokenCount(text) - size).cast("double") / stride).cast("int") + 1,
+      lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(tokens(text), i * stride + 1, lit(size))))
+  }
+
   /** PII patterns for [[redactPii]], deliberately in the common
     * RE2-compatible subset (no backreferences, no lookaround) so the
     * same pattern strings run identically under Java regex and RE2 —

@@ -76,6 +76,17 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(3).getDouble(1) === 0.0)
   }
 
+  test("chunkTokens: windows with overlap; short docs give one chunk") {
+    val df = Seq("a b c d e f g h i j", "x y", "").toDF("text")
+    val got = df.select(TextStats.chunkTokens($"text", 4, 2)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c d", "c d e f", "e f g h", "g h i j"))
+    assert(got(1) === Seq("x y"))
+    assert(got(2) === Seq(""))
+    // exact cover, no stride: disjoint windows, ragged tail
+    val cover = df.select(TextStats.chunkTokens($"text", 4, 4)).as[Seq[String]].collect()
+    assert(cover(0) === Seq("a b c d", "e f g h", "i j"))
+  }
+
   test("redactPii replaces emails, URLs, phones, and IPs with typed tags") {
     val df = Seq(
       "mail a.b+c@x-corp.co.id now",
