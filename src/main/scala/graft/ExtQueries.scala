@@ -382,6 +382,24 @@ object ExtQueries {
     "q_ext_profile" -> ((s, dir) =>
       Profile.profile(Tables.documents(s, dir), Seq("lang", "source", "n_chars"))),
 
+    // The sketch-distinct profile under the gate: everything except the
+    // HLL estimate is hash-checked against the exact-profile oracle;
+    // the estimate itself is tolerance-gated (|approx-exact|/exact <=
+    // 15% ~ 3x the default 5% rsd) — the q_a6b pattern for mergeable
+    // sketches whose exact value is engine-specific.
+    "q_ext_profile_approx" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("lang", "source", "n_chars")
+      val ex = Profile.profile(docs, cols)
+      val ap = Profile.approxProfile(docs, cols)
+        .select(col("column"), col("n_distinct").as("n_distinct_approx"))
+      ex.join(broadcast(ap), "column")
+        .select(col("column"), col("n_rows"), col("n_null"), col("null_frac"),
+          col("min_value"), col("max_value"),
+          (abs(col("n_distinct_approx") - col("n_distinct")).cast("double")
+            / greatest(col("n_distinct"), lit(1L)) <= 0.15).as("approx_ok"))
+    }),
+
     // Referential-integrity check: events whose user_id has no matching
     // customer row (NULL fks excluded per SQL FK semantics).
     "q_ext_fk_check" -> ((s, dir) =>
@@ -452,6 +470,82 @@ object ExtQueries {
       val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.8)
       Dedup.keepCanonical(docs, "doc_id", pairs)
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    }),
+
+    // CDC changelog apply: a base snapshot plus two upsert/delete
+    // batches and an insert batch, latest change per key winning —
+    // incremental corpus maintenance instead of full recompute. The
+    // oracle replays the same changelog with a window in DuckDB.
+    "q_ext_cdc_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val base = docs.filter(col("doc_id") < 450)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+      val b2 = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 2000)
+        .withColumn("seq", lit(2L))
+        .withColumn("op", when(col("doc_id") % 20 === 0, "D").otherwise("U"))
+      val ins = docs.filter(col("doc_id") >= 450)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      graft.ops.Cdc.applyChangelog(
+        base, b1.unionByName(b2).unionByName(ins), Seq("doc_id"), "seq", "op")
+    }),
+
+    // Z-order (Morton) value: the multi-dimensional clustering key,
+    // hash-checked bit-for-bit against the same interleave respelled in
+    // DuckDB integer bit ops (ZOrder.zValueSql — one source of truth).
+    "q_ext_zorder_value" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("user_id") % 256).as("x"), (col("event_id") % 256).as("y"))
+        .select(col("event_id"), col("x"), col("y"),
+          graft.functions.ZOrder.zValue(col("x"), col("y"), 8).as("z"))),
+
+    // Z-ordered layout end-to-end: write the event log clustered along
+    // the z-curve of (user bucket, event bucket), read back through a
+    // 2-D box predicate — pushed to the parquet reader, where the
+    // z-sorted row groups' tight min/max boxes skip most of the file
+    // (ZOrderSpec asserts the pushdown; this query gates the numbers).
+    "q_ext_zorder_scan" -> ((s, dir) => {
+      val out = "target/g_events_zorder"
+      val e = Tables.events(s, dir).select(
+        col("event_id"), col("value"),
+        (col("user_id") % 256).as("x"), (col("event_id") % 256).as("y"))
+      graft.io.Layout.writeZOrdered(
+        e, graft.functions.ZOrder.zValue(col("x"), col("y"), 8), out, 8)
+      s.read.parquet(out)
+        .filter(col("x").between(32, 63) && col("y").between(96, 127))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    }),
+
+    // Corpus vocabulary: top-50 terms by occurrence, planned as
+    // TakeOrderedAndProject (bounded top-k, no full sort shuffle).
+    "q_ext_vocab" -> ((s, dir) =>
+      Vocab.buildVocab(Tables.documents(s, dir), "text", 50)),
+
+    // Per-document OOV rate against the top-30 vocabulary — the
+    // tokenizer-coverage measurement (explode -> broadcast vocab join ->
+    // partial-agg back to one row per doc).
+    "q_ext_oov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Vocab.oovStats(docs, "doc_id", "text", Vocab.buildVocab(docs, "text", 30))
+    }),
+
+    // SCD2 history build: each purchase observation becomes a validity
+    // interval per user — valid_from / valid_to / is_current via one
+    // keyed lead() window.
+    "q_ext_scd2" -> ((s, dir) => {
+      val ch = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          graft.ops.TimeOps.epochSeconds(col("ts")).as("sec"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      graft.ops.Cdc.scd2History(ch, Seq("user_id"), "sec")
+        .select(col("user_id"), col("v"), col("valid_from"), col("valid_to"),
+          col("is_current"))
     }),
   )
 
@@ -817,6 +911,30 @@ object ExtQueries {
         |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         |FROM documents""".stripMargin,
 
+    "q_ext_profile_approx" ->
+      """SELECT 'lang' AS column, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / greatest(count(*), 1), 6) AS null_frac,
+        |       CAST(min(lang) AS VARCHAR) AS min_value,
+        |       CAST(max(lang) AS VARCHAR) AS max_value,
+        |       TRUE AS approx_ok
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*),
+        |       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / greatest(count(*), 1), 6),
+        |       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR), TRUE
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*),
+        |       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / greatest(count(*), 1), 6),
+        |       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR), TRUE
+        |FROM documents""".stripMargin,
+
     "q_ext_fk_check" ->
       """WITH o AS (
         |  SELECT count(*) AS n_orphans FROM events e
@@ -968,5 +1086,72 @@ object ExtQueries {
         |SELECT doc_id, length(text) AS text_len
         |FROM documents
         |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT node FROM losers)""".stripMargin,
+
+    "q_ext_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 450),
+        |ch AS (
+        |  SELECT doc_id, source, n_chars + 1000 AS n_chars, 1 AS seq, 'U' AS op
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars + 2000, 2,
+        |         CASE WHEN doc_id % 20 = 0 THEN 'D' ELSE 'U' END
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars, 1, 'I'
+        |  FROM documents WHERE doc_id >= 450),
+        |latest AS (
+        |  SELECT doc_id, source, n_chars, op FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT b.doc_id, b.source, b.n_chars FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
+        |UNION ALL
+        |SELECT doc_id, source, n_chars FROM latest WHERE op <> 'D'""".stripMargin,
+
+    "q_ext_zorder_value" -> {
+      val z = graft.functions.ZOrder.zValueSql("x", "y", 8)
+      s"""WITH e AS (
+         |  SELECT event_id, user_id % 256 AS x, event_id % 256 AS y FROM events)
+         |SELECT event_id, x, y, $z AS z FROM e""".stripMargin
+    },
+
+    "q_ext_zorder_scan" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT value, user_id % 256 AS x, event_id % 256 AS y FROM events)
+        |WHERE x BETWEEN 32 AND 63 AND y BETWEEN 96 AND 127""".stripMargin,
+
+    "q_ext_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n_occ FROM toks GROUP BY 1
+        |ORDER BY n_occ DESC, term LIMIT 50""".stripMargin,
+
+    "q_ext_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |v AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS n FROM toks GROUP BY 1
+        |    ORDER BY n DESC, term LIMIT 30))
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN v ON t.term = v.term
+        |GROUP BY 1""".stripMargin,
+
+    "q_ext_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         round(avg(value), 6) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, v, sec AS valid_from,
+        |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec) AS valid_to,
+        |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL AS is_current
+        |FROM ch""".stripMargin,
   )
 }

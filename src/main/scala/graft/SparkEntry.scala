@@ -761,6 +761,36 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // §2.10 driver-gated stream-STREAM interval join: clicks correlated
+    // to same-user purchases within the following 10 minutes, both
+    // sides live streams with watermarks (the state-eviction contract).
+    // AvailableNow delivers everything inside the watermark, so the
+    // emitted set equals the batch interval join the oracle runs.
+    "q_st6_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def ev() = {
+        val raw = streamTable(s, dir, "events")
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      }
+      val clicks = ev().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+          clicks, purchases, Seq("user_id"), "click_ts", "purchase_ts",
+          minLagSec = 0L, maxLagSec = 600L, watermarkDelay = "30 minutes")
+        .select(col("click_id"), col("purchase_id"))
+      s.catalog.dropTempView("g_st6")
+      val q = joined.writeStream.format("memory").queryName("g_st6")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st6")
+    }),
+
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
@@ -1341,5 +1371,14 @@ object SparkEntry {
     // The parquet-sink stream's committed output == the batch projection.
     "q_st5_stream_file_sink" ->
       "SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents",
+
+    // The stream-stream interval join's emitted set == the batch
+    // interval join (AvailableNow delivers everything in-watermark).
+    "q_st6_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECONDS""".stripMargin,
   )
 }

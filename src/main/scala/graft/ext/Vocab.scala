@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-prep operators: corpus vocabulary construction and
+  * out-of-vocabulary rates — the coverage measurements run before
+  * freezing a tokenizer or filtering a corpus against one.
+  *
+  * Scale shape: [[buildVocab]] is explode → partially-aggregated
+  * groupBy(term) → global bounded top-k, which Catalyst plans as
+  * TakeOrderedAndProject (k rows per partition cross the wire, no full
+  * sort shuffle). [[oovStats]] broadcasts the vocabulary (top-V is
+  * driver-bounded by construction) under the exploded token stream and
+  * partially aggregates back to one row per document — token rows never
+  * shuffle, only per-document partial counts do.
+  */
+object Vocab {
+
+  /** Top `topV` whitespace terms by total occurrence count:
+    * (term, n_occ). Ties break lexicographically so the vocabulary is
+    * deterministic across engines and partitionings.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, topV: Int): DataFrame =
+    docs.select(explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("term")).limit(topV)
+
+  /** Per-document coverage against `vocab` (a (term, ...) frame):
+    * (idCol, n_tokens, n_oov, oov_rate).
+    */
+  def oovStats(
+      docs: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("term"))
+      .join(broadcast(vocab.select(col("term"), lit(1).as("__in"))), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+}

@@ -30,4 +30,22 @@ object Layout {
     */
   def readDatePartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Write `df` clustered along `zCol` (a
+    * [[graft.functions.ZOrder.zValue]] column): range-partition into
+    * `numFiles` z-ranges, sort within each, drop the helper column,
+    * write parquet. Because the z-curve keeps both source dimensions
+    * locally contiguous, every row group's min/max stats form a tight
+    * box in BOTH dimensions — a 2-D range predicate on the read side is
+    * pushed to the parquet reader and skips row groups that a
+    * single-column sort could only skip for one dimension.
+    */
+  def writeZOrdered(
+      df: DataFrame, zCol: org.apache.spark.sql.Column,
+      outDir: String, numFiles: Int): Unit =
+    df.withColumn("__z", zCol)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 }

@@ -1,0 +1,37 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class VocabSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a a a b b c"),
+    (2L, "a b x y"),
+    (3L, "a z")
+  ).toDF("id", "text")
+
+  test("buildVocab: top-V by occurrence, lexicographic tiebreak") {
+    val got = Vocab.buildVocab(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // a=5, b=3, then c/x/y/z all =1 -> 'c' wins the tie
+    assert(got === List(("a", 5L), ("b", 3L), ("c", 1L)))
+  }
+
+  test("buildVocab plans a bounded top-k, not a full sort shuffle") {
+    val plan = Vocab.buildVocab(docs, "text", 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was: $plan")
+  }
+
+  test("oovStats: per-doc token and OOV counts against the vocab") {
+    val vocab = Vocab.buildVocab(docs, "text", 2) // {a, b}
+    val got = Vocab.oovStats(docs, "id", "text", vocab)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((6L, 1L, 0.166667)), // c
+      2L -> ((4L, 2L, 0.5)),      // x y
+      3L -> ((2L, 1L, 0.5))))     // z
+  }
+}
