@@ -487,10 +487,111 @@ object ExtQueries {
         .withColumn("n_chars", col("n_chars") + 2000)
         .withColumn("seq", lit(2L))
         .withColumn("op", when(col("doc_id") % 20 === 0, "D").otherwise("U"))
+      // seq 0: inserts land BEFORE both update batches so every key's
+      // (seq) sequence is unique — a tie would make latest-wins
+      // ill-defined (and engine-dependent, as the gate demonstrated).
       val ins = docs.filter(col("doc_id") >= 450)
-        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+        .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
       graft.ops.Cdc.applyChangelog(
         base, b1.unionByName(b2).unionByName(ins), Seq("doc_id"), "seq", "op")
+    }),
+
+    // Per-group z-score normalization (feature standardization before
+    // training): group stats via one partially-aggregated pass,
+    // broadcast back under the fact rows — no window, no second scan
+    // shuffle of the data.
+    "q_ext_zscore" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val stats = e.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+    }),
+
+    // Trailing event-time RANGE frame: per-series mean over the
+    // preceding 30 minutes of VALUE TIME (not row count) — the window
+    // frame shape row-based frames can't express; keyed partitioning
+    // keeps the sort per-series.
+    "q_ext_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          graft.ops.TimeOps.epochSeconds(col("ts")).as("sec"), col("value"))
+        .groupBy(col("event_type"), col("sec"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("sec")
+        .rangeBetween(-1800L, Window.currentRow)
+      e.select(col("event_type"), col("sec"),
+        round(avg(col("v")).over(w), 6).as("trail30m"),
+        count(lit(1)).over(w).cast("long").as("n_in_range"))
+    }),
+
+    // Quality-decile binning per source (the stratified filter
+    // threshold: "keep the top 30% of each source"): ntile over a
+    // keyed window on a deterministic score.
+    "q_ext_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    // Per-source token-budget selection: documents admitted in
+    // deterministic hash order until each source's running token total
+    // crosses the budget — the corpus recipe when quotas are token
+    // counts (one keyed running-sum window per source).
+    "q_ext_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
+      Sampling.takeTokenBudget(docs, "doc_id", "source", "n_tok", 1000L, "tb")
+        .select(col("doc_id"), col("source"), col("n_tok"))
+    }),
+
+    // Hash-sharded export layout: deterministic multiplicative-hash
+    // shard assignment (pure integer arithmetic, engine-portable),
+    // written one file per shard and read back — the training-data
+    // export shape. The oracle recomputes shard membership and the
+    // per-shard digests from the raw table with the same arithmetic.
+    "q_ext_shards" -> ((s, dir) => {
+      val out = "target/g_docs_sharded"
+      graft.io.Layout.writeSharded(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", 8, out)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Pearson correlation / covariance per group — the feature-drift
+    // aggregates (built-in single-pass co-moment aggregates, one
+    // partially-aggregated shuffle).
+    "q_ext_corr" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          count(lit(1)).as("n"))),
+
+    // Token-distribution Shannon entropy per document (the
+    // information-density quality signal); DuckDB's entropy() aggregate
+    // recomputes the same log2 definition independently.
+    "q_ext_entropy" -> ((s, dir) =>
+      TextStats.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("token_entropy"), 6).as("token_entropy"))),
+
+    // Exact-verification tier over the jaccard candidate pairs: unit-cost
+    // Levenshtein distance, computed ONLY on the bounded candidate set.
+    "q_ext_editdist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.verifyByEditDistance(pairs, docs, "doc_id", "text", maxDist = 400)
+        .select(col("id_a"), col("id_b"), col("edit_dist").cast("long").as("edit_dist"))
     }),
 
     // Z-order (Morton) value: the multi-dimensional clustering key,
@@ -1098,7 +1199,7 @@ object ExtQueries {
         |         CASE WHEN doc_id % 20 = 0 THEN 'D' ELSE 'U' END
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id, source, n_chars, 1, 'I'
+        |  SELECT doc_id, source, n_chars, 0, 'I'
         |  FROM documents WHERE doc_id >= 450),
         |latest AS (
         |  SELECT doc_id, source, n_chars, op FROM (
@@ -1108,6 +1209,87 @@ object ExtQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
         |UNION ALL
         |SELECT doc_id, source, n_chars FROM latest WHERE op <> 'D'""".stripMargin,
+
+    "q_ext_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round((value - mu) / sd, 6) AS z
+        |FROM events JOIN s USING (event_type)""".stripMargin,
+
+    "q_ext_range_window" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         round(avg(value), 6) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, sec,
+        |       round(avg(v) OVER (PARTITION BY event_type ORDER BY sec
+        |         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 6) AS trail30m,
+        |       count(*) OVER (PARTITION BY event_type ORDER BY sec
+        |         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS n_in_range
+        |FROM s""".stripMargin,
+
+    "q_ext_ntile" ->
+      """SELECT doc_id, source, n_chars,
+        |       CAST(ntile(10) OVER (PARTITION BY source
+        |         ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents""".stripMargin,
+
+    "q_ext_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |         substring(md5('tb' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+        |  FROM s)
+        |SELECT doc_id, source, n_tok FROM c WHERE cum - n_tok < 1000""".stripMargin,
+
+    "q_ext_shards" -> {
+      val sh = graft.io.Layout.shardIdSql("doc_id", 8)
+      s"""SELECT $sh AS shard, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1""".stripMargin
+    },
+
+    "q_ext_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+        |       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+        |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_ext_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, round(entropy(w), 6) AS token_entropy
+        |FROM toks GROUP BY 1""".stripMargin,
+
+    "q_ext_editdist" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8)
+        |SELECT p.id_a, p.id_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM pairs p
+        |JOIN documents a ON a.doc_id = p.id_a
+        |JOIN documents b ON b.doc_id = p.id_b
+        |WHERE levenshtein(a.text, b.text) <= 400""".stripMargin,
 
     "q_ext_zorder_value" -> {
       val z = graft.functions.ZOrder.zValueSql("x", "y", 8)

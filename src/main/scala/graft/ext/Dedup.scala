@@ -82,6 +82,26 @@ object Dedup {
     * approximation (pairs sharing only ultra-common tokens are missed,
     * and intersection counts exclude pruned tokens).
     */
+  /** Exact-verification tier for candidate pairs: attach the unit-cost
+    * Levenshtein edit distance between the two documents' texts and
+    * keep pairs within `maxDist`. Candidates come from a cheap detector
+    * (LSH bands, Jaccard index, simhash) — this is the expensive exact
+    * check, so it runs ONLY on the bounded candidate set, never
+    * all-pairs: two keyed joins to re-attach texts, then a per-row
+    * codegen'd `levenshtein`. O(len_a × len_b) per pair is the known
+    * cost of the exact metric; the detector's candidate bound is what
+    * makes it affordable at corpus scale.
+    */
+  def verifyByEditDistance(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame =
+    pairs
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__text_a"), col("__text_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .drop("__text_a", "__text_b")
+
   def wordJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       maxDocFreq: Double = 1.0): DataFrame = {

@@ -84,4 +84,23 @@ object Sampling {
       .getOrElse(lit(""))
     df.filter(h < threshold)
   }
+
+  /** Per-source TOKEN-budget selection: admit documents per source in
+    * deterministic hash order until each source's running token total
+    * reaches `budget` (the first document to cross the line is kept, so
+    * every source with data gets at least one doc and the overshoot is
+    * at most one document). The corpus-recipe operator when quotas are
+    * token counts, not rates — one keyed window (running sum per
+    * source), shuffle on the source key only.
+    */
+  def takeTokenBudget(
+      df: DataFrame, keyCol: String, sourceCol: String, sizeCol: String,
+      budget: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(hashHex(col(keyCol), salt), col(keyCol))
+    df.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .filter(col("__cum") - col(sizeCol) < budget)
+      .drop("__cum")
+  }
 }

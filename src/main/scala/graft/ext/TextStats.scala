@@ -198,6 +198,21 @@ object TextStats {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-document Shannon entropy (log2) of the whitespace-token
+    * distribution — the information-density quality signal (boilerplate
+    * and keyword-stuffed spam score low; natural prose scores near
+    * log2(n_tokens) for mostly-distinct tokens). Computed relationally
+    * as H = log2(t) − (Σ c·log2 c)/t from one (doc, token) count — two
+    * partially-aggregated keyed shuffles, no window, no HOF re-derives.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((log2(sum(col("c"))) -
+        sum(col("c").cast("double") * log2(col("c"))) / sum(col("c")))
+        .as("token_entropy"))
+
   /** Dedup-grade canonical form: lowercase, punctuation stripped to
     * spaces, whitespace collapsed, trimmed. Exact dedup over this form
     * catches the trivial-variant duplicates (case, punctuation,

@@ -190,6 +190,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => VectorExpressions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[TextHashExpressions.SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => TextHashExpressions.SimHash64Expr(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_xxhash64"),
+      new ExpressionInfo(classOf[TextHashExpressions.RollingXxHash64].getName, "rolling_xxhash64"),
+      (exprs: Seq[Expression]) => TextHashExpressions.RollingXxHash64(exprs(0), 42L)))
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectOptimizerRule(_ => PushFilterThroughTopK)

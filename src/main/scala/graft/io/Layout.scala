@@ -31,6 +31,56 @@ object Layout {
   def readDatePartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Compact a parquet directory into right-sized files: read, count
+    * the layout's current bytes from the file system, rewrite as
+    * ceil(bytes / targetFileBytes) files. The operational answer to
+    * streaming sinks and incremental appends accreting thousands of
+    * KB-sized files (each costing a task + an open + a footer parse per
+    * read at 100 TB). Round-robin repartition — not coalesce — so the
+    * output files are evenly sized regardless of input skew. Returns
+    * the output file count.
+    */
+  def compact(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
+  /** Deterministic shard id for export layouts: Knuth multiplicative
+    * hash over an integer id, reduced mod `n`. Pure 64-bit integer
+    * arithmetic — no engine-specific hash — so the assignment is
+    * reproducible across Spark, DuckDB, and any downstream reader,
+    * stable under repartitioning, and independent of row order.
+    */
+  def shardId(id: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1, s"shard count must be >= 1, got $n")
+    pmod((id.cast("long") * lit(2654435761L)) % lit(4294967296L), lit(n.toLong))
+  }
+
+  /** The same shard arithmetic as DuckDB SQL, kept beside the Scala so
+    * oracle and operator can never drift.
+    */
+  def shardIdSql(id: String, n: Int): String =
+    s"(((($id * 2654435761) % 4294967296) + 4294967296) % 4294967296) % $n"
+
+  /** Export `df` into exactly `n` hash-sharded parquet directories
+    * (`shard=K/`), one file per shard: the training-data export layout
+    * (a reader can consume shard K alone; re-exports land rows in the
+    * same shard). The repartition ON the shard column makes each task
+    * hold whole shards — one file per shard, not per (task × shard).
+    */
+  def writeSharded(df: DataFrame, idCol: String, n: Int, outDir: String): Unit =
+    df.withColumn("shard", shardId(col(idCol), n))
+      .repartition(n, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Write `df` clustered along `zCol` (a
     * [[graft.functions.ZOrder.zValue]] column): range-partition into
     * `numFiles` z-ranges, sort within each, drop the helper column,

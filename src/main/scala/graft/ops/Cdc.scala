@@ -30,12 +30,22 @@ object Cdc {
     * id) and `opCol` (`"D"` = delete; any other value = upsert). A key's
     * latest `"D"` drops it; a latest upsert replaces the base row or
     * inserts a new one; keys absent from the changelog pass through.
+    *
+    * If a producer ever violates seq-uniqueness, the winner among tied
+    * rows is still DETERMINISTIC (tiebreak on every remaining changelog
+    * column) — the result is stable across engines and reruns rather
+    * than partition-order-dependent, though which tied row "should" win
+    * is the producer's bug to fix.
     */
   def applyChangelog(
       base: DataFrame, changes: DataFrame,
       keys: Seq[String], seqCol: String, opCol: String): DataFrame = {
     require(keys.nonEmpty, "applyChangelog needs at least one key column")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val tiebreak = changes.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == seqCol)
+      .map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +: tiebreak: _*)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= 1)

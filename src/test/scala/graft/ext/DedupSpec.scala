@@ -98,6 +98,19 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.length === 60 * 59 / 2 + 1)
   }
 
+  test("verifyByEditDistance: exact metric over candidates only, threshold filters") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),   // distance 1 from doc 1
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.verifyByEditDistance(pairs, corpus, "doc_id", "text", maxDist = 5)
+      .select("id_a", "id_b", "edit_dist")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got === Map((1L, 2L) -> 1)) // (1,3) exceeds the threshold
+  }
+
   test("simHash: identical text equal, near text close, unrelated far") {
     val fps = docs.select(Dedup.simHash64($"text")).as[Long].collect()
     assert(fps(0) === fps(1))

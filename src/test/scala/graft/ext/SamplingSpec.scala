@@ -44,4 +44,29 @@ class SamplingSpec extends SparkTestBase {
     assert(bySrc("src0") === 400L)
     assert(math.abs(bySrc("src1") - 200) < 80)
   }
+
+  test("takeTokenBudget: hash-ordered admission, overshoot at most one doc") {
+    def md5hex8(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.take(8)
+    }
+    val sized = (0L until 100L).map(i => (i, s"src${i % 2}", 10L + i % 7))
+    val df = sized.toDF("id", "source", "sz")
+    val budget = 120L
+    val got = Sampling.takeTokenBudget(df, "id", "source", "sz", budget, "tb")
+      .select("id").as[Long].collect().toSet
+    // expected: replay the same hash order per source in plain Scala
+    val expected = sized.groupBy(_._2).values.flatMap { rows =>
+      val ordered = rows.sortBy { case (id, _, _) => (md5hex8("tb" + id), id) }
+      val cum = ordered.scanLeft(0L)(_ + _._3).init // running total BEFORE each doc
+      ordered.zip(cum).collect { case ((id, _, _), before) if before < budget => id }
+    }.toSet
+    assert(got === expected)
+    // each source keeps at least one doc and stops within one doc of budget
+    val kept = sized.filter(r => got(r._1)).groupBy(_._2)
+    kept.foreach { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      assert(rows.nonEmpty && total - rows.map(_._3).max < budget)
+    }
+  }
 }

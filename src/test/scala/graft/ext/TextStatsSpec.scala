@@ -120,6 +120,19 @@ class TextStatsSpec extends SparkTestBase {
     assert(top === Map(1L -> "rare", 2L -> "other", 3L -> "unique"))
   }
 
+  test("tokenEntropy: uniform distribution hits log2(k), repetition lowers it") {
+    val df = Seq(
+      (1L, "a b c d"),     // 4 distinct, uniform -> H = 2.0
+      (2L, "a a a a"),     // single token -> H = 0.0
+      (3L, "a a b b")      // two at 1/2 -> H = 1.0
+    ).toDF("doc_id", "text")
+    val got = TextStats.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 2.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+    assert(math.abs(got(3L) - 1.0) < 1e-12)
+  }
+
   test("fingerprints: md5 stable, rolling hash is order-aware") {
     val df = Seq("a b c", "a b c", "c b a").toDF("text")
     val md5s = df.select(TextStats.fingerprintMd5($"text")).as[String].collect()

@@ -34,6 +34,20 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("text-hash expressions are SQL-registered via the session extension") {
+    // the extension session (Sessions.tuned) injects them; compare the
+    // SQL spelling against the Column API bit-for-bit
+    val viaSql = spark.sql(
+      "SELECT simhash64(array('a','b','c')) AS s, rolling_xxhash64(array('a','b','c')) AS r")
+      .head()
+    val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(TextHashExpressions.simHash64($"t").as("s"),
+        TextHashExpressions.rollingXxHash64($"t", 42L).as("r"))
+      .head()
+    assert(viaSql.getLong(0) === viaCol.getLong(0))
+    assert(viaSql.getLong(1) === viaCol.getLong(1))
+  }
+
   test("null input yields null, not a crash") {
     VectorExpressions.register(spark)
     val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").head()

@@ -41,4 +41,45 @@ class LayoutSpec extends SparkTestBase {
     assert(scan.partitionFilters.nonEmpty, "scan must prune on p_date")
     assert(scan.metrics("numFiles").value === 1, "only the matching day's file is read")
   }
+
+  test("shardId matches its SQL spelling and is stable; writeSharded = one file per shard") {
+    val n = 4
+    val ids = (0L until 200L).toDF("id")
+    val got = ids.select(col("id"), Layout.shardId(col("id"), n).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference arithmetic, computed independently
+    got.foreach { case (id, s) =>
+      val expect = ((id * 2654435761L) % 4294967296L) % n
+      assert(s === expect, s"shard($id)")
+    }
+    assert(got.values.toSet.subsetOf((0L until n).toSet))
+    // every shard populated at this cardinality
+    assert(got.values.toSet.size === n)
+
+    val out = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    Layout.writeSharded(
+      (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "payload"), "id", n, out)
+    val dirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("shard="))
+    assert(dirs.length === n)
+    dirs.foreach(d => assert(d.listFiles.count(_.getName.endsWith(".parquet")) === 1))
+    // read-back preserves every row exactly once
+    assert(spark.read.parquet(out).count() === 200L)
+  }
+
+  test("compact rewrites a many-small-files layout into few even files, data intact") {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$root/in"
+    val out = s"$root/out"
+    // 64 tiny files
+    (0L until 1000L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(64).write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(inFiles === 64)
+    val n = Layout.compact(spark, in, out, targetFileBytes = 512L * 1024)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles === n && outFiles < 8, s"got $outFiles files")
+    // content identical
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
+      (0L until 1000L).map(i => (i, s"row$i")).toSet)
+  }
 }
