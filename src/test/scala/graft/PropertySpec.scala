@@ -88,4 +88,32 @@ class PropertySpec extends SparkTestBase {
       assert(got.getInt(0) === got.getInt(1))
     }
   }
+
+  // Changelog generator: random ops over a small key space with GLOBALLY
+  // unique seq, so batch splits at any point are well-defined.
+  private val changelogGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0L, 7L), Gen.oneOf("U", "D", "I")))
+      .map(_.zipWithIndex.map { case ((k, op), i) => (k, i.toLong, op) })
+
+  test("applyChangelog: empty changelog is identity; fold over any batch split == one-shot") {
+    import graft.ops.Cdc
+    val base = (0L until 5L).map(i => (i, i * 10)).toDF("id", "v")
+    val empty = Seq.empty[(Long, Long, String)].toDF("id", "seq", "op")
+      .withColumn("v", lit(0L)).select("id", "v", "seq", "op")
+    assert(Cdc.applyChangelog(base, empty, Seq("id"), "seq", "op")
+      .as[(Long, Long)].collect().toSet === base.as[(Long, Long)].collect().toSet)
+
+    samples(Gen.zip(changelogGen, Gen.choose(5, 35)), 4).foreach { case (log, cut) =>
+      def df(rows: Seq[(Long, Long, String)]) =
+        rows.map { case (k, seq, op) => (k, seq * 100, seq, op) }
+          .toDF("id", "v", "seq", "op")
+      val whole = Cdc.applyChangelog(base, df(log), Seq("id"), "seq", "op")
+      val (b1, b2) = log.splitAt(cut)
+      val folded = Cdc.applyChangelog(
+        Cdc.applyChangelog(base, df(b1), Seq("id"), "seq", "op"),
+        df(b2), Seq("id"), "seq", "op")
+      assert(folded.as[(Long, Long)].collect().toSet ===
+        whole.as[(Long, Long)].collect().toSet, s"cut=$cut log=$log")
+    }
+  }
 }
