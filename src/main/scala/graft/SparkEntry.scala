@@ -222,6 +222,14 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    // Engine extension: full CUBE grouping sets — all four
+    // (returnflag × linestatus) marginal combinations in one Expand
+    // pass (the rollup's lattice-complete twin).
+    "q_x3_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
     // Engine extension (§2.3 note): as-of join — each click event picks
     // up the most recent prior per-second view average of the same user.
     // Composed as union + keyed window (one shuffle, no join node).
@@ -1316,6 +1324,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_x3_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_x1_asof_join" ->
       """WITH r AS (

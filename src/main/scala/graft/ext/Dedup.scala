@@ -88,18 +88,39 @@ object Dedup {
     * (LSH bands, Jaccard index, simhash) — this is the expensive exact
     * check, so it runs ONLY on the bounded candidate set, never
     * all-pairs: two keyed joins to re-attach texts, then a per-row
-    * codegen'd `levenshtein`. O(len_a × len_b) per pair is the known
-    * cost of the exact metric; the detector's candidate bound is what
-    * makes it affordable at corpus scale.
+    * codegen'd THRESHOLD levenshtein (the 3-arg form early-exits at
+    * maxDist, bounding each pair at O(maxDist·min(len)) instead of
+    * O(len²)).
+    *
+    * The explicit repartition of the CANDIDATE frame (before the joins)
+    * is load-bearing: post-aggregation the pair frame is bytes-small,
+    * AQE coalesces it to one partition, and the CPU-bound distance pass
+    * would run single-threaded (measured 81 s for 29k pairs on 32
+    * cores). Two non-obvious constraints, both measured:
+    * repartitioning AFTER the joins does not work (the `edit_dist >= 0`
+    * predicate is a filter over the levenshtein call, and Catalyst
+    * pushes it below that exchange — into the join condition — back
+    * onto the one coalesced partition); and the repartition must NOT
+    * use the pair detector's own grouping keys (id_a, id_b) — the
+    * aggregate's output partitioning already satisfies that
+    * distribution, so EnsureRequirements elides the user exchange and
+    * AQE's small-shuffle coalescing takes over again. Keying by
+    * hash(id_a, id_b) — a distinct expression — forces a real
+    * REPARTITION_BY_NUM exchange, which AQE is contractually required
+    * to leave at its requested width, and spreads pairs uniformly even
+    * when one hub document appears in many pairs.
     */
   def verifyByEditDistance(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame =
     pairs
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        hash(col("id_a"), col("id_b")))
       .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b")), "id_b")
-      .withColumn("edit_dist", levenshtein(col("__text_a"), col("__text_b")))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__text_a"), col("__text_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .drop("__text_a", "__text_b")
 
   def wordJaccardPairs(

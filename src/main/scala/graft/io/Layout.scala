@@ -53,22 +53,30 @@ object Layout {
     nFiles
   }
 
-  /** Deterministic shard id for export layouts: Knuth multiplicative
-    * hash over an integer id, reduced mod `n`. Pure 64-bit integer
-    * arithmetic — no engine-specific hash — so the assignment is
-    * reproducible across Spark, DuckDB, and any downstream reader,
-    * stable under repartitioning, and independent of row order.
+  /** Deterministic shard id for export layouts: a MINSTD (Lehmer)
+    * multiplicative hash over an integer id, reduced mod `n`. Pure
+    * 64-bit integer arithmetic — no engine-specific hash — so the
+    * assignment is reproducible across Spark, DuckDB, and any
+    * downstream reader, stable under repartitioning, and independent of
+    * row order. The id is reduced mod 2^31−1 BEFORE the multiply, so
+    * the intermediate is ≤ (2^31−2)·48271 ≈ 2^47 — no 64-bit overflow
+    * for ANY long id (Spark 4 runs ANSI mode, where a silent-wrap
+    * Knuth-style `id * 2654435761` throws on large ids — found by the
+    * 10× scaled bench, whose replica ids exceed 2^32).
     */
   def shardId(id: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     require(n >= 1, s"shard count must be >= 1, got $n")
-    pmod((id.cast("long") * lit(2654435761L)) % lit(4294967296L), lit(n.toLong))
+    pmod(pmod(id.cast("long"), lit(2147483647L)) * lit(48271L) % lit(2147483647L),
+      lit(n.toLong))
   }
 
   /** The same shard arithmetic as DuckDB SQL, kept beside the Scala so
     * oracle and operator can never drift.
     */
-  def shardIdSql(id: String, n: Int): String =
-    s"(((($id * 2654435761) % 4294967296) + 4294967296) % 4294967296) % $n"
+  def shardIdSql(id: String, n: Int): String = {
+    val m = 2147483647L
+    s"((((($id % $m) + $m) % $m) * 48271) % $m) % $n"
+  }
 
   /** Export `df` into exactly `n` hash-sharded parquet directories
     * (`shard=K/`), one file per shard: the training-data export layout

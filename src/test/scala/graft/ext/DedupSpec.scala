@@ -111,6 +111,15 @@ class DedupSpec extends SparkTestBase {
     assert(got === Map((1L, 2L) -> 1)) // (1,3) exceeds the threshold
   }
 
+  test("verifyByEditDistance plans its own repartition (AQE must not serialize the distance map)") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val plan = Dedup.verifyByEditDistance(pairs, corpus, "doc_id", "text", 5)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"expected an explicit width-pinned exchange above the pair detector, got:\n$plan")
+  }
+
   test("simHash: identical text equal, near text close, unrelated far") {
     val fps = docs.select(Dedup.simHash64($"text")).as[Long].collect()
     assert(fps(0) === fps(1))

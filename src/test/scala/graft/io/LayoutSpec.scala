@@ -49,9 +49,13 @@ class LayoutSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // reference arithmetic, computed independently
     got.foreach { case (id, s) =>
-      val expect = ((id * 2654435761L) % 4294967296L) % n
+      val expect = (id % 2147483647L) * 48271L % 2147483647L % n
       assert(s === expect, s"shard($id)")
     }
+    // ANSI-safe on ids beyond 2^32 (the scaled-replica regression)
+    val big = Seq(40000000000L, Long.MaxValue - 1).toDF("id")
+      .select(Layout.shardId(col("id"), n)).as[Long].collect()
+    assert(big.forall(s => s >= 0 && s < n))
     assert(got.values.toSet.subsetOf((0L until n).toSet))
     // every shard populated at this cardinality
     assert(got.values.toSet.size === n)
