@@ -91,6 +91,31 @@ object ExtQueries {
           shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // The MinHash SKETCH's accuracy contract under the gate: for fixed
+    // doc pairs, the signature's Jaccard estimate (matching perms / 64)
+    // must sit within ±0.3 of the exact distinct-shingle Jaccard
+    // (4.8 sigma at 64 perms), and the exact Jaccard itself is
+    // hash-checked — both engines compute it from the same shingle
+    // sets. The sketch VALUES stay engine-specific (xxhash64), but the
+    // statistical guarantee they exist for is now oracle-gated.
+    "q_ext_minhash_est" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", shingleN = 3, perms = 64)
+      val sh = docs.select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      val withSh = sigs.join(sh, sigs("id") === sh("doc_id"))
+      val a = withSh.select(col("id").as("id_a"), col("sig").as("sig_a"), col("sh").as("sh_a"))
+      val b = withSh.select(col("id").as("id_b"), col("sig").as("sig_b"), col("sh").as("sh_b"))
+      val j = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b")))
+      val est = expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END)," +
+          " 0, (acc, v) -> acc + v)").cast("double") / 64.0
+      a.join(b, col("id_b") === col("id_a") + 10)
+        .select(col("id_a"), col("id_b"),
+          round(j, 6).as("jaccard"),
+          (abs(est - j) <= 0.3).as("est_ok"))
+    }),
+
     // SimHash fingerprints + banded Hamming pairs (no oracle: xxhash64).
     "q_ext_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
@@ -1290,6 +1315,22 @@ object ExtQueries {
         |JOIN documents a ON a.doc_id = p.id_a
         |JOIN documents b ON b.doc_id = p.id_b
         |WHERE levenshtein(a.text, b.text) <= 400""".stripMargin,
+
+    "q_ext_minhash_est" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.sh, b.sh)) * 1.0
+        |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
+        |       TRUE AS est_ok
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10""".stripMargin,
 
     "q_ext_zorder_value" -> {
       val z = graft.functions.ZOrder.zValueSql("x", "y", 8)
