@@ -799,6 +799,36 @@ object SparkEntry {
       s.table("g_st6")
     }),
 
+    // §2.10 driver-gated BUILT-IN session windows: Spark's native
+    // session_window() grouping (dynamic-gap session aggregation in
+    // the engine, complementing the custom flatMapGroupsWithState
+    // sessionizer) run to completion — the emitted (user, session
+    // start, count) set must equal the batch gap-sessionization the
+    // oracle computes with lag + running sum.
+    "q_st7_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = streamTable(s, dir, "events")
+      val events =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      // whole-second truncation (as q_st3): sub-second parts would make
+      // the oracle's epoch-seconds gap arithmetic diverge at boundaries
+      val agg = events
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+      s.catalog.dropTempView("g_st7")
+      val q = agg.writeStream.format("memory").queryName("g_st7")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st7").select(
+        col("user_id"),
+        TimeOps.epochSeconds(col("session_window.start")).as("session_start"),
+        col("n_events"))
+    }),
+
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
@@ -1384,6 +1414,29 @@ object SparkEntry {
     // The parquet-sink stream's committed output == the batch projection.
     "q_st5_stream_file_sink" ->
       "SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents",
+
+    // Native session_window == batch gap-sessionization (new session
+    // exactly when the gap reaches the 30-min window: session_window's
+    // interval is [start, last + gap), so an event AT prev + gap opens
+    // a new session -> the batch spelling is `diff >= 1800`).
+    "q_st7_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, sec,
+        |         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+        |                   >= 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, sec,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(sec) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // The stream-stream interval join's emitted set == the batch
     // interval join (AvailableNow delivers everything in-watermark).
