@@ -91,6 +91,17 @@ object ExtQueries {
           shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // Benchmark decontamination (the GPT-3-style n-gram overlap test):
+    // each "test drop" document's count of distinct 3-grams that occur
+    // anywhere in the "train" partition — nonzero = potential eval
+    // contamination. Only grams shuffle, never text.
+    "q_ext_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramContamination(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", n = 3)
+    }),
+
     // The MinHash SKETCH's accuracy contract under the gate: for fixed
     // doc pairs, the signature's Jaccard estimate (matching perms / 64)
     // must sit within ±0.3 of the exact distinct-shingle Jaccard
@@ -1315,6 +1326,22 @@ object ExtQueries {
         |JOIN documents a ON a.doc_id = p.id_a
         |JOIN documents b ON b.doc_id = p.id_b
         |WHERE levenshtein(a.text, b.text) <= 400""".stripMargin,
+
+    "q_ext_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks WHERE doc_id < 400),
+        |sg AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks WHERE doc_id >= 400)
+        |SELECT s.doc_id, count(*) AS n_shared_ngrams
+        |FROM sg s JOIN tg ON s.g = tg.g
+        |GROUP BY 1""".stripMargin,
 
     "q_ext_minhash_est" ->
       """WITH toks AS (

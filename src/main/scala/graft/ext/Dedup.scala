@@ -82,6 +82,29 @@ object Dedup {
     * approximation (pairs sharing only ultra-common tokens are missed,
     * and intersection counts exclude pruned tokens).
     */
+  /** Benchmark-decontamination check (the GPT-3-style n-gram overlap
+    * test): for every `test` document, count how many of its distinct
+    * word n-grams also occur anywhere in `train`. A nonzero count marks
+    * potential eval contamination; callers filter or drop. Plan shape:
+    * both sides explode to DISTINCT n-grams, the train side is
+    * additionally deduplicated corpus-wide (one aggregate — the
+    * contaminating n-gram set, typically far smaller than the corpus),
+    * then one equi-join on the gram and one count per test doc. No
+    * document text ever joins — only grams.
+    */
+  def ngramContamination(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val trainGrams = train
+      .select(explode(array_distinct(TextStats.ngramArray(col(textCol), n))).as("g"))
+      .distinct()
+    val testGrams = test
+      .select(col(idCol), explode(array_distinct(TextStats.ngramArray(col(textCol), n))).as("g"))
+    testGrams.join(trainGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** Exact-verification tier for candidate pairs: attach the unit-cost
     * Levenshtein edit distance between the two documents' texts and
     * keep pairs within `maxDist`. Candidates come from a cheap detector

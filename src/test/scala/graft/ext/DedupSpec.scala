@@ -111,6 +111,21 @@ class DedupSpec extends SparkTestBase {
     assert(got === Map((1L, 2L) -> 1)) // (1,3) exceeds the threshold
   }
 
+  test("ngramContamination counts distinct shared n-grams, clean docs absent") {
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "he said the cat sat on a rug"),   // shares "the cat sat", "cat sat on"
+      (11L, "completely novel words only here"),
+      (12L, "the cat sat the cat sat")          // dup gram counted once
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, test, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 10 shares {"the cat sat", "cat sat on"}; doc 12's distinct
+    // trigrams {the cat sat, cat sat the, sat the cat} share only the
+    // first (its repetition counts once); doc 11 is clean and absent.
+    assert(got === Map(10L -> 2L, 12L -> 1L))
+  }
+
   test("verifyByEditDistance plans its own repartition (AQE must not serialize the distance map)") {
     val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
