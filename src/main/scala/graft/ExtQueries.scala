@@ -91,6 +91,21 @@ object ExtQueries {
           shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // C4-family rule-based cleaning flags per document (terminal
+    // punctuation, min length, boilerplate markers) + the keep
+    // conjunction — per-rule audit columns, all codegen'd predicates.
+    "q_ext_c4_rules" -> ((s, dir) => {
+      val r = TextStats.c4Rules(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        r.getField("ends_with_punct").as("ends_with_punct"),
+        r.getField("long_enough").as("long_enough"),
+        r.getField("no_brace").as("no_brace"),
+        r.getField("no_lorem").as("no_lorem"),
+        r.getField("no_js").as("no_js"),
+        r.getField("keep").as("keep"))
+    }),
+
     // Benchmark decontamination (the GPT-3-style n-gram overlap test):
     // each "test drop" document's count of distinct 3-grams that occur
     // anywhere in the "train" partition — nonzero = potential eval
@@ -1326,6 +1341,20 @@ object ExtQueries {
         |JOIN documents a ON a.doc_id = p.id_a
         |JOIN documents b ON b.doc_id = p.id_b
         |WHERE levenshtein(a.text, b.text) <= 400""".stripMargin,
+
+    "q_ext_c4_rules" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         regexp_matches(trim(text), '[.!?"'']$') AS ends_with_punct,
+        |         len(regexp_split_to_array(trim(text), '\s+')) >= 5 AS long_enough,
+        |         NOT contains(trim(text), '{') AS no_brace,
+        |         NOT contains(lower(trim(text)), 'lorem ipsum') AS no_lorem,
+        |         NOT contains(lower(trim(text)), 'javascript') AS no_js
+        |  FROM documents)
+        |SELECT doc_id, ends_with_punct, long_enough, no_brace, no_lorem, no_js,
+        |       (ends_with_punct AND long_enough AND no_brace AND no_lorem
+        |        AND no_js) AS keep
+        |FROM r""".stripMargin,
 
     "q_ext_contamination" ->
       """WITH toks AS (

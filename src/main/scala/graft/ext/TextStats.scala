@@ -100,6 +100,31 @@ object TextStats {
     round((lengthOk + punctOk + anyStop) / 3.0, 6)
   }
 
+  /** C4-family rule flags (the published heuristic cleaning pass:
+    * Raffel et al. 2020 §2.2, re-expressed as engine predicates over
+    * whole documents): terminal punctuation, minimum length, brace/
+    * boilerplate markers, "lorem ipsum". Returns a struct of booleans
+    * plus the conjunction (`keep`) so pipelines can either filter or
+    * audit per-rule drop rates. Pure codegen'd column compositions;
+    * patterns restricted to RE2-safe constructs so the same regexes
+    * run on any engine (the oracle respells them in DuckDB).
+    */
+  def c4Rules(text: Column): Column = {
+    val t = trim(text)
+    val endsWithPunct = t.rlike("[.!?\"']$")
+    val longEnough = tokenCount(t) >= 5
+    val noBrace = !t.contains("{")
+    val noLorem = !lower(t).contains("lorem ipsum")
+    val noJs = !lower(t).contains("javascript")
+    struct(
+      endsWithPunct.as("ends_with_punct"),
+      longEnough.as("long_enough"),
+      noBrace.as("no_brace"),
+      noLorem.as("no_lorem"),
+      noJs.as("no_js"),
+      (endsWithPunct && longEnough && noBrace && noLorem && noJs).as("keep"))
+  }
+
   // ------------------------------------- repetition quality signals
   /** Word n-grams of the text as an array column; empty array when the
     * document has fewer than `n` tokens.

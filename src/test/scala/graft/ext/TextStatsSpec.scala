@@ -120,6 +120,27 @@ class TextStatsSpec extends SparkTestBase {
     assert(top === Map(1L -> "rare", 2L -> "other", 3L -> "unique"))
   }
 
+  test("c4Rules: each rule fires on its marker, keep is the conjunction") {
+    val docs = Seq(
+      "A perfectly normal sentence with enough words.",
+      "no terminal punctuation here at all",
+      "Too short.",
+      "This has a { brace marker in it, bad sign.",
+      "Lorem Ipsum dolor sit amet filler text.",
+      "Please enable JavaScript to view this page.")
+      .toDF("text")
+    val rows = docs.select(TextStats.c4Rules($"text").as("r"))
+      .select("r.ends_with_punct", "r.long_enough", "r.no_brace",
+        "r.no_lorem", "r.no_js", "r.keep")
+      .collect().map(r => (0 to 5).map(r.getBoolean))
+    assert(rows(0) === Seq(true, true, true, true, true, true))
+    assert(!rows(1)(0) && !rows(1)(5)) // no terminal punct
+    assert(!rows(2)(1) && !rows(2)(5)) // too short
+    assert(!rows(3)(2) && !rows(3)(5)) // brace
+    assert(!rows(4)(3) && !rows(4)(5)) // lorem ipsum
+    assert(!rows(5)(4) && !rows(5)(5)) // javascript
+  }
+
   test("tokenEntropy: uniform distribution hits log2(k), repetition lowers it") {
     val df = Seq(
       (1L, "a b c d"),     // 4 distinct, uniform -> H = 2.0
