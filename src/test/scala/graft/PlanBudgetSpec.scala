@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Shuffle-budget guardrail for flagship queries: each plan's
+  * ShuffleExchange count is pinned to the number its design argues for
+  * (SCALE.md). A regression that adds a shuffle — a lost broadcast
+  * hint, a window that stops sharing its sort, an aggregate split in
+  * two — fails here long before it shows up as a slow bench at scale.
+  *
+  * Counted on the NON-adaptive executed plan (AQE off in a sibling
+  * session): AQE wraps the plan before execution, and exchanges only
+  * exist after EnsureRequirements, so neither `sparkPlan` nor the
+  * adaptive wrapper exposes a stable count.
+  */
+class PlanBudgetSpec extends SparkTestBase {
+
+  private lazy val noAqe = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** query -> max shuffles and why that number is the design. */
+  private val budgets: Seq[(String, Int, String)] = Seq(
+    ("q_a1_resample", 1, "one partially-aggregated shuffle"),
+    ("q_j1_time_join", 2, "two aggregated sides; the time join broadcasts"),
+    ("q_j2_broadcast_lookup", 1, "lookup side broadcast; one grouped agg"),
+    ("q_s5_compile_cube", 0, "glob scan + broadcast metadata join is shuffle-free"),
+    ("q_pipe_compare_all", 3, "two keyed series aggs + one co-keyed grouped regression"),
+    ("q_w1_topk", 2, "revenue agg + bounded-heap top-k partial/final"),
+    ("q_ext_dedup_exact", 1, "one fingerprint groupBy"),
+    ("q_ext_cdc_apply", 2, "latest-wins keyed window + anti-join against the base"),
+    ("q_ext_oov", 2, "vocab top-k agg + per-doc partial agg; vocab join broadcasts"),
+    ("q_r5b_interpolate_keyed", 3, "densify grid + one shared keyed window sort"))
+
+  budgets.foreach { case (name, max, why) =>
+    test(s"$name stays within $max shuffle(s): $why") {
+      val plan = SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.size <= max,
+        s"$name plans ${shuffles.size} shuffles (budget $max — $why):\n$plan")
+    }
+  }
+}
