@@ -91,6 +91,33 @@ object ExtQueries {
           shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // The cleaning pipeline end-to-end as ONE plan over ONE scan: C4
+    // rules + quality score + repetition signal + language ID fused
+    // into a keep decision, aggregated to a per-source drop-accounting
+    // report (the production shape: at 100 TB each signal must ride
+    // the same scan, never its own pass).
+    "q_ext_clean_report" -> ((s, dir) => {
+      val c4 = TextStats.c4Rules(col("text")).getField("keep")
+      val qualityOk = TextStats.qualityScore(col("text")) >= 0.66
+      val repOk = TextStats.dupTokenFrac(col("text")) <= 0.5
+      val langOk = TextStats.langId(col("text")) =!= "und"
+      val keep = c4 && qualityOk && repOk && langOk
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          cnt(keep).as("n_keep"),
+          // the web-prose C4 tier excluded: the survivor count a
+          // synthetic/non-web corpus actually filters by
+          cnt(qualityOk && repOk && langOk).as("n_keep_soft"),
+          cnt(!c4).as("n_fail_c4"),
+          cnt(!qualityOk).as("n_fail_quality"),
+          cnt(!repOk).as("n_fail_rep"),
+          cnt(!langOk).as("n_fail_lang"))
+    }),
+
     // C4-family rule-based cleaning flags per document (terminal
     // punctuation, min length, boilerplate markers) + the keep
     // conjunction — per-rule audit columns, all codegen'd predicates.
@@ -1341,6 +1368,43 @@ object ExtQueries {
         |JOIN documents a ON a.doc_id = p.id_a
         |JOIN documents b ON b.doc_id = p.id_b
         |WHERE levenshtein(a.text, b.text) <= 400""".stripMargin,
+
+    "q_ext_clean_report" -> {
+      val anyStop = TextStats.stopwords.map(l => ddHits(l._1)).mkString("(", " + ", ")")
+      s"""WITH rep AS (
+         |  SELECT doc_id,
+         |         round(1.0 - count(DISTINCT w) * 1.0 / count(*), 6) AS dup_frac
+         |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY 1),
+         |sig AS (
+         |  SELECT d.source,
+         |    (regexp_matches(trim(text), '[.!?"'']$$')
+         |     AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+         |     AND NOT contains(trim(text), '{')
+         |     AND NOT contains(lower(trim(text)), 'lorem ipsum')
+         |     AND NOT contains(lower(trim(text)), 'javascript')) AS c4_keep,
+         |    round((
+         |      (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+'))
+         |            BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+         |            * 1.0 / greatest(length(text), 1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN $anyStop > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) >= 0.66
+         |      AS quality_ok,
+         |    (r.dup_frac <= 0.5) AS rep_ok,
+         |    ($anyStop > 0) AS lang_ok
+         |  FROM documents d JOIN rep r USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN c4_keep AND quality_ok AND rep_ok AND lang_ok
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN quality_ok AND rep_ok AND lang_ok
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_soft,
+         |  CAST(sum(CASE WHEN NOT c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_c4,
+         |  CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+         |  CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+         |  CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lang
+         |FROM sig GROUP BY 1""".stripMargin
+    },
 
     "q_ext_c4_rules" ->
       """WITH r AS (
