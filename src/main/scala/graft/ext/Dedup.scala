@@ -135,7 +135,11 @@ object Dedup {
     */
   def verifyByEditDistance(
       pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame =
+      maxDist: Int): DataFrame = {
+    // the pair frame follows this module's detector convention
+    require(pairs.columns.contains("id_a") && pairs.columns.contains("id_b"),
+      s"pairs must carry id_a/id_b (the detector output convention); " +
+        s"got [${pairs.columns.mkString(", ")}]")
     pairs
       .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
         hash(col("id_a"), col("id_b")))
@@ -145,6 +149,7 @@ object Dedup {
         levenshtein(col("__text_a"), col("__text_b"), maxDist))
       .filter(col("edit_dist") >= 0)
       .drop("__text_a", "__text_b")
+  }
 
   def wordJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,

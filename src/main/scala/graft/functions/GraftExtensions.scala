@@ -182,22 +182,39 @@ object PushFilterThroughTopK extends Rule[LogicalPlan]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // builders validate arity explicitly: the injectFunction seq would
+    // otherwise silently ignore extra arguments (a caller-passed seed
+    // would be discarded with no diagnostic)
+    def arity(name: String, n: Int)(exprs: Seq[Expression]): Seq[Expression] = {
+      require(exprs.length == n,
+        s"$name takes exactly $n argument(s), got ${exprs.length}")
+      exprs
+    }
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VectorExpressions.DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val Seq(a, b) = arity("vec_dot", 2)(exprs)
+        VectorExpressions.DotProduct(a, b)
+      }))
     e.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "vec_cosine"),
-      (exprs: Seq[Expression]) => VectorExpressions.CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        val Seq(a, b) = arity("vec_cosine", 2)(exprs)
+        VectorExpressions.CosineSimilarity(a, b)
+      }))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[TextHashExpressions.SimHash64Expr].getName, "simhash64"),
-      (exprs: Seq[Expression]) => TextHashExpressions.SimHash64Expr(exprs(0))))
+      (exprs: Seq[Expression]) =>
+        TextHashExpressions.SimHash64Expr(arity("simhash64", 1)(exprs).head)))
     e.injectFunction((
       FunctionIdentifier("rolling_xxhash64"),
       new ExpressionInfo(classOf[TextHashExpressions.RollingXxHash64].getName, "rolling_xxhash64"),
-      (exprs: Seq[Expression]) => TextHashExpressions.RollingXxHash64(exprs(0), 42L)))
+      (exprs: Seq[Expression]) =>
+        TextHashExpressions.RollingXxHash64(
+          arity("rolling_xxhash64", 1)(exprs).head, 42L)))
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
     e.injectOptimizerRule(_ => PushFilterThroughTopK)

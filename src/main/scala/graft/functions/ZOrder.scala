@@ -37,8 +37,13 @@ object ZOrder {
     */
   def zValueSql(x: String, y: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // BIGINT casts keep the shifts in 64-bit arithmetic: past bits=15
+    // the target positions exceed 31, where INTEGER shifts would
+    // overflow in DuckDB while the Scala side (always long) would not —
+    // exactly the silent drift this generated spelling exists to prevent
+    val (xl, yl) = (s"CAST($x AS BIGINT)", s"CAST($y AS BIGINT)")
     (0 until bits).map { i =>
-      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+      s"((($xl >> $i) & 1) << ${2 * i}) | ((($yl >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
   }
 }

@@ -51,7 +51,10 @@ object Cdc {
       .filter(col("__rn") <= 1)
       .drop("__rn")
     val survivors = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // null-safe: a NULL op is "any other value" (an upsert). A plain
+    // =!= would evaluate NULL on null ops and drop the row from BOTH
+    // branches — the key would silently vanish from the snapshot.
+    val upserts = latest.filter(!(col(opCol) <=> lit("D")))
       .select(base.columns.toSeq.map(col): _*)
     survivors.unionByName(upserts)
   }

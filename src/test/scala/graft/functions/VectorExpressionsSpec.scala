@@ -48,6 +48,17 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(viaSql.getLong(1) === viaCol.getLong(1))
   }
 
+  test("SQL-registered functions reject wrong arity instead of ignoring arguments") {
+    // a silently-dropped extra argument (e.g. a caller-passed seed)
+    // would return the wrong hash with no diagnostic
+    intercept[Exception] {
+      spark.sql("SELECT rolling_xxhash64(array('a'), 7)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT vec_cosine(array(1.0d))").collect()
+    }
+  }
+
   test("null input yields null, not a crash") {
     VectorExpressions.register(spark)
     val r = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").head()

@@ -42,6 +42,15 @@ class CdcSpec extends SparkTestBase {
     assert(hasTopK, s"expected TopKPerKey in: $plan")
   }
 
+  test("applyChangelog: NULL op is an upsert, never a silent delete") {
+    val base = Seq((1L, "a", 10L)).toDF("id", "src", "n")
+    val changes = Seq((1L, "a", 99L, 1L, null: String))
+      .toDF("id", "src", "n", "seq", "op")
+    val got = Cdc.applyChangelog(base, changes, Seq("id"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(1L -> 99L))
+  }
+
   test("scd2History: contiguous validity intervals, one current row per key") {
     val ch = Seq(
       ("u1", 100L, "v1"), ("u1", 200L, "v2"), ("u1", 300L, "v3"),
