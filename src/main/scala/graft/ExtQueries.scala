@@ -682,6 +682,18 @@ object ExtQueries {
         .select(col("event_id"), col("x"), col("y"),
           graft.functions.ZOrder.zValue(col("x"), col("y"), 8).as("z"))),
 
+    // 3-dimensional z-value (the N-ary generalization: time × user ×
+    // event buckets in one clustering key), hash-checked against the
+    // generated DuckDB spelling.
+    "q_ext_zorder3_value" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("user_id") % 64).as("x"), (col("event_id") % 64).as("y"),
+          ((col("event_id") / 64).cast("long") % 64).as("w"))
+        .select(col("event_id"), col("x"), col("y"), col("w"),
+          graft.functions.ZOrder.zValueN(
+            Seq(col("x"), col("y"), col("w")), 6).as("z3"))),
+
     // Z-ordered layout end-to-end: write the event log clustered along
     // the z-curve of (user bucket, event bucket), read back through a
     // 2-D box predicate — pushed to the parquet reader, where the
@@ -1451,6 +1463,15 @@ object ExtQueries {
         |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
         |       TRUE AS est_ok
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10""".stripMargin,
+
+    "q_ext_zorder3_value" -> {
+      val z3 = graft.functions.ZOrder.zValueSqlN(Seq("x", "y", "w"), 6)
+      s"""WITH e AS (
+         |  SELECT event_id, user_id % 64 AS x, event_id % 64 AS y,
+         |         (event_id // 64) % 64 AS w
+         |  FROM events)
+         |SELECT event_id, x, y, w, $z3 AS z3 FROM e""".stripMargin
+    },
 
     "q_ext_zorder_value" -> {
       val z = graft.functions.ZOrder.zValueSql("x", "y", 8)

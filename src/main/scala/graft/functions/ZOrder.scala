@@ -31,6 +31,35 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton interleave: bit i of dimension j lands at
+    * position i·d + j. `bits · cols.size` must fit in 62 bits. The 2-D
+    * [[zValue]] is the d=2 special case (same bit layout).
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 1, "zValueN needs at least one column")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits * dims must be in [1, 62], got $bits * $d")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** [[zValueN]] as DuckDB SQL (BIGINT arithmetic throughout). */
+  def zValueSqlN(cols: Seq[String], bits: Int): String = {
+    val d = cols.size
+    require(d >= 1, "zValueSqlN needs at least one column")
+    require(bits >= 1 && bits * d <= 62,
+      s"bits * dims must be in [1, 62], got $bits * $d")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield s"(((CAST($c AS BIGINT) >> $i) & 1) << ${i * d + j})")
+      .mkString("(", " | ", ")")
+  }
+
   /** The same interleave as a DuckDB SQL expression over integer columns
     * `x`/`y` — kept beside the Scala so the two spellings can never
     * drift apart silently.

@@ -33,6 +33,20 @@ class ZOrderSpec extends SparkTestBase {
     } assert(zs(a) <= zs(b), s"z($a)=${zs(a)} > z($b)=${zs(b)}")
   }
 
+  test("zValueN: d=2 layout equals zValue; d=3 separates dimension bits") {
+    val two = Seq((5L, 3L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 4).as("a"),
+        ZOrder.zValueN(Seq(col("x"), col("y")), 4).as("b")).head()
+    assert(two.getLong(0) === two.getLong(1))
+    // d=3: x0 -> bit0, y0 -> bit1, w0 -> bit2, x1 -> bit3 ...
+    val z3 = Seq((1L, 1L, 1L)).toDF("x", "y", "w")
+      .select(ZOrder.zValueN(Seq(col("x"), col("y"), col("w")), 2)).head().getLong(0)
+    assert(z3 === 7L)
+    intercept[IllegalArgumentException] {
+      ZOrder.zValueN(Seq(col("x")), 63)
+    }
+  }
+
   test("writeZOrdered layout: 2-D box predicate is pushed to the parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
     val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y, x * 64 + y))
