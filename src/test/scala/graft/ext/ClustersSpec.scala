@@ -37,13 +37,43 @@ class ClustersSpec extends SparkTestBase {
     assert(kept.toSeq === Seq(11L))
   }
 
-  test("a long chain needs ~diameter rounds; a tight cap fails loudly") {
+  test("a 1000-node path converges well under the default cap (no diameter bound)") {
+    // Diameter 1000 — min-label propagation would need 1000 rounds; the
+    // alternating star algorithm must finish within the default 25.
+    val path = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Clusters.connectedComponents(path, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(out.length === 1001 && out.forall(_._2 == 0L))
+  }
+
+  test("an impossible cap fails loudly instead of returning a partial closure") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Clusters.connectedComponents(chain, "id_a", "id_b", maxIterations = 3)
+      Clusters.connectedComponents(chain, "id_a", "id_b", maxIterations = 1)
     }
-    val ok = Clusters.connectedComponents(chain, "id_a", "id_b", maxIterations = 60)
-      .as[(Long, Long)].collect()
-    assert(ok.length === 41 && ok.forall(_._2 == 0L))
+  }
+
+  test("components match a brute-force closure on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val expected = {
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // canonical label = min of component
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
+    }
+    val out = Clusters.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === expected)
   }
 }
