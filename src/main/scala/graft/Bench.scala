@@ -82,9 +82,10 @@ object Bench {
     * the same fixture again, so the scaled pass skips them.
     */
   private val fixtureQueries = Set(
-    "q_s2_cams_scan", "q_s2b_cams_dsv2", "q_s5_compile_cube",
+    "q_s1_validate", "q_s2_cams_scan", "q_s2b_cams_dsv2", "q_s5_compile_cube",
     "q_s6_download_matrix", "q_s7_csv_sink", "q_s8_netcdf_roundtrip",
-    "q_ext_multimodal_decode")
+    "q_r4_cf_attrs", "q_ext_multimodal_decode", "q_ext_multimodal_av",
+    "q_ext_bpe_encode")
 
   /** Measured scaling evidence: run every sf-table query against a
     * `SPARK_GRAFT_SCALE_X`× replica of the sf dir

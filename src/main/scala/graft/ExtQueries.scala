@@ -13,6 +13,15 @@ import graft.ext._
   */
 object ExtQueries {
 
+  /** Output dir for queries that materialize a layout and read it back:
+    * scoped to (application, input dir) so concurrent sessions and the
+    * bench's base/scaled passes never clobber each other's files
+    * mid-read, while re-runs within one application reuse (overwrite)
+    * the same path instead of accreting garbage.
+    */
+  private def scratchDir(s: SparkSession, tag: String, dir: String): String =
+    s"target/$tag-${s.sparkContext.applicationId}-${(dir.hashCode & 0x7fffffff).toHexString}"
+
   // ---- DuckDB expression builders mirroring TextStats ------------------
 
   /** DuckDB: whitespace-normalized, space-padded text. */
@@ -173,6 +182,88 @@ object ExtQueries {
     "q_ext_dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // Incremental NEAR-dup against a persisted historical store — the
+    // batch analog of q_ext_dedup_incremental for MinHash: the new
+    // batch band-buckets against the bucketed (band, band_key) store,
+    // O(new batch) shuffle, zero store-side Exchange
+    // (IncrementalNearDupSpec pins the plan). Values are xxhash64
+    // sketches -> rows-only; the statistical contract is oracle-gated
+    // by q_ext_incr_recall below.
+    "q_ext_dedup_incremental_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.writeMinHashStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "g_mh_store")
+      Dedup.minHashPairsIncremental(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "g_mh_store",
+          minEst = 0.5)
+        .select(col("id_new"), col("id_seen"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
+
+    // The incremental store's recall CONTRACT, oracle-gated (the
+    // q_ext_minhash_est pattern): over a history/batch split, every
+    // cross-split pair whose EXACT shingle Jaccard (hash-checked — both
+    // engines compute it from the same sets) reaches 0.9 must be found
+    // by the incremental band probe; found_ok collapses to TRUE rows
+    // the oracle pins. 16 bands x 4 rows at j=0.9 collide with
+    // P ~ 1-4e-8 per pair — and the fixture + hashes are fixed, so the
+    // gate is deterministic, not flaky.
+    "q_ext_incr_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      val hist = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      Dedup.writeMinHashStore(hist, "doc_id", "text", "g_mh_recall")
+      val found = Dedup.minHashPairsIncremental(
+          batch, "doc_id", "text", "g_mh_recall", minEst = 0.35)
+        .select(col("id_seen").as("id_a"), col("id_new").as("id_b"),
+          lit(true).as("f"))
+      val shingleSet = array_distinct(Dedup.shingles(col("text"), 3))
+      val a = hist.select(col("doc_id").as("id_a"), shingleSet.as("sh_a"))
+      val b = batch.select(col("doc_id").as("id_b"), shingleSet.as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+      a.crossJoin(broadcast(b))
+        .withColumn("jaccard", round(j, 6))
+        .filter(col("jaccard") >= 0.2)
+        .join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (col("jaccard") < 0.9 || coalesce(col("f"), lit(false))).as("found_ok"))
+    }),
+
+    // BPE encode to token IDS under the pinned merge table — the
+    // pipeline-terminal tokenizer step (q_ext_bpe_tokens counts pieces;
+    // this emits them). Native codegen'd expression, no UDF; expected
+    // id sequences are hand-derived literals in the committed fixture
+    // (the q_ext_multimodal_decode pattern), which DuckDB reads back.
+    "q_ext_bpe_encode" -> ((s, dir) => {
+      val (docsCsv, _) = graft.io.VerifyFixtures.bpeFixture()
+      s.read.option("header", "true").csv(docsCsv)
+        .select(col("id").cast("long").as("id"),
+          array_join(graft.functions.Bpe.bpeEncode(col("text")).cast("array<string>"), " ")
+            .as("ids_str"))
+    }),
+
+    // Audio/video container metadata (WAV/FLAC/MP4 headers — media
+    // columns are not only pictures): real byte-layout parse, expected
+    // values pinned in the fixture CSV.
+    "q_ext_multimodal_av" -> ((s, dir) => {
+      val glob = graft.io.VerifyFixtures.avFixture()
+      val sp = s
+      import sp.implicits._
+      Multimodal.readBinaryFiles(s, glob)
+        .select(
+          regexp_extract(col("path"), "av_0*([0-9]+)\\.bin", 1).cast("long").as("id"),
+          col("content").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val m = Multimodal.avHeaderMeta(bytes).getOrElse(
+            Multimodal.AvMeta("application/octet-stream", 0, 0, 0L, 0))
+          (id, m.mediaType, m.sampleRate.toLong, m.channels.toLong,
+            m.durationMs, m.tracks.toLong)
+        }
+        .toDF("id", "media_type", "sample_rate", "channels", "duration_ms", "tracks")
+    }),
+
     // Content fingerprint, oracle-checked: DuckDB spells the md5-64
     // fingerprint identically (split out of q_ext_fingerprint so the
     // SQL-expressible column is hash-gated, not rows-only).
@@ -223,6 +314,24 @@ object ExtQueries {
           queries = emb.filter(col("id") % 25 === 0),
           corpus = emb,
           centroids = emb.filter(col("id") % 50 === 7),
+          k = 3, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // IVF with a TRAINED coarse quantizer: one deterministic Lloyd
+    // iteration refines the sampled centroids (cells move to their
+    // members' mean) before the same probe/scan plan. The oracle
+    // replays the identical iteration in SQL; IvfTrainedSpec pins
+    // recall-vs-brute-force >= the sampled variant on this fixture.
+    "q_ext_ann_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val trained = Similarity.lloydStep(
+        corpus = emb, centroids = emb.filter(col("id") % 50 === 7))
+      Similarity.ivfTopK(
+          queries = emb.filter(col("id") % 25 === 0),
+          corpus = emb,
+          centroids = trained,
           k = 3, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
@@ -398,7 +507,7 @@ object ExtQueries {
     // planning time (PartitionFilters; asserted in LayoutSpec). The
     // oracle computes the same window from the raw table.
     "q_ext_partition_prune" -> ((s, dir) => {
-      val out = "target/g_events_by_day"
+      val out = scratchDir(s, "g_events_by_day", dir)
       graft.io.Layout.writeDatePartitioned(
         Tables.events(s, dir).select(col("event_id"), col("ts"),
           col("event_type"), col("value")), "ts", out)
@@ -633,7 +742,7 @@ object ExtQueries {
     // export shape. The oracle recomputes shard membership and the
     // per-shard digests from the raw table with the same arithmetic.
     "q_ext_shards" -> ((s, dir) => {
-      val out = "target/g_docs_sharded"
+      val out = scratchDir(s, "g_docs_sharded", dir)
       graft.io.Layout.writeSharded(
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
         "doc_id", 8, out)
@@ -700,7 +809,7 @@ object ExtQueries {
     // z-sorted row groups' tight min/max boxes skip most of the file
     // (ZOrderSpec asserts the pushdown; this query gates the numbers).
     "q_ext_zorder_scan" -> ((s, dir) => {
-      val out = "target/g_events_zorder"
+      val out = scratchDir(s, "g_events_zorder", dir)
       val e = Tables.events(s, dir).select(
         col("event_id"), col("value"),
         (col("user_id") % 256).as("x"), (col("event_id") % 256).as("y"))
@@ -925,6 +1034,41 @@ object ExtQueries {
       s"""SELECT id, media_type, n_bytes, width, height
          |FROM read_csv('$p', header=true)""".stripMargin
     },
+
+    "q_ext_multimodal_av" -> {
+      val p = graft.io.VerifyFixtures.avExpectedPath
+      s"""SELECT CAST(id AS BIGINT) AS id, media_type,
+         |       CAST(sample_rate AS BIGINT) AS sample_rate,
+         |       CAST(channels AS BIGINT) AS channels,
+         |       CAST(duration_ms AS BIGINT) AS duration_ms,
+         |       CAST(tracks AS BIGINT) AS tracks
+         |FROM read_csv('$p', header=true)""".stripMargin
+    },
+
+    "q_ext_bpe_encode" -> {
+      val p = graft.io.VerifyFixtures.bpeExpectedPath
+      s"""SELECT CAST(id AS BIGINT) AS id, ids_str
+         |FROM read_csv('$p', header=true, all_varchar=true)""".stripMargin
+    },
+
+    "q_ext_incr_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |           ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.sh, b.sh)) * 1.0
+        |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
+        |       TRUE AS found_ok
+        |FROM sh a, sh b
+        |WHERE a.doc_id < 250 AND b.doc_id >= 250
+        |  AND round(len(list_intersect(a.sh, b.sh)) * 1.0
+        |        / len(list_distinct(a.sh || b.sh)), 6) >= 0.2""".stripMargin,
 
     "q_ext_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

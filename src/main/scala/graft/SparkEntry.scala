@@ -526,6 +526,47 @@ object SparkEntry {
     // writer and back through the format-spec reader — the .nc artifact
     // itself under the DuckDB gate (the oracle recomputes the cube from
     // the raw CSVs; the round-trip must reproduce it bit-for-bit).
+    // S1 required-column validation under the gate: the good metadata
+    // fixture passes, a malformed one (longitude missing) is rejected by
+    // validateStations' require — the reference aborts the same way
+    // (get-cams-solrad-ts.py:119-121). The oracle recomputes validity
+    // and the missing set from the CSVs' own headers in DuckDB, so the
+    // two engines agree on WHY, not just whether.
+    "q_s1_validate" -> ((s, dir) => {
+      val (_, locCsv) = graft.io.VerifyFixtures.compileFixture()
+      val badCsv = graft.io.VerifyFixtures.malformedLocationFixture()
+      def check(name: String, path: String) = {
+        val df = s.read.option("header", "true").csv(path)
+        val ok = scala.util.Try(
+          pipelines.SolarPipelines.validateStations(df)).isSuccess
+        val missing = (graft.model.Schemas.requiredStationCols -- df.columns.toSet)
+          .toSeq.sorted.mkString(",")
+        s.range(1).select(lit(name).as("fixture"), lit(ok).as("valid"),
+          lit(missing).as("missing_cols"))
+      }
+      check("good", locCsv).union(check("bad", badCsv))
+    }),
+
+    // R4 CF-attrs under the gate: the cube sink's JSON attribute sidecar
+    // (compile-solrad.py:156-173's metadata re-expressed) written by the
+    // REAL writeCube path and read back; the oracle pins every expected
+    // attribute as a literal, so attr drift (not just malformed JSON)
+    // fails the gate.
+    "q_r4_cf_attrs" -> ((s, dir) => {
+      val (glob, locCsv) = graft.io.VerifyFixtures.compileFixture()
+      val locations = s.read.option("header", "true")
+        .schema(graft.model.Schemas.station).csv(locCsv)
+      val cube = pipelines.SolarPipelines.compileCube(s, glob, locations)
+      val out = s"${graft.io.VerifyFixtures.root}/cube_parquet"
+      graft.io.Sinks.writeCube(cube, out)
+      // underscore-prefixed files are invisible to Spark's file index
+      // (metadata convention), so feed the sidecar's bytes through the
+      // JSON reader as a one-element dataset instead of a path scan
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/_attributes.json")), "UTF-8")
+      s.read.json(s.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+    }),
+
     "q_s8_netcdf_roundtrip" -> ((s, dir) => {
       val (glob, locCsv) = graft.io.VerifyFixtures.compileFixture()
       val locations = s.read.option("header", "true")
@@ -772,8 +813,13 @@ object SparkEntry {
     // §2.10 driver-gated stream-STREAM interval join: clicks correlated
     // to same-user purchases within the following 10 minutes, both
     // sides live streams with watermarks (the state-eviction contract).
-    // AvailableNow delivers everything inside the watermark, so the
-    // emitted set equals the batch interval join the oracle runs.
+    // Batch-equality assumption (pinned): streamTable sets no
+    // maxFilesPerTrigger, so AvailableNow delivers the whole fixture in
+    // ONE micro-batch and the 30-minute watermark never advances past
+    // unprocessed rows — the emitted set then equals the batch interval
+    // join the oracle runs. Splitting ingestion into multiple batches
+    // (e.g. adding maxFilesPerTrigger) would let the watermark drop
+    // out-of-order rows and flake this gate; keep single-batch here.
     "q_st6_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       def ev() = {
@@ -1320,6 +1366,34 @@ object SparkEntry {
     // Same raw-CSV recomputation as q_s5_compile_cube, projected to the
     // columns that survive the NetCDF container (no station_original /
     // local time in the .nc).
+    "q_s1_validate" -> {
+      import graft.io.VerifyFixtures.{locationPath, malformedLocationPath}
+      s"""WITH req(c) AS (SELECT unnest(['elevation', 'latitude', 'longitude', 'station'])),
+         |cols AS (
+         |  SELECT 'good' AS fixture, column_name AS c
+         |  FROM (DESCRIBE SELECT * FROM read_csv('$locationPath', header=true))
+         |  UNION ALL
+         |  SELECT 'bad', column_name
+         |  FROM (DESCRIBE SELECT * FROM read_csv('$malformedLocationPath', header=true))),
+         |fx(fixture) AS (SELECT unnest(['good', 'bad'])),
+         |miss AS (
+         |  SELECT f.fixture, r.c FROM fx f, req r
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cols WHERE cols.fixture = f.fixture AND cols.c = r.c))
+         |SELECT f.fixture,
+         |       NOT EXISTS (SELECT 1 FROM miss WHERE miss.fixture = f.fixture) AS valid,
+         |       COALESCE((SELECT string_agg(c, ',' ORDER BY c)
+         |                 FROM miss WHERE miss.fixture = f.fixture), '') AS missing_cols
+         |FROM fx f""".stripMargin
+    },
+
+    "q_r4_cf_attrs" ->
+      """SELECT 'CF-1.8' AS "Conventions", 'Wh/m^2' AS "DHI_units",
+        |       'Wh/m^2' AS "DNI_units", 'Wh/m^2' AS "GHI_units",
+        |       'proleptic_gregorian' AS calendar, 'timeSeries' AS "featureType",
+        |       'timeseries_id' AS station_cf_role,
+        |       'seconds since 1970-01-01' AS time_units""".stripMargin,
+
     "q_s8_netcdf_roundtrip" -> {
       import graft.io.VerifyFixtures.{locationPath, processedGlob}
       val clean = (c: String) =>

@@ -255,6 +255,98 @@ object Dedup {
       .agg(graft.functions.SketchAggregates.minHashSignature(col("h0"), perms).as("sig"))
   }
 
+  /** (band, band_key) rows of a (id, sig) signature frame: one row per
+    * (doc, band), key = hash of the band's signature slice. Shared by
+    * the self-join detector ([[minHashPairs]]) and the incremental
+    * store ([[writeMinHashStore]] / [[minHashPairsIncremental]]) so the
+    * two paths can never band differently.
+    */
+  private def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+  /** Persist the historical MinHash LSH index for incremental (daily
+    * ingest) near-dup: two bucketed catalog tables —
+    * `<name>_bands` (band, band_key, id) bucketed by (band, band_key)
+    * and `<name>_sigs` (id, sig) bucketed by id — so every subsequent
+    * [[minHashPairsIncremental]] probe joins against them with ZERO
+    * store-side shuffle (the scan's bucket partitioning satisfies the
+    * join's distribution; `IncrementalNearDupSpec` pins it). Hot
+    * (band, band_key) buckets beyond `maxBucket` are dropped at WRITE
+    * time (one window over the band rows, same degrade-recall-not-
+    * wall-time rationale as [[capBuckets]]), so no probe ever pays for
+    * a degenerate bucket.
+    *
+    * At 100 TB the store is O(corpus × bands) 16-byte rows — each
+    * ingest SCANS it (embarrassingly parallel, pruned to nothing) but
+    * never shuffles it; only the new batch (and its candidates) move.
+    */
+  def writeMinHashStore(
+      df: DataFrame, idCol: String, textCol: String, name: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
+      buckets: Int = 8, maxBucket: Int = 256): Unit = {
+    require(bands * (perms / bands) == perms, "bands must divide perms")
+    val sigs = minHashSignatures(df, idCol, textCol, shingleN, perms)
+    val banded = capBuckets(
+      bandRows(sigs, bands, perms / bands).select("band", "band_key", "id"),
+      maxBucket)
+    graft.io.Bucketing.writeBucketed(
+      banded, s"${name}_bands", Seq("band", "band_key"), buckets)
+    graft.io.Bucketing.writeBucketed(
+      sigs.select("id", "sig"), s"${name}_sigs", Seq("id"), buckets)
+  }
+
+  /** Incremental near-dup: candidate pairs of a NEW batch against the
+    * persisted historical store written by [[writeMinHashStore]] — the
+    * batch analog of [[dropSeenFingerprints]] for NEAR duplicates, the
+    * operation a real corpus ingest runs per batch. O(new batch)
+    * shuffle: the new side's signatures and band rows shuffle (tiny —
+    * `bands` 16-byte rows + one 512 B signature per new doc), the
+    * candidate set shuffles to meet the signature store, and the store
+    * itself never moves (bucket-partitioned scans on both joins).
+    *
+    * Output: (id_new, id_seen, est_jaccard) where est_jaccard is the
+    * signature-agreement estimate (matching positions / perms — the
+    * same unbiased estimator `q_ext_minhash_est` gates at ±0.3 of
+    * exact Jaccard); pairs below `minEst` are dropped. Exact
+    * verification, if wanted, is [[verifyByEditDistance]] or a
+    * shingle-set join downstream on this bounded candidate set.
+    */
+  def minHashPairsIncremental(
+      newDf: DataFrame, idCol: String, textCol: String, name: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
+      minEst: Double = 0.5, maxBucket: Int = 256): DataFrame = {
+    require(bands * (perms / bands) == perms, "bands must divide perms")
+    val s = newDf.sparkSession
+    val storeBands = s.table(s"${name}_bands")
+    val storeSigs = s.table(s"${name}_sigs")
+    val sigs = minHashSignatures(newDf, idCol, textCol, shingleN, perms)
+      .localCheckpoint(true) // signatures feed two consumers; hash once
+    val banded = capBuckets(
+      bandRows(sigs, bands, perms / bands).select("id", "band", "band_key"),
+      maxBucket)
+    val candidates = banded
+      .join(storeBands.select(col("id").as("id_seen"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("id").as("id_new"), col("id_seen"))
+      .distinct()
+    val est = candidates
+      .join(storeSigs.select(col("id").as("id_seen"), col("sig").as("sig_seen")),
+        Seq("id_seen"))
+      .join(sigs.select(col("id").as("id_new"), col("sig").as("sig_new")),
+        Seq("id_new"))
+      .withColumn("est_jaccard",
+        expr("aggregate(zip_with(sig_new, sig_seen, (x, y) -> " +
+          "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+          .cast("double") / perms)
+    est.filter(col("est_jaccard") >= minEst)
+      .select("id_new", "id_seen", "est_jaccard")
+  }
+
   /** Candidate duplicate pairs via LSH banding of MinHash signatures:
     * signature split into `bands` bands of `perms/bands` rows; documents
     * colliding in any band become candidates; candidates are verified
@@ -270,12 +362,7 @@ object Dedup {
 
     val sigs = minHashSignatures(df, idCol, textCol, shingleN, perms)
 
-    val banded = capBuckets(sigs.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key"), maxBucket)
+    val banded = capBuckets(bandRows(sigs, bands, rows), maxBucket)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),

@@ -104,6 +104,97 @@ object Multimodal {
     } else None
   }
 
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xFFFFFFFFL) << 32) | (be32(b, i + 4) & 0xFFFFFFFFL)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def ascii4(b: Array[Byte], i: Int): String =
+    if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+
+  /** Typed audio/video container metadata (a media column is not only
+    * pictures): sample rate + channels for audio, track count for video,
+    * duration for both. 0 marks not-applicable (e.g. sample rate of an
+    * MP4 movie header, which carries a timescale, not a rate).
+    */
+  case class AvMeta(
+      mediaType: String, sampleRate: Int, channels: Int,
+      durationMs: Long, tracks: Int)
+
+  /** REAL audio/video container header parse — pure byte arithmetic over
+    * the public container specs, no codec:
+    *  - WAV: RIFF/WAVE chunk walk; rate/channels from `fmt `,
+    *    duration = `data` size / byte rate.
+    *  - FLAC: STREAMINFO (first metadata block by spec): 20-bit sample
+    *    rate, 3-bit channels-1, 36-bit total samples → duration.
+    *  - MP4: top-level box walk (must start with `ftyp`); `mvhd` inside
+    *    `moov` gives timescale+duration (v0 and v1), `trak` children are
+    *    counted.
+    * Unknown or truncated payloads → None.
+    */
+  def avHeaderMeta(b: Array[Byte]): Option[AvMeta] = {
+    if (b.length >= 44 && ascii4(b, 0) == "RIFF" && ascii4(b, 8) == "WAVE") {
+      // chunk walk: [id 4][size 4 LE][payload size] from offset 12
+      var i = 12
+      var rate = 0; var channels = 0; var byteRate = 0; var dataSize = -1L
+      while (i + 8 <= b.length && (rate == 0 || dataSize < 0)) {
+        val id = ascii4(b, i)
+        val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && i + 24 <= b.length) {
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          byteRate = le32(b, i + 16)
+        } else if (id == "data") dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || byteRate <= 0) None
+      else Some(AvMeta("audio/wav", rate, channels,
+        if (dataSize < 0) 0L else dataSize * 1000L / byteRate, 1))
+    } else if (b.length >= 42 && ascii4(b, 0) == "fLaC" && (b(4) & 0x7F) == 0) {
+      // STREAMINFO block at offset 8 (header: 1 flag/type byte + 24-bit len)
+      val s = 8
+      val rate = ((b(s + 10) & 0xFF) << 12) | ((b(s + 11) & 0xFF) << 4) |
+        ((b(s + 12) & 0xFF) >>> 4)
+      val channels = (((b(s + 12) & 0xFF) >>> 1) & 0x7) + 1
+      val totalSamples = ((b(s + 13) & 0x0FL) << 32) | (be32(b, s + 14) & 0xFFFFFFFFL)
+      if (rate <= 0) None
+      else Some(AvMeta("audio/flac", rate, channels, totalSamples * 1000L / rate, 1))
+    } else if (b.length >= 12 && ascii4(b, 4) == "ftyp") {
+      // MP4/ISO-BMFF: walk top-level boxes [size 4 BE][type 4]
+      var i = 0
+      var timescale = 0L; var duration = 0L; var tracks = 0
+      while (i + 8 <= b.length) {
+        val size = be32(b, i).toLong & 0xFFFFFFFFL
+        if (size < 8) return None // malformed box
+        if (ascii4(b, i + 4) == "moov") {
+          var j = i + 8
+          val end = math.min(i + size, b.length.toLong).toInt
+          while (j + 8 <= end) {
+            val csize = be32(b, j).toLong & 0xFFFFFFFFL
+            if (csize < 8) return None
+            ascii4(b, j + 4) match {
+              case "mvhd" if j + 9 <= end =>
+                val version = b(j + 8) & 0xFF
+                if (version == 1 && j + 40 <= end) {
+                  timescale = be32(b, j + 28).toLong & 0xFFFFFFFFL
+                  duration = be64(b, j + 32)
+                } else if (version == 0 && j + 28 <= end) {
+                  timescale = be32(b, j + 20).toLong & 0xFFFFFFFFL
+                  duration = be32(b, j + 24).toLong & 0xFFFFFFFFL
+                }
+              case "trak" => tracks += 1
+              case _ => ()
+            }
+            j += csize.toInt
+          }
+        }
+        i += size.toInt
+      }
+      if (timescale <= 0) None
+      else Some(AvMeta("video/mp4", 0, 0, duration * 1000L / timescale, tracks))
+    } else None
+  }
+
   /** Partition-wise decode/feature-extract: the Scala analogue of a
     * `mapInPandas` batch UDF — one iterator pass per partition, no
     * per-row task overhead, output schema fixed by the case class.

@@ -96,6 +96,8 @@ object Sampling {
   def takeTokenBudget(
       df: DataFrame, keyCol: String, sourceCol: String, sizeCol: String,
       budget: Long, salt: String): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget " +
+      "(a non-positive budget would silently break the at-least-one-doc contract)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(sourceCol)
       .orderBy(hashHex(col(keyCol), salt), col(keyCol))

@@ -186,6 +186,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** One deterministic Lloyd (k-means) iteration over an IVF coarse
+    * quantizer's centroids: assign every corpus vector to its nearest
+    * centroid (cosine, the same top-1 TopKPerKey plan [[ivfTopK]]'s
+    * inverted-file build uses — no sort, no new plan shape), then
+    * replace each centroid with its cell's per-dimension mean. Cells
+    * that captured nothing keep their old centroid, so the cell count
+    * is stable across iterations. Dimension means round to `dimScale`
+    * — the determinism contract that keeps refined centroids identical
+    * across partitionings (and engines, for the oracle).
+    *
+    * Scale shape per iteration: one crossJoin(broadcast(centroids))
+    * scored pass (linear in corpus), one (cell, dim)-keyed
+    * partially-aggregated shuffle for the means, one broadcast-sized
+    * reassembly. Training is bounded sampled data in practice; chain
+    * `iters` calls for k-means-n.
+    */
+  def lloydStep(
+      corpus: DataFrame, centroids: DataFrame,
+      simScale: Int = 4, dimScale: Int = 6): DataFrame = {
+    val cos = fastCosine(corpus) _
+    val cents = broadcast(
+      centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
+    val assignW = Window.partitionBy("vid")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = corpus
+      .select(col("id").as("vid"), asDouble(col("vec")).as("cv"))
+      .crossJoin(cents)
+      .withColumn("csim", round(cos(col("cv"), col("cvec")), simScale))
+      .withColumn("cent_rank", row_number().over(assignW))
+      .filter(col("cent_rank") <= 1)
+      .select(col("vid"), col("cv"), col("cent_id").as("cell"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(round(avg(col("v")), dimScale).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("nvec"))
+    centroids
+      .select(col("id"), asDouble(col("vec")).as("ovec"))
+      .join(means.select(col("cell").as("id"), col("nvec")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("nvec"), col("ovec")).as("vec"))
+  }
+
   /** Per-vector symmetric int8 quantization: codes = round(v/scale·127)
     * with scale = max|v_i|, returned as a (step, codes) struct — 4× the
     * density of float32 storage (8× vs double) at ≤ step/2 absolute

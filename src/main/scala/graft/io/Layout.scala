@@ -46,6 +46,10 @@ object Layout {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite mode deletes the output before the lazy read pulls from
+    // it — in-place compaction would destroy the input mid-job
+    require(fs.makeQualified(path) != fs.makeQualified(new org.apache.hadoop.fs.Path(outDir)),
+      s"compact cannot write in place: $inDir == $outDir")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inDir).repartition(nFiles)
@@ -84,10 +88,13 @@ object Layout {
     * same shard). The repartition ON the shard column makes each task
     * hold whole shards — one file per shard, not per (task × shard).
     */
-  def writeSharded(df: DataFrame, idCol: String, n: Int, outDir: String): Unit =
+  def writeSharded(df: DataFrame, idCol: String, n: Int, outDir: String): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it — writeSharded reserves that name")
     df.withColumn("shard", shardId(col(idCol), n))
       .repartition(n, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 
   /** Write `df` clustered along `zCol` (a
     * [[graft.functions.ZOrder.zValue]] column): range-partition into

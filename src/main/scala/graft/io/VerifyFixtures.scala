@@ -171,6 +171,130 @@ object VerifyFixtures {
     mediaGlob
   }
 
+  // -------------------------------------------------------- audio/video
+  val avDir = s"$root/av"
+  val avGlob = s"$avDir/av_*.bin"
+  val avExpectedPath = s"$avDir/expected_av.csv"
+
+  /** Audio/video container fixture for the oracle-gated AV-metadata
+    * query: real WAV (RIFF chunk layout), FLAC (STREAMINFO block) and
+    * MP4 (ftyp/moov/mvhd/trak box tree) headers built from the public
+    * container specs, plus one non-media payload for the fallback path.
+    * `.bin` extension on purpose — format comes from content sniffing.
+    * Expected values are PINNED literals in `expected_av.csv`
+    * (WAV: 35280 data bytes / 176400 B·s⁻¹ = 200 ms; FLAC: 96000
+    * samples / 48 kHz = 2000 ms; MP4: duration 1500 / timescale 600 =
+    * 2500 ms, 2 traks), independent of the Scala parse.
+    */
+  def avFixture(): String = {
+    def wav(rate: Int, channels: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val byteRate = rate * channels * bits / 8
+      val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(channels.toShort).putInt(rate).putInt(byteRate)
+      out.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      out.array() // data payload stays zeroed PCM
+    }
+    def flac(rate: Int, channels: Int, bits: Int, totalSamples: Long): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(42)
+      out.put("fLaC".getBytes("US-ASCII"))
+      out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // last block, STREAMINFO, len 34
+      out.putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+      out.put(Array[Byte](0, 0, 0, 0, 0, 0))            // min/max framesize
+      out.put((rate >> 12).toByte).put(((rate >> 4) & 0xFF).toByte)
+      out.put((((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)).toByte)
+      out.put(((((bits - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF).toInt).toByte)
+      out.putInt((totalSamples & 0xFFFFFFFFL).toInt)
+      out.array() // md5 stays zeroed
+    }
+    def mp4(timescale: Int, duration: Int, traks: Int): Array[Byte] = {
+      val mvhdSize = 8 + 20 // header + (ver/flags, ctime, mtime, timescale, duration)
+      val moovSize = 8 + mvhdSize + 8 * traks
+      val out = java.nio.ByteBuffer.allocate(16 + moovSize)
+      out.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      out.put("isom".getBytes("US-ASCII")).putInt(0)
+      out.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+      out.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+      out.putInt(0)                       // version 0 + flags
+      out.putInt(0).putInt(0)             // ctime, mtime
+      out.putInt(timescale).putInt(duration)
+      (1 to traks).foreach(_ => out.putInt(8).put("trak".getBytes("US-ASCII")))
+      out.array()
+    }
+    writeBytesIfAbsent(Paths.get(s"$avDir/av_001.bin"), wav(44100, 2, 16, 35280))
+    writeBytesIfAbsent(Paths.get(s"$avDir/av_002.bin"), flac(48000, 2, 16, 96000L))
+    writeBytesIfAbsent(Paths.get(s"$avDir/av_003.bin"), mp4(600, 1500, 2))
+    writeBytesIfAbsent(Paths.get(s"$avDir/av_004.bin"),
+      "not audio or video".getBytes(StandardCharsets.UTF_8))
+    writeIfAbsent(Paths.get(avExpectedPath)) {
+      """id,media_type,sample_rate,channels,duration_ms,tracks
+        |1,audio/wav,44100,2,200,1
+        |2,audio/flac,48000,2,2000,1
+        |3,video/mp4,0,0,2500,2
+        |4,application/octet-stream,0,0,0,0
+        |""".stripMargin
+    }
+    avGlob
+  }
+
+  // ------------------------------------------------- malformed stations
+  val malformedLocationPath = s"$root/processed/asrs_location_malformed.csv"
+
+  /** Station metadata with a REQUIRED column (`longitude`) missing —
+    * the S1-validation negative fixture (`get-cams-solrad-ts.py:119-121`
+    * aborts on missing required columns; so does
+    * [[graft.pipelines.SolarPipelines.validateStations]]).
+    */
+  def malformedLocationFixture(): String = writeIfAbsent(Paths.get(malformedLocationPath)) {
+    """no,station,latitude,elevation,timezone
+      |1,Alpha_Site,-6.25,25.0,UTC+7
+      |2,Beta-2,-7.5,150.5,UTC-3
+      |""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- bpe
+  val bpeDocsPath = s"$root/bpe/bpe_docs.csv"
+  val bpeExpectedPath = s"$root/bpe/expected_bpe.csv"
+
+  /** BPE-encode fixture: input strings + expected token ids under the
+    * PINNED merge table ([[graft.functions.Bpe.merges]]). The ids were
+    * derived BY HAND from the merge rules (rank-order exhaustive
+    * merging, whitespace word boundaries, UNK=0 for chars outside
+    * a–z; base ids a=1..z=26, merged tokens 27+) — not generated by the
+    * Scala encoder, so the fixture can catch an encoder regression.
+    * E.g. "standing" = s,t,a,n,d,i,n,g → in(r3) → an(r4) → and(r5) →
+    * ing(r8) → st(r9) → [st=35, and=31, ing=34].
+    */
+  def bpeFixture(): (String, String) = {
+    writeIfAbsent(Paths.get(bpeDocsPath)) {
+      """id,text
+        |1,the
+        |2,thin father
+        |3,standing at the station
+        |4,hello world
+        |5,qzx7
+        |6,interesting
+        |7,Hello HELLO
+        |""".stripMargin
+    }
+    writeIfAbsent(Paths.get(bpeExpectedPath)) {
+      """id,ids_str
+        |1,28
+        |2,27 29 6 1 28 18
+        |3,35 31 34 36 28 35 36 9 15 14
+        |4,8 5 12 12 15 23 32 12 4
+        |5,17 26 24 0
+        |6,29 20 33 5 35 34
+        |7,0 5 12 12 15 0 0 0 0 0
+        |""".stripMargin
+    }
+    (bpeDocsPath, bpeExpectedPath)
+  }
+
   private def writeBytesIfAbsent(p: Path, bytes: Array[Byte]): Unit = {
     if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {
       Files.createDirectories(p.getParent)

@@ -93,6 +93,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(1).getStruct(1).isNullAt(0))
   }
 
+  test("AV container headers: WAV/FLAC/MP4 byte layouts parse to real metadata") {
+    graft.io.VerifyFixtures.avFixture()
+    def bytes(n: Int) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${graft.io.VerifyFixtures.avDir}/av_00$n.bin"))
+    assert(Multimodal.avHeaderMeta(bytes(1)) ===
+      Some(Multimodal.AvMeta("audio/wav", 44100, 2, 200L, 1)))
+    assert(Multimodal.avHeaderMeta(bytes(2)) ===
+      Some(Multimodal.AvMeta("audio/flac", 48000, 2, 2000L, 1)))
+    assert(Multimodal.avHeaderMeta(bytes(3)) ===
+      Some(Multimodal.AvMeta("video/mp4", 0, 0, 2500L, 2)))
+    assert(Multimodal.avHeaderMeta(bytes(4)) === None)
+  }
+
+  test("AV parse rejects truncated or malformed containers instead of misreading") {
+    graft.io.VerifyFixtures.avFixture()
+    val wav = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${graft.io.VerifyFixtures.avDir}/av_001.bin"))
+    assert(Multimodal.avHeaderMeta(wav.take(20)) === None)         // truncated RIFF
+    assert(Multimodal.avHeaderMeta(Array[Byte](1, 2, 3)) === None) // tiny garbage
+    // an mp4 with a zero-size box must not loop or misparse
+    val bad = java.nio.ByteBuffer.allocate(24)
+    bad.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    bad.putInt(0).put("moov".getBytes("US-ASCII"))
+    assert(Multimodal.avHeaderMeta(bad.array()) === None)
+  }
+
   test("binaryFile source reads payload bytes with provenance") {
     val dir = Files.createTempDirectory("graft-bin")
     Files.write(dir.resolve("img_001.bin"), Array[Byte](1, 2, 3, 4))
