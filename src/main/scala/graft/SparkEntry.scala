@@ -845,6 +845,53 @@ object SparkEntry {
       s.table("g_st6")
     }),
 
+    // §2.10 driver-gated streaming NEAR-DUP ingest: the continuous form
+    // of the incremental MinHash store — per micro-batch, probe the
+    // persisted store, canonicalize within the batch, append survivors
+    // to the store. With the sf fixture's single source file,
+    // AvailableNow delivers ONE batch against an empty store, so the
+    // emitted set must equal the one-shot batch pipeline
+    // (minHashPairs -> keepCanonical) — the in-plan comparison
+    // collapses to the booleans the oracle pins. (Multi-batch splits
+    // would legitimately pick different cluster canonicals across
+    // batches; the multi-batch ORDER semantics are spec-pinned in
+    // StreamNearDupSpec instead.)
+    "q_st8_stream_neardup" -> ((s, dir) => {
+      val out = new java.io.File("target/g_st8_out").getAbsolutePath
+      val ckpt = new java.io.File("target/g_st8_ckpt").getAbsolutePath
+      Seq(out, ckpt).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+      Seq("g_st8_store_bands", "g_st8_store_sigs")
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS `$tb`"))
+      // %5 subsample: the gate compares TWO full pair-detections + two
+      // cluster closures (stream path and batch reference) — the same
+      // pair-detector sampling compromise as q_ext_editdist (SCALE.md)
+      val docs = streamTable(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+      val q = graft.streaming.StreamNearDup.ingest(
+        docs, "doc_id", "text", "g_st8_store", out, ckpt,
+        minJaccard = 0.7, minEst = 0.5)
+      q.awaitTermination()
+      val streamKept = s.read.parquet(out).select(col("doc_id"))
+      val static = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      val batchKept = graft.ext.Dedup.keepCanonical(static, "doc_id",
+          graft.ext.Dedup.minHashPairs(static, "doc_id", "text", minJaccard = 0.7))
+        .select(col("doc_id"))
+      val merged = streamKept.withColumn("src", lit(1))
+        .unionByName(batchKept.withColumn("src", lit(2)))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("src")).as("k"))
+      val eq = merged.agg(
+        (count(lit(1)) > 0).as("any_rows"),
+        min(col("k") === 2).as("stream_matches_batch"))
+      val grew = s.table("g_st8_store_bands")
+        .agg((count(lit(1)) > 0).as("store_has_bands"))
+      eq.crossJoin(grew)
+    }),
+
     // §2.10 driver-gated BUILT-IN session windows: Spark's native
     // session_window() grouping (dynamic-gap session aggregation in
     // the engine, complementing the custom flatMapGroupsWithState
@@ -1493,6 +1540,13 @@ object SparkEntry {
     // exactly when the gap reaches the 30-min window: session_window's
     // interval is [start, last + gap), so an event AT prev + gap opens
     // a new session -> the batch spelling is `diff >= 1800`).
+    // The streaming near-dup ingest's single-batch run must equal the
+    // one-shot batch pipeline; the in-plan comparison collapses to
+    // these pinned booleans (sketch values are not SQL-expressible).
+    "q_st8_stream_neardup" ->
+      """SELECT TRUE AS any_rows, TRUE AS stream_matches_batch,
+        |       TRUE AS store_has_bands""".stripMargin,
+
     "q_st7_session_window" ->
       """WITH e AS (
         |  SELECT user_id,

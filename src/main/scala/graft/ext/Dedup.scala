@@ -285,19 +285,45 @@ object Dedup {
     * ingest SCANS it (embarrassingly parallel, pruned to nothing) but
     * never shuffles it; only the new batch (and its candidates) move.
     */
-  def writeMinHashStore(
-      df: DataFrame, idCol: String, textCol: String, name: String,
-      shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
-      buckets: Int = 8, maxBucket: Int = 256): Unit = {
+  private def storeFrames(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, perms: Int, bands: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     require(bands * (perms / bands) == perms, "bands must divide perms")
     val sigs = minHashSignatures(df, idCol, textCol, shingleN, perms)
     val banded = capBuckets(
       bandRows(sigs, bands, perms / bands).select("band", "band_key", "id"),
       maxBucket)
+    (banded, sigs.select("id", "sig"))
+  }
+
+  def writeMinHashStore(
+      df: DataFrame, idCol: String, textCol: String, name: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
+      buckets: Int = 8, maxBucket: Int = 256): Unit = {
+    val (banded, sigs) = storeFrames(df, idCol, textCol, shingleN, perms, bands, maxBucket)
     graft.io.Bucketing.writeBucketed(
       banded, s"${name}_bands", Seq("band", "band_key"), buckets)
     graft.io.Bucketing.writeBucketed(
-      sigs.select("id", "sig"), s"${name}_sigs", Seq("id"), buckets)
+      sigs, s"${name}_sigs", Seq("id"), buckets)
+  }
+
+  /** Append a new batch's band rows + signatures to an existing store
+    * (creating it on first use) — the store-maintenance half of a
+    * continuous ingest ([[graft.streaming.StreamNearDup]]). Bucket spec
+    * is preserved, so probes keep their zero-store-Exchange plan. The
+    * hot-bucket cap applies per APPENDED batch (a global cap would need
+    * a store-wide count); probes re-cap at read time, so a bucket that
+    * turns hot across appends degrades recall, never wall time.
+    */
+  def appendMinHashStore(
+      df: DataFrame, idCol: String, textCol: String, name: String,
+      shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
+      buckets: Int = 8, maxBucket: Int = 256): Unit = {
+    val (banded, sigs) = storeFrames(df, idCol, textCol, shingleN, perms, bands, maxBucket)
+    graft.io.Bucketing.appendBucketed(
+      banded, s"${name}_bands", Seq("band", "band_key"), buckets)
+    graft.io.Bucketing.appendBucketed(
+      sigs, s"${name}_sigs", Seq("id"), buckets)
   }
 
   /** Incremental near-dup: candidate pairs of a NEW batch against the
@@ -322,7 +348,17 @@ object Dedup {
       minEst: Double = 0.5, maxBucket: Int = 256): DataFrame = {
     require(bands * (perms / bands) == perms, "bands must divide perms")
     val s = newDf.sparkSession
-    val storeBands = s.table(s"${name}_bands")
+    val rawStoreBands = s.table(s"${name}_bands")
+    // Read-time hot-bucket guard: a bucket that turned hot ACROSS
+    // appends (each one under the write-time cap) would explode the
+    // candidate join. The count aggregate is co-located with the
+    // table's bucketing (zero shuffle) and the hot list is small, so
+    // the anti-join broadcasts — the store still never moves.
+    val hot = rawStoreBands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("band_key"))
+    val storeBands = rawStoreBands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
     val storeSigs = s.table(s"${name}_sigs")
     val sigs = minHashSignatures(newDf, idCol, textCol, shingleN, perms)
       .localCheckpoint(true) // signatures feed two consumers; hash once

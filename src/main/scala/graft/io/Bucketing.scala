@@ -23,6 +23,25 @@ object Bucketing {
     * restart while the warehouse directory persists, so a bare
     * `saveAsTable` would refuse the stale location — drop both first.
     */
+  /** Append to an existing bucketed table (create it if absent) —
+    * incremental stores grow per ingest; each append adds one file per
+    * bucket per job, preserving the bucket spec so downstream
+    * co-located joins keep their zero-Exchange property. Interleave
+    * with [[graft.io.Layout.compact]]-style maintenance when the
+    * per-bucket file count accretes.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) writeBucketed(df, table, keys, buckets)
+    else df.write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.drop(1): _*)
+      .sortBy(keys.head, keys.drop(1): _*)
+      .saveAsTable(table)
+  }
+
   def writeBucketed(
       df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession

@@ -66,11 +66,14 @@ class IncrementalNearDupSpec extends SparkTestBase {
       assert(ex.isEmpty,
         s"store-side rows shuffle before their join (O(corpus), must be O(new batch)):\n$plan")
     }
-    // and the store IS read as a bucketed scan (not an accidental rebuild)
-    val storeScans = plan.collect {
-      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table.startsWith("t_inc_plan")) => f
+    // and both store tables ARE read as bucketed scans (the bands table
+    // twice: hot-bucket count + probe join, both exchange-free)
+    val storeTables = plan.collect {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(_.table.startsWith("t_inc_plan")) =>
+        f.tableIdentifier.get.table
     }
-    assert(storeScans.size === 2, s"expected the two store tables in the plan:\n$plan")
+    assert(storeTables.toSet === Set("t_inc_plan_bands", "t_inc_plan_sigs"),
+      s"expected both store tables in the plan:\n$plan")
   }
 
   test("write-time hot-bucket cap drops degenerate band keys from the store") {
