@@ -608,6 +608,40 @@ object ExtQueries {
         col("doc_id"), TextStats.redactPii(dirty).as("clean"))
     }),
 
+    // Web provenance: deterministic per-doc URLs (planted like
+    // q_ext_redact_pii's PII) -> extraction, host, registrable domain —
+    // all regex/string expressions the oracle runs verbatim.
+    "q_ext_url_parse" -> ((s, dir) => {
+      val url = concat(lit("https://cdn"), pmod(col("doc_id"), lit(5)),
+        lit("."), col("source"), lit(".example."),
+        when(pmod(col("doc_id"), lit(3)) === 0, "net").otherwise("org"),
+        lit("/p/"), col("doc_id"))
+      val planted = concat(col("text"), lit(" see "), url, lit(" for more"))
+      val first = try_element_at(Web.extractUrls(planted), lit(1))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        first.as("url"),
+        Web.urlHost(first).as("host"),
+        Web.registrableDomain(Web.urlHost(first)).as("domain"))
+    }),
+
+    // Domain blocklist filter + per-domain accounting over the parsed
+    // provenance: broadcast anti-join, then one partial-agg shuffle.
+    "q_ext_domain_stats" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val host = concat(lit("cdn"), pmod(col("doc_id"), lit(5)),
+        lit("."), col("source"), lit(".example."),
+        when(pmod(col("doc_id"), lit(3)) === 0, "net").otherwise("org"))
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        Web.registrableDomain(host).as("domain"))
+      val blocked = Seq("example.net").toDF("domain")
+      Web.domainStats(Web.filterBlockedDomains(docs, "domain", blocked),
+          "domain", "n_chars")
+        .select(col("domain"), col("n_docs"), col("sum_chars"))
+    }),
+
     // Canonical text normalization + its fingerprint: the tier-1 dedup
     // key (case/punctuation/spacing-invariant). The oracle spells the
     // same pipeline in DuckDB regexes ('g' flag = Spark's replace-all).
@@ -1279,6 +1313,38 @@ object ExtQueries {
         |SELECT c.n_child, o.n_orphans,
         |       round(o.n_orphans * 1.0 / greatest(c.n_child, 1), 6) AS orphan_frac
         |FROM c, o""".stripMargin,
+
+    "q_ext_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         text || ' see https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+        |         source || '.example.' ||
+        |         CASE WHEN doc_id % 3 = 0 THEN 'net' ELSE 'org' END ||
+        |         '/p/' || CAST(doc_id AS VARCHAR) || ' for more' AS planted
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(planted, 'https?://[^\s]+')[1] AS url
+        |  FROM u),
+        |h AS (
+        |  SELECT doc_id, url,
+        |         regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host
+        |  FROM e),
+        |p AS (SELECT doc_id, url, host, string_split(host, '.') AS parts FROM h)
+        |SELECT doc_id, url, host,
+        |       CASE WHEN len(parts) <= 2 THEN host
+        |            ELSE parts[-2] || '.' || parts[-1] END AS domain
+        |FROM p""".stripMargin,
+
+    "q_ext_domain_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         'example.' || CASE WHEN doc_id % 3 = 0 THEN 'net' ELSE 'org' END
+        |           AS domain
+        |  FROM documents)
+        |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d WHERE domain <> 'example.net'
+        |GROUP BY 1""".stripMargin,
 
     "q_ext_redact_pii" ->
       """WITH dirty AS (
