@@ -608,6 +608,14 @@ object ExtQueries {
         col("doc_id"), TextStats.redactPii(dirty).as("clean"))
     }),
 
+    // Model-based quality filter (the learned-classifier plan shape):
+    // hashed token features -> broadcast weight table -> one per-doc
+    // partial agg -> sigmoid + threshold. Pinned weights keep it
+    // oracle-checkable; a trained model swaps table contents only.
+    "q_ext_quality_model" -> ((s, dir) =>
+      QualityModel.hashedLinearScore(
+        Tables.documents(s, dir), "doc_id", "text", dim = 256, salt = "qm")),
+
     // Web provenance: deterministic per-doc URLs (planted like
     // q_ext_redact_pii's PII) -> extraction, host, registrable domain —
     // all regex/string expressions the oracle runs verbatim.
@@ -1313,6 +1321,24 @@ object ExtQueries {
         |SELECT c.n_child, o.n_orphans,
         |       round(o.n_orphans * 1.0 / greatest(c.n_child, 1), 6) AS orphan_frac
         |FROM c, o""".stripMargin,
+
+    "q_ext_quality_model" -> {
+      val w = QualityModel.weightSql("bucket")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         ((strpos('0123456789abcdef', substring(md5('qm' || t), 1, 1)) - 1) * 16
+         |          + strpos('0123456789abcdef', substring(md5('qm' || t), 2, 1)) - 1)
+         |           % 256 AS bucket
+         |  FROM toks),
+         |z AS (SELECT doc_id, avg($w) AS z FROM b GROUP BY 1)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+         |       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+         |FROM z""".stripMargin
+    },
 
     "q_ext_url_parse" ->
       """WITH u AS (

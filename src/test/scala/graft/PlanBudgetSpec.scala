@@ -34,7 +34,12 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_dedup_exact", 1, "one fingerprint groupBy"),
     ("q_ext_cdc_apply", 2, "latest-wins keyed window + anti-join against the base"),
     ("q_ext_oov", 2, "vocab top-k agg + per-doc partial agg; vocab join broadcasts"),
-    ("q_r5b_interpolate_keyed", 3, "densify grid + one shared keyed window sort"))
+    ("q_r5b_interpolate_keyed", 3, "densify grid + one shared keyed window sort"),
+    ("q_ext_url_parse", 0, "pure regex/string projection — scan to output"),
+    ("q_ext_domain_stats", 1, "broadcast anti-join blocklist + one partial-agg rollup"),
+    ("q_ext_dedup_incremental_near", 4,
+      "new-batch band window + candidate distinct + candidate-side join exchanges; " +
+        "the STORE side never shuffles (IncrementalNearDupSpec pins that separately)"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {
