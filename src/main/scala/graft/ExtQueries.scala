@@ -608,6 +608,17 @@ object ExtQueries {
         col("doc_id"), TextStats.redactPii(dirty).as("clean"))
     }),
 
+    // Repeated-substring spans (Lee et al.-style exact-substring dedup,
+    // rolling-gram form): positions whose 8-token gram repeats anywhere
+    // in the corpus, merged to per-doc token spans. The oracle marks
+    // positions by the gram STRINGS (not the engine's xxhash64), so a
+    // hash-side defect cannot self-confirm.
+    "q_ext_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSubstringSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .select(col("doc_id"),
+          col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"))),
+
     // Model-based quality filter (the learned-classifier plan shape):
     // hashed token features -> broadcast weight table -> one per-doc
     // partial agg -> sigmoid + threshold. Pinned weights keep it
@@ -1321,6 +1332,30 @@ object ExtQueries {
         |SELECT c.n_child, o.n_orphans,
         |       round(o.n_orphans * 1.0 / greatest(c.n_child, 1), 6) AS orphan_frac
         |FROM c, o""".stripMargin,
+
+    "q_ext_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, len(ts) - 8 + 2)) AS pos, ts
+        |  FROM toks WHERE len(ts) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS gram FROM p),
+        |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |sid AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+        |FROM sid GROUP BY doc_id, sid""".stripMargin,
 
     "q_ext_quality_model" -> {
       val w = QualityModel.weightSql("bucket")

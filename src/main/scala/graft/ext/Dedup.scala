@@ -183,6 +183,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Repeated-substring spans (the Lee et al. "Deduplicating Training
+    * Data" exact-substring operation, re-expressed Spark-shaped):
+    * mark every position whose `n`-token gram occurs at least
+    * `minCount` times ANYWHERE in the corpus (across documents or
+    * within one), then merge overlapping marks into per-document token
+    * spans `[start_tok, end_tok]` (1-based, inclusive) — the regions a
+    * remove-repeated-substrings pass would cut. The suffix-array
+    * formulation is a single-machine algorithm; rolling grams ARE its
+    * distributed approximation (a repeat of length ≥ 2n−1 tokens is
+    * always found; shorter overlaps degrade gracefully).
+    *
+    * Scale shape: grams shuffle as 8-byte xxhash64 keys with partial
+    * aggregation (text never shuffles); the repeated-gram join is
+    * keyed; the span merge is one PER-DOCUMENT window over marked
+    * positions (bounded by document length). Collisions: 64-bit keys
+    * over corpus-gram counts make a false repeat ~birthday(2^64)
+    * — the standard trade every hash-based dedup tier here makes.
+    */
+  def repeatedSubstringSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    val toks = df.select(col(idCol), TextStats.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+    val grams = toks.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(1), size(col("__ts")) - n + 1),
+        i => xxhash64(concat_ws(" ", slice(col("__ts"), i, lit(n)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("gh"))
+    val repeated = grams.groupBy("gh")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select("gh")
+    val marked = grams.join(repeated, "gh").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    // intervals [pos, pos+n-1] merge when the next start is within the
+    // previous gram's reach (gap <= n keeps adjacent-or-overlapping)
+    val sessioned = marked
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned.groupBy(col(idCol), col("__sid"))
+      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + n - 1).as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"))
+  }
+
   // --------------------------------------------------- MinHash + LSH
   /** Hot-bucket guard for banded self-joins: drop every (band, band_key)
     * group holding more than `maxBucket` documents before pairing.

@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("repeatedSubstringSpans: cross-doc and within-doc repeats merge to spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                    // shares tokens 1-8 with doc 2
+      (2L, "z1 z2 a b c d e f g h y"),                // the shared run sits at 3-10
+      (3L, "m n o p q r s t m n o p q r s t"),        // internal repeat -> one merged span
+      (4L, "entirely unique words without any repetition present here today")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", n = 8)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(spans === Set((1L, 1, 8), (2L, 3, 10), (3L, 1, 16)))
+  }
+
+  test("repeatedSubstringSpans: docs shorter than the gram never mark") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSubstringSpans(docs, "doc_id", "text", n = 8).isEmpty)
+  }
+  import spark.implicits._
+
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
     (2L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 1
