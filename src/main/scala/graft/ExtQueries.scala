@@ -608,6 +608,51 @@ object ExtQueries {
         col("doc_id"), TextStats.redactPii(dirty).as("clean"))
     }),
 
+    // Embedding covariance matrix — the distributed half of PCA: one
+    // double-posexplode pass + (i,j)-keyed single-pass covar_pop
+    // partial aggregate; shuffle carries dim^2 groups, never vectors.
+    "q_ext_covariance" -> ((s, dir) =>
+      Pca.covarianceMatrix(Tables.embeddings(s, dir), "embedding")),
+
+    // The eigensolve + projection CONTRACT, driver-gated as booleans
+    // (eigenvectors are driver-side math; their defining properties
+    // are checked, and the projected-variance check runs DISTRIBUTED
+    // over the corpus: var_pop(X·q_c) must equal lambda_c).
+    "q_ext_pca_contract" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val k = 4
+      val m = Pca.collectMatrix(Pca.covarianceMatrix(emb, "embedding", scale = 9))
+      val comps = Pca.topComponents(m, k)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map(t => t._1 * t._2).sum
+      val vecs = comps.map(_._2)
+      val ortho = (for { x <- 0 until k; y <- 0 until k if x < y }
+        yield math.abs(dot(vecs(x), vecs(y)))).forall(_ <= 1e-9) &&
+        vecs.forall(v => math.abs(dot(v, v) - 1.0) <= 1e-9)
+      val eps = 1e-6 * math.max(comps.head._1, 1e-12)
+      val sorted = comps.map(_._1).sliding(2).forall {
+        case Seq(a, b) => a >= b - eps
+        case _ => true
+      } && comps.forall(_._1 >= -eps)
+      val resid = comps.forall { case (l, q) =>
+        val mq = m.map(row => dot(row, q))
+        math.sqrt(mq.zip(q).map { case (a, b) => val d = a - l * b; d * d }.sum) <=
+          5e-2 * math.max(comps.head._1, 1e-12)
+      }
+      val varRow = Pca.project(emb, "embedding", vecs, scale = 9)
+        .select((0 until k).map(c =>
+          var_pop(element_at(col("projected"), c + 1)).as(s"v$c")): _*)
+        .head()
+      val varOk = (0 until k).forall(c =>
+        math.abs(varRow.getDouble(c) - comps(c)._1) <=
+          1e-3 * math.max(comps.head._1, 1e-12))
+      s.range(1).select(
+        lit(ortho).as("orthonormal"),
+        lit(sorted).as("eigvals_sorted"),
+        lit(resid).as("eigen_residual_ok"),
+        lit(varOk).as("projected_variance_ok"))
+    }),
+
     // Repeated-substring spans (Lee et al.-style exact-substring dedup,
     // rolling-gram form): positions whose 8-token gram repeats anywhere
     // in the corpus, merged to per-doc token spans. The oracle marks
@@ -1332,6 +1377,20 @@ object ExtQueries {
         |SELECT c.n_child, o.n_orphans,
         |       round(o.n_orphans * 1.0 / greatest(c.n_child, 1), 6) AS orphan_frac
         |FROM c, o""".stripMargin,
+
+    "q_ext_covariance" ->
+      """WITH e AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT unnest(v) AS vi, unnest(range(len(v))) AS i, v FROM e),
+        |b AS (
+        |  SELECT i, vi, unnest(v) AS vj, unnest(range(len(v))) AS j FROM a)
+        |SELECT i, j, round(covar_pop(vi, vj), 6) AS cov
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_ext_pca_contract" ->
+      """SELECT TRUE AS orthonormal, TRUE AS eigvals_sorted,
+        |       TRUE AS eigen_residual_ok, TRUE AS projected_variance_ok""".stripMargin,
 
     "q_ext_repeated_spans" ->
       """WITH toks AS (

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the whitening / dimensionality-
+  * reduction step a corpus pipeline runs before ANN indexing or
+  * clustering. Split the way the arithmetic wants to be split:
+  *
+  *  - the DISTRIBUTED part is the covariance matrix: one double-
+  *    posexplode pass + a (i, j)-keyed `covar_pop` aggregate — a
+  *    single-pass co-moment partial aggregate whose shuffle carries
+  *    dim² groups, never documents. Oracle-gated cell by cell
+  *    (`q_ext_covariance`).
+  *  - the DRIVER part is the eigensolve over the collected dim×dim
+  *    matrix (bytes-small for embedding dims): deterministic power
+  *    iteration with deflation. Spec-pinned against closed-form 2-D
+  *    fixtures; its CONTRACT (orthonormality, eigen residual, sorted
+  *    nonnegative eigenvalues, projected variance == eigenvalue) is
+  *    driver-gated as booleans (`q_ext_pca_contract`).
+  *  - projection back over the corpus is a broadcast of k unit vectors
+  *    into a codegen'd dot product per row.
+  *
+  * Scale note: the explode spelling costs ndocs×dim² generated rows of
+  * CPU (fine to dim ≈ 128; partial aggregation keeps the shuffle at
+  * dim² regardless). For wider vectors the same aggregate belongs in a
+  * typed Gram-matrix accumulator (the [[graft.functions.SketchAggregates]]
+  * pattern) — identical output, one buffer per partition.
+  */
+object Pca {
+
+  /** Population covariance matrix in long format (i, j, cov), i/j
+    * 0-based dims, `cov` rounded to `scale` for engine-stable output.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(posexplode(v).as(Seq("i", "vi")), v.as("__v"))
+      .select(col("i"), col("vi"), posexplode(col("__v")).as(Seq("j", "vj")))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(round(covar_pop(col("vi"), col("vj")), scale).as("cov"))
+  }
+
+  /** Top-`k` principal components of a symmetric matrix via
+    * deterministic power iteration, re-orthogonalized against the
+    * already-found components EVERY step (sequential orthogonal
+    * iteration — orthonormality then holds to machine precision by
+    * construction, independent of the eigengap; a deflation-based
+    * variant would inherit the previous component's convergence
+    * error). Returns (eigenvalue, unit eigenvector) pairs with
+    * λ = qᵀMq, descending up to iteration tolerance. Driver-side by
+    * design — `cov` is dim×dim, collected from [[covarianceMatrix]]'s
+    * long format.
+    */
+  def topComponents(cov: Array[Array[Double]], k: Int,
+      iterations: Int = 300): Seq[(Double, Array[Double])] = {
+    val dim = cov.length
+    require(cov.forall(_.length == dim), "covariance matrix must be square")
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    def matVec(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += cov(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    (0 until k).foreach { c =>
+      // deterministic start: skewed so it cannot be orthogonal to the
+      // dominant remaining eigenvector of a generic symmetric matrix
+      var x = Array.tabulate(dim)(i => 1.0 + (i + c + 1).toDouble / (dim + 1))
+      (0 until iterations).foreach { _ =>
+        var y = matVec(x)
+        found.foreach { case (_, q) =>
+          val p = dot(q, y)
+          y = y.zip(q).map { case (yi, qi) => yi - p * qi }
+        }
+        val n = math.sqrt(dot(y, y))
+        if (n > 1e-300) x = y.map(_ / n)
+      }
+      // fix sign for determinism: largest-|component| entry positive
+      val pivot = x.indices.maxBy(i => math.abs(x(i)))
+      if (x(pivot) < 0) x = x.map(-_)
+      found += ((dot(x, matVec(x)), x))
+    }
+    found.toSeq
+  }
+
+  /** Collect a [[covarianceMatrix]] frame into the dense symmetric
+    * matrix `topComponents` consumes. */
+  def collectMatrix(cov: DataFrame): Array[Array[Double]] = {
+    val cells = cov.select(col("i").cast("int"), col("j").cast("int"),
+      col("cov").cast("double")).collect()
+    val dim = cells.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    m
+  }
+
+  /** Project the embedding column onto `components` (broadcast as plan
+    * literals): output `array<double>` of length k, one codegen'd dot
+    * product per component per row.
+    */
+  def project(df: DataFrame, vecCol: String, components: Seq[Array[Double]],
+      scale: Int = 6): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val dots: Seq[Column] = components.map { comp =>
+      val terms = comp.zipWithIndex.map { case (w, d) =>
+        element_at(v, d + 1) * lit(w) }
+      round(terms.reduce(_ + _), scale)
+    }
+    df.withColumn("projected", array(dots: _*))
+  }
+}
