@@ -22,6 +22,16 @@ object ExtQueries {
   private def scratchDir(s: SparkSession, tag: String, dir: String): String =
     s"target/$tag-${s.sparkContext.applicationId}-${(dir.hashCode & 0x7fffffff).toHexString}"
 
+  /** Catalog-table analogue of [[scratchDir]] (identifier-safe): store
+    * tables scoped per (application, input dir) so concurrent sessions
+    * and the bench's base/scaled passes never drop each other's store
+    * mid-probe.
+    */
+  private[graft] def scratchTable(s: SparkSession, tag: String, dir: String): String = {
+    val h = ((s.sparkContext.applicationId + "|" + dir).hashCode & 0x7fffffff).toHexString
+    s"${tag}_$h"
+  }
+
   // ---- DuckDB expression builders mirroring TextStats ------------------
 
   /** DuckDB: whitespace-normalized, space-padded text. */
@@ -191,10 +201,11 @@ object ExtQueries {
     // by q_ext_incr_recall below.
     "q_ext_dedup_incremental_near" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val store = scratchTable(s, "g_mh_store", dir)
       Dedup.writeMinHashStore(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "g_mh_store")
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
       Dedup.minHashPairsIncremental(
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "g_mh_store",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store,
           minEst = 0.5)
         .select(col("id_new"), col("id_seen"),
           round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -212,9 +223,10 @@ object ExtQueries {
       val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
       val hist = docs.filter(col("doc_id") < 250)
       val batch = docs.filter(col("doc_id") >= 250)
-      Dedup.writeMinHashStore(hist, "doc_id", "text", "g_mh_recall")
+      val store = scratchTable(s, "g_mh_recall", dir)
+      Dedup.writeMinHashStore(hist, "doc_id", "text", store)
       val found = Dedup.minHashPairsIncremental(
-          batch, "doc_id", "text", "g_mh_recall", minEst = 0.35)
+          batch, "doc_id", "text", store, minEst = 0.35)
         .select(col("id_seen").as("id_a"), col("id_new").as("id_b"),
           lit(true).as("f"))
       val shingleSet = array_distinct(Dedup.shingles(col("text"), 3))
@@ -1059,6 +1071,58 @@ object ExtQueries {
         |corp AS (
         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings),
+        |ranked AS (
+        |  SELECT neighbor_id, cv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY neighbor_id
+        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+        |           AS cent_rank
+        |  FROM corp, cent),
+        |asg AS (SELECT neighbor_id, cv, cell FROM ranked WHERE cent_rank = 1),
+        |q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |pr AS (
+        |  SELECT query_id, qv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id)
+        |           AS probe_rank
+        |  FROM q, cent),
+        |probes AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 4),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(qv, cv), 4) AS sim
+        |  FROM asg JOIN probes USING (cell)
+        |  WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin,
+
+    // The trained variant replays the Lloyd iteration in SQL: assign
+    // every corpus vector to its nearest sampled centroid, move each
+    // cell to its members' per-dim mean (6-dp, the determinism
+    // contract), empty cells keep the sample, then the same
+    // probe/scan as q_ext_ann_ivf against the refined centroids.
+    "q_ext_ann_ivf_trained" ->
+      """WITH cent0 AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 7),
+        |corp AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |r0 AS (
+        |  SELECT neighbor_id, cv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY neighbor_id
+        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+        |           AS cent_rank
+        |  FROM corp, cent0),
+        |asg0 AS (SELECT neighbor_id, cv, cell FROM r0 WHERE cent_rank = 1),
+        |dims AS (
+        |  SELECT cell, unnest(cv) AS v, unnest(range(len(cv))) AS dim FROM asg0),
+        |dmeans AS (SELECT cell, dim, round(avg(v), 6) AS m FROM dims GROUP BY 1, 2),
+        |newc AS (SELECT cell, list(m ORDER BY dim) AS nv FROM dmeans GROUP BY 1),
+        |cent AS (
+        |  SELECT c.cent_id, COALESCE(n.nv, c.cvec) AS cvec
+        |  FROM cent0 c LEFT JOIN newc n ON n.cell = c.cent_id),
         |ranked AS (
         |  SELECT neighbor_id, cv, cent_id AS cell,
         |         row_number() OVER (PARTITION BY neighbor_id

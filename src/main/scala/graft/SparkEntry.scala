@@ -857,14 +857,18 @@ object SparkEntry {
     // batches; the multi-batch ORDER semantics are spec-pinned in
     // StreamNearDupSpec instead.)
     "q_st8_stream_neardup" -> ((s, dir) => {
-      val out = new java.io.File("target/g_st8_out").getAbsolutePath
-      val ckpt = new java.io.File("target/g_st8_ckpt").getAbsolutePath
+      // store/out/ckpt scoped per (application, dir) so concurrent
+      // sessions and the bench's base/scaled passes never clobber each
+      // other; cleared up front so reruns stay idempotent
+      val store = ExtQueries.scratchTable(s, "g_st8_store", dir)
+      val out = new java.io.File(s"target/${store}_out").getAbsolutePath
+      val ckpt = new java.io.File(s"target/${store}_ckpt").getAbsolutePath
       Seq(out, ckpt).foreach { p =>
         val path = new org.apache.hadoop.fs.Path(p)
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(path)) fs.delete(path, true)
       }
-      Seq("g_st8_store_bands", "g_st8_store_sigs")
+      Seq(s"${store}_bands", s"${store}_sigs")
         .foreach(tb => s.sql(s"DROP TABLE IF EXISTS `$tb`"))
       // %5 subsample: the gate compares TWO full pair-detections + two
       // cluster closures (stream path and batch reference) — the same
@@ -872,7 +876,7 @@ object SparkEntry {
       val docs = streamTable(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
       val q = graft.streaming.StreamNearDup.ingest(
-        docs, "doc_id", "text", "g_st8_store", out, ckpt,
+        docs, "doc_id", "text", store, out, ckpt,
         minJaccard = 0.7, minEst = 0.5)
       q.awaitTermination()
       val streamKept = s.read.parquet(out).select(col("doc_id"))
@@ -887,7 +891,7 @@ object SparkEntry {
       val eq = merged.agg(
         (count(lit(1)) > 0).as("any_rows"),
         min(col("k") === 2).as("stream_matches_batch"))
-      val grew = s.table("g_st8_store_bands")
+      val grew = s.table(s"${store}_bands")
         .agg((count(lit(1)) > 0).as("store_has_bands"))
       eq.crossJoin(grew)
     }),

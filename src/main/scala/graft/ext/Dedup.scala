@@ -145,6 +145,10 @@ object Dedup {
         hash(col("id_a"), col("id_b")))
       .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__text_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__text_b")), "id_b")
+      // |len(a) − len(b)| is a lower bound on edit distance: pairs that
+      // cannot pass are dropped by a cheap codegen'd predicate BEFORE
+      // the O(maxDist·min(len)) distance call ever runs
+      .filter(abs(length(col("__text_a")) - length(col("__text_b"))) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col("__text_a"), col("__text_b"), maxDist))
       .filter(col("edit_dist") >= 0)

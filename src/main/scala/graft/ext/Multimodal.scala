@@ -134,18 +134,22 @@ object Multimodal {
     */
   def avHeaderMeta(b: Array[Byte]): Option[AvMeta] = {
     if (b.length >= 44 && ascii4(b, 0) == "RIFF" && ascii4(b, 8) == "WAVE") {
-      // chunk walk: [id 4][size 4 LE][payload size] from offset 12
-      var i = 12
+      // chunk walk: [id 4][size 4 LE][payload size] from offset 12.
+      // All cursor arithmetic stays in Long — a 32-bit size near 2^32
+      // truncated through toInt would step backwards (or by zero) and
+      // hang the walk on adversarial bytes.
+      var i = 12L
       var rate = 0; var channels = 0; var byteRate = 0; var dataSize = -1L
       while (i + 8 <= b.length && (rate == 0 || dataSize < 0)) {
-        val id = ascii4(b, i)
-        val size = le32(b, i + 4).toLong & 0xFFFFFFFFL
+        val at = i.toInt
+        val id = ascii4(b, at)
+        val size = le32(b, at + 4).toLong & 0xFFFFFFFFL
         if (id == "fmt " && i + 24 <= b.length) {
-          channels = le16(b, i + 10)
-          rate = le32(b, i + 12)
-          byteRate = le32(b, i + 16)
+          channels = le16(b, at + 10)
+          rate = le32(b, at + 12)
+          byteRate = le32(b, at + 16)
         } else if (id == "data") dataSize = size
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1L) // chunks are word-aligned; always advances
       }
       if (rate <= 0 || byteRate <= 0) None
       else Some(AvMeta("audio/wav", rate, channels,
@@ -160,35 +164,40 @@ object Multimodal {
       if (rate <= 0) None
       else Some(AvMeta("audio/flac", rate, channels, totalSamples * 1000L / rate, 1))
     } else if (b.length >= 12 && ascii4(b, 4) == "ftyp") {
-      // MP4/ISO-BMFF: walk top-level boxes [size 4 BE][type 4]
-      var i = 0
+      // MP4/ISO-BMFF: walk top-level boxes [size 4 BE][type 4]. Cursors
+      // in Long for the same truncation reason as the WAV walk; size < 8
+      // (which includes size 0 = "rest of file", unsupported here) is
+      // rejected so every step strictly advances.
+      var i = 0L
       var timescale = 0L; var duration = 0L; var tracks = 0
       while (i + 8 <= b.length) {
-        val size = be32(b, i).toLong & 0xFFFFFFFFL
+        val at = i.toInt
+        val size = be32(b, at).toLong & 0xFFFFFFFFL
         if (size < 8) return None // malformed box
-        if (ascii4(b, i + 4) == "moov") {
+        if (ascii4(b, at + 4) == "moov") {
           var j = i + 8
-          val end = math.min(i + size, b.length.toLong).toInt
+          val end = math.min(i + size, b.length.toLong)
           while (j + 8 <= end) {
-            val csize = be32(b, j).toLong & 0xFFFFFFFFL
+            val cat = j.toInt
+            val csize = be32(b, cat).toLong & 0xFFFFFFFFL
             if (csize < 8) return None
-            ascii4(b, j + 4) match {
+            ascii4(b, cat + 4) match {
               case "mvhd" if j + 9 <= end =>
-                val version = b(j + 8) & 0xFF
+                val version = b(cat + 8) & 0xFF
                 if (version == 1 && j + 40 <= end) {
-                  timescale = be32(b, j + 28).toLong & 0xFFFFFFFFL
-                  duration = be64(b, j + 32)
+                  timescale = be32(b, cat + 28).toLong & 0xFFFFFFFFL
+                  duration = be64(b, cat + 32)
                 } else if (version == 0 && j + 28 <= end) {
-                  timescale = be32(b, j + 20).toLong & 0xFFFFFFFFL
-                  duration = be32(b, j + 24).toLong & 0xFFFFFFFFL
+                  timescale = be32(b, cat + 20).toLong & 0xFFFFFFFFL
+                  duration = be32(b, cat + 24).toLong & 0xFFFFFFFFL
                 }
               case "trak" => tracks += 1
               case _ => ()
             }
-            j += csize.toInt
+            j += csize
           }
         }
-        i += size.toInt
+        i += size
       }
       if (timescale <= 0) None
       else Some(AvMeta("video/mp4", 0, 0, duration * 1000L / timescale, tracks))

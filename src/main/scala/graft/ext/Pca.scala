@@ -72,21 +72,34 @@ object Pca {
       s
     }
     val found = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
-    (0 until k).foreach { c =>
-      // deterministic start: skewed so it cannot be orthogonal to the
-      // dominant remaining eigenvector of a generic symmetric matrix
-      var x = Array.tabulate(dim)(i => 1.0 + (i + c + 1).toDouble / (dim + 1))
-      (0 until iterations).foreach { _ =>
-        var y = matVec(x)
-        found.foreach { case (_, q) =>
-          val p = dot(q, y)
-          y = y.zip(q).map { case (yi, qi) => yi - p * qi }
-        }
-        val n = math.sqrt(dot(y, y))
-        if (n > 1e-300) x = y.map(_ / n)
+    def orthonormalize(v: Array[Double]): Array[Double] = {
+      var y = v
+      found.foreach { case (_, q) =>
+        val p = dot(q, y)
+        y = y.zip(q).map { case (yi, qi) => yi - p * qi }
       }
-      // fix sign for determinism: largest-|component| entry positive
-      val pivot = x.indices.maxBy(i => math.abs(x(i)))
+      val n = math.sqrt(dot(y, y))
+      if (n > 1e-300) y.map(_ / n) else y
+    }
+    (0 until k).foreach { c =>
+      // deterministic start: ones + e_c + index skew — mutually
+      // independent for every c (differences are basis vectors), not
+      // orthogonal to a generic dominant eigenvector, and
+      // orthonormalized up front so a (sub)space where M acts as zero
+      // (e.g. a constant-embedding corpus) still yields a unit vector
+      // orthogonal to everything already found
+      var x = orthonormalize(Array.tabulate(dim)(i =>
+        1.0 + (if (i == c % dim) 1.0 else 0.0) + i.toDouble / (dim * (dim + 1))))
+      (0 until iterations).foreach { _ =>
+        val y = orthonormalize(matVec(x))
+        if (math.sqrt(dot(y, y)) > 0.5) x = y // zero matVec: keep x
+      }
+      // fix sign for determinism: FIRST entry within an epsilon of the
+      // largest magnitude becomes positive (a bare argmax is unstable
+      // when two entries tie up to float error — e.g. the ±1/√2
+      // eigenvectors of a 2-D symmetric matrix)
+      val maxAbs = x.map(math.abs).max
+      val pivot = x.indices.find(i => math.abs(x(i)) >= maxAbs - 1e-9).get
       if (x(pivot) < 0) x = x.map(-_)
       found += ((dot(x, matVec(x)), x))
     }

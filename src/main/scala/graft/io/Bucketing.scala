@@ -33,8 +33,30 @@ object Bucketing {
   def appendBucketed(
       df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) writeBucketed(df, table, keys, buckets)
-    else df.write
+    if (!spark.catalog.tableExists(table)) {
+      // The in-memory catalog forgets tables on JVM restart while the
+      // warehouse directory persists. Routing that case through
+      // writeBucketed would DELETE the surviving store (an incremental
+      // dedup history, in StreamNearDup's case) and silently replace it
+      // with one batch — so re-register the surviving data with its
+      // bucket spec instead; bucket ids live in the part-file names, so
+      // a re-registered table keeps its co-location guarantees.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc) && fs.listStatus(loc).nonEmpty) {
+        val schema = spark.read.parquet(loc.toString).schema.toDDL
+        val cluster = keys.map(k => s"`$k`").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE `$table` ($schema) USING parquet
+             |CLUSTERED BY ($cluster) SORTED BY ($cluster) INTO $buckets BUCKETS
+             |LOCATION '${loc.toString}'""".stripMargin)
+      } else {
+        writeBucketed(df, table, keys, buckets)
+        return
+      }
+    }
+    df.write
       .mode("append")
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.drop(1): _*)

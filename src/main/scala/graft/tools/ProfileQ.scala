@@ -2,9 +2,10 @@ package graft.tools
 
 import graft._
 
-/** Ad-hoc profiler: time one SparkEntry query on a base dir and a
-  * scaled dir, print per-iteration seconds and the formatted physical
-  * plan against the scaled dir. Usage:
+/** Ad-hoc profiler: time the named SparkEntry queries, printing
+  * per-iteration seconds and heap movement. With two dirs, each query
+  * runs on the base dir first, then the scaled dir (so scaled/base
+  * ratios come from one JVM); with one dir, just that dir.
   * {{{ runMain graft.tools.ProfileQ q_w1_topk /root/testdata/sf0.1 target/scaled-10x 3 }}}
   */
 object ProfileQ {
@@ -29,10 +30,8 @@ object ProfileQ {
       }
     }
     names.foreach { n =>
-      scaled match {
-        case Some(d) => time(n, d, "scaled")
-        case None => time(n, base, "base")
-      }
+      time(n, base, "base")
+      scaled.foreach(d => time(n, d, "scaled"))
     }
     spark.stop()
   }

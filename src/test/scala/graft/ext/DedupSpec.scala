@@ -22,7 +22,6 @@ class DedupSpec extends SparkTestBase {
     val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     assert(Dedup.repeatedSubstringSpans(docs, "doc_id", "text", n = 8).isEmpty)
   }
-  import spark.implicits._
 
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),

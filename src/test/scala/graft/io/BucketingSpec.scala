@@ -26,4 +26,32 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_dims")
     }
   }
+
+  test("appendBucketed re-registers (never deletes) a store that outlived the catalog") {
+    import org.apache.hadoop.fs.Path
+    val df = (0L until 20L).map(i => (i, i % 4)).toDF("id", "k")
+    Bucketing.writeBucketed(df, "b_rereg", Seq("id"), 4)
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"), "b_rereg")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(wh.getParent, "b_rereg_bak")
+    try {
+      // simulate a JVM restart with the default in-memory catalog: the
+      // warehouse dir survives, the catalog entry does not (the rename
+      // shields the files from the managed-table drop)
+      fs.rename(wh, bak)
+      spark.sql("DROP TABLE b_rereg")
+      fs.rename(bak, wh)
+      Bucketing.appendBucketed(
+        (20L until 30L).map(i => (i, i % 4)).toDF("id", "k"), "b_rereg", Seq("id"), 4)
+      // history preserved + batch appended — NOT replaced by the batch
+      assert(spark.table("b_rereg").count() === 30)
+      // and the bucket spec survived re-registration
+      val desc = spark.sql("DESCRIBE EXTENDED b_rereg")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("Num Buckets") && desc.contains("4"), desc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_rereg")
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
+  }
 }
