@@ -843,6 +843,18 @@ object ExtQueries {
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
     }),
 
+    // Quality-winner dedup: same clusters, but each keeps its LONGEST
+    // member (ties → min id) instead of the min-id one — what a
+    // production pipeline wants when a truncated copy and the full
+    // document collide. Oracle: recursive-CTE closure + per-cluster
+    // argmax.
+    "q_ext_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.8)
+      Dedup.keepBest(docs, "doc_id", pairs, col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // CDC changelog apply: a base snapshot plus two upsert/delete
     // batches and an insert batch, latest change per key winning —
     // incremental corpus maintenance instead of full recompute. The
@@ -1030,6 +1042,97 @@ object ExtQueries {
       graft.ops.Cdc.scd2History(ch, Seq("user_id"), "sec")
         .select(col("user_id"), col("v"), col("valid_from"), col("valid_to"),
           col("is_current"))
+    }),
+
+    // Bloom-pruned equi-join: the probe side (lineitem) is filtered by
+    // a build-side (urgent orders) Bloom blob BEFORE the join shuffle.
+    // No false negatives, so the result is exactly the exact join —
+    // which is precisely what the oracle (a plain SQL join) checks.
+    "q_ext_bloom_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.ops.BloomPrune.prunedEquiJoin(
+          Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1000000L)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+            .as("sum_price"))
+    }),
+
+    // Key-skew / heavy-hitter profile over the event stream's user key —
+    // the pre-flight diagnostic for salting / AQE-skew decisions.
+    "q_ext_skew_profile" -> ((s, dir) =>
+      Profile.keySkew(Tables.events(s, dir), "user_id", 10)),
+
+    // Missing-interval report per event series: gaps > 1 h between
+    // consecutive observations of the same type, integer-microsecond
+    // arithmetic end to end so the oracle threshold can't round apart.
+    "q_ext_gaps" -> ((s, dir) =>
+      graft.ops.Gaps.detect(
+          Tables.events(s, dir), "event_type", "ts", "event_id", 3600L)
+        .select(col("event_type"),
+          unix_micros(col("gap_start")).as("gap_start_us"),
+          unix_micros(col("gap_end")).as("gap_end_us"),
+          col("gap_us"), col("gap_seconds"))),
+
+    // ORC round-trip: documents written as ORC, re-read, and digested
+    // per source (counts + md5-prefix extrema). The oracle computes the
+    // same digest off the PARQUET source, so any fidelity loss in the
+    // ORC write/read path (encoding, string mangling, row drops) breaks
+    // the hash.
+    "q_ext_orc_roundtrip" -> ((s, dir) => {
+      val out = scratchDir(s, "g_docs_orc", dir)
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          min(substring(md5(col("text")), 1, 16)).as("min_fp"),
+          max(substring(md5(col("text")), 1, 16)).as("max_fp"))
+    }),
+
+    // JSON-lines round-trip, same digest contract as the ORC gate
+    // (string escaping is the fidelity risk JSON adds; the md5 extrema
+    // catch any mangling). Explicit read schema — no inference pass.
+    "q_ext_jsonl_roundtrip" -> ((s, dir) => {
+      val out = scratchDir(s, "g_docs_jsonl", dir)
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("doc_id LONG, source STRING, lang STRING, n_chars LONG, text STRING")
+        .json(out)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"),
+          min(substring(md5(col("text")), 1, 16)).as("min_fp"),
+          max(substring(md5(col("text")), 1, 16)).as("max_fp"))
+    }),
+
+    // Incremental aggregate maintenance: per-key state built from
+    // history, one batch folded in O(batch), derived view read out.
+    // The oracle is the from-scratch aggregate over history ∪ batch —
+    // the fold must be indistinguishable from a full recompute.
+    "q_ext_incr_agg" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val hist = e.filter(col("event_id") % 4 =!= 0)
+      val batch = e.filter(col("event_id") % 4 === 0)
+      val st = graft.ops.IncrAgg.state(hist, Seq("event_type"), "value")
+      graft.ops.IncrAgg
+        .view(graft.ops.IncrAgg.merge(st, batch, Seq("event_type"), "value"),
+          Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("sum").as("sum_value"), col("avg").as("avg_value"),
+          col("min").as("min_value"), col("max").as("max_value"))
     }),
   )
 
@@ -1942,5 +2045,98 @@ object ExtQueries {
         |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec) AS valid_to,
         |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL AS is_current
         |FROM ch""".stripMargin,
+
+    // The Bloom prune is transparent by construction (no false
+    // negatives), so the oracle is the EXACT join it claims to equal.
+    "q_ext_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |         AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    "q_ext_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |             count(*) AS n_keys FROM c)
+        |SELECT user_id, cnt,
+        |       round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+        |       round(CAST(cnt * n_keys AS DOUBLE) / total_rows, 4) AS skew_factor,
+        |       n_keys, total_rows
+        |FROM c, s ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+
+    // Integer-microsecond twin of Gaps.detect: lag ordering uses the
+    // same us-truncated instants Spark sees (events.ts is NANOS parquet;
+    // Spark reads us), so threshold and ordering can't drift apart.
+    "q_ext_gaps" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        |  SELECT event_type, ts_us,
+        |         lag(ts_us) OVER (PARTITION BY event_type
+        |                          ORDER BY ts_us, event_id) AS prev_us
+        |  FROM e)
+        |SELECT event_type, prev_us AS gap_start_us, ts_us AS gap_end_us,
+        |       ts_us - prev_us AS gap_us,
+        |       (ts_us - prev_us) // 1000000 AS gap_seconds
+        |FROM g WHERE prev_us IS NOT NULL AND ts_us - prev_us > 3600000000""".stripMargin,
+
+    "q_ext_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |       min(substring(md5(text), 1, 16)) AS min_fp,
+        |       max(substring(md5(text), 1, 16)) AS max_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_jsonl_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |       min(substring(md5(text), 1, 16)) AS min_fp,
+        |       max(substring(md5(text), 1, 16)) AS max_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_incr_agg" ->
+      """SELECT event_type, count(value) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+        |       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |             / count(value), 6) AS avg_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_ext_dedup_keep_best" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |memb AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0),
+        |ranked AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY m.cluster
+        |                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        |  FROM d JOIN memb m ON m.node = d.doc_id)
+        |SELECT doc_id, n_chars FROM d
+        |WHERE doc_id NOT IN (SELECT node FROM memb)
+        |UNION ALL
+        |SELECT doc_id, n_chars FROM ranked WHERE rk = 1""".stripMargin,
   )
 }

@@ -659,6 +659,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Scale utility under the gate: salted JOIN (the AQE-unreachable
+    // case — both sides shuffle, hot probe keys). (key, salt) shuffle
+    // with the dim side replicated per salt must be EXACTLY the plain
+    // join; the oracle is the plain form.
+    "q_x7_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Salting.saltedJoin(l, o, "l_orderkey", "o_orderkey",
+          saltFrom = col("l_linenumber"), saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // §2.4 sketch path: approx_percentile (mergeable quantile sketch —
     // the corpus-scale form of q_a6_percentile). The approximation can't
     // be hash-matched value-for-value, so the gate is rank-space, where
@@ -1017,6 +1032,14 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_x6_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // Identical to the q_x6 oracle on purpose: bucketed and salted are
+    // two physical routes to the same logical join.
+    "q_x7_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

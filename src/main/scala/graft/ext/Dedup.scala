@@ -54,6 +54,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[keepCanonical]] with a QUALITY winner instead of min-id: inside
+    * each duplicate cluster keep the row maximizing `priority` (ties →
+    * smallest id), which is what production dedup actually wants — when
+    * a boilerplate page and its clean original collide, keep the clean
+    * one, not the one that happened to be crawled first.
+    *
+    * Scale shape: closure over the pair graph only; cluster membership
+    * joins back to the corpus on id (one keyed shuffle, or none when
+    * the membership side broadcasts); the per-cluster argmax is the
+    * row_number()-over-keyed-window spelling that
+    * [[graft.functions.GraftExtensions]] rewrites to the bounded-heap
+    * TopKPerKey plan — clustered rows never sort globally, and
+    * unclustered rows (the overwhelming majority) bypass the window
+    * entirely via the left anti-join branch.
+    */
+  def keepBest(
+      df: DataFrame, idCol: String, pairs: DataFrame, priority: Column,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val membership = Clusters.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("cluster").as("__cluster"))
+    val clustered = df.join(membership, Seq(idCol))
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(priority.desc, col(idCol))
+    val winners = clustered
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .filter(col("__rank") === 1L)
+      .drop("__rank", "__cluster")
+    val untouched = df.join(
+      membership.select(col(idCol)), Seq(idCol), "left_anti")
+    untouched.unionByName(winners)
+  }
+
   /** Incremental (cross-batch) exact dedup: drop rows whose content
     * fingerprint already exists in `seenFps` — the "new corpus drop vs
     * historical store" operation that makes dedup O(new batch), not

@@ -89,4 +89,35 @@ object Profile {
         round(col("n_orphans").cast("double") / greatest(col("n_child"), lit(1L)), 6)
           .as("orphan_frac"))
   }
+
+  /** Key-skew / heavy-hitter profile: the diagnostic a 100 TB operator
+    * runs BEFORE choosing between a plain keyed shuffle, salting
+    * ([[graft.ops.Salting]]), or an AQE skew-join hint. Emits the topN
+    * heaviest keys with their share of all rows and a skew factor
+    * (key count ÷ mean per-key count; 1.0 = perfectly uniform).
+    *
+    * Plan shape survives scale: per-key counts are one map-side-combined
+    * hash aggregate (the only full shuffle); the topN rides a bounded
+    * heap (`TakeOrderedAndProject` — never a global sort); the
+    * grand-total/key-count summary is a one-row broadcast back onto the
+    * topN. Skew arithmetic stays in exact integers (`cnt * n_keys`)
+    * until the final division so the DuckDB oracle rounds identically.
+    */
+  def keySkew(df: DataFrame, key: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col(key)).limit(topN)
+      .crossJoin(broadcast(summary))
+      .select(
+        col(key),
+        col("cnt"),
+        round(col("cnt").cast("double") / col("total_rows"), 6).as("share"),
+        round((col("cnt") * col("n_keys")).cast("double") / col("total_rows"), 4)
+          .as("skew_factor"),
+        col("n_keys"),
+        col("total_rows"))
+  }
 }

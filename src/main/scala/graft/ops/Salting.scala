@@ -48,4 +48,32 @@ object Salting {
         sum(col("__pcnt")).as(s"n_$valueCol"))
       .withColumn(s"avg_$valueCol", col(s"sum_$valueCol") / col(s"n_$valueCol"))
   }
+
+  /** Salted inner equi-join for the case AQE's skew handling can't
+    * reach: BOTH sides too large to broadcast and the big side's join
+    * key has hot values. Each big-side row gets a deterministic salt
+    * from `saltFrom` (a big-side column whose values spread WITHIN one
+    * key — a line number, an event id; never the join key itself, whose
+    * rows must split); the small side replicates across all
+    * `saltBuckets`, so the shuffle key becomes (key, salt) and a hot
+    * key's rows land on `saltBuckets` tasks instead of one.
+    *
+    * Result is exactly `big.join(small, bigKey === smallKey)` (every
+    * big row meets every small row of its key exactly once, in the
+    * replica matching its salt). Cost trade, stated: the small side's
+    * shuffle volume multiplies by `saltBuckets` — size it so
+    * small × buckets still beats the hot key's straggler tail.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      saltFrom: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
+    val b = big.withColumn("__salt", salt(saltFrom, saltBuckets))
+    val s = small
+      .withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    b.join(s, b("__salt") === s("__salt") && col(bigKey) === col(smallKey))
+      .drop("__salt")
+  }
 }

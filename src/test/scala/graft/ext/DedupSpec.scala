@@ -152,6 +152,25 @@ class DedupSpec extends SparkTestBase {
       s"expected an explicit width-pinned exchange above the pair detector, got:\n$plan")
   }
 
+  test("keepBest keeps the max-priority member per cluster, min-id on ties") {
+    // cluster {1,2,3} via chain edges; 4 unclustered. Priorities: doc 2
+    // wins on value; docs 1/3 tie at 5 → never matters; second cluster
+    // {10,11} ties at 9 → min id 10 wins.
+    val df = Seq(
+      (1L, 5L), (2L, 8L), (3L, 5L), (4L, 1L), (10L, 9L), (11L, 9L)
+    ).toDF("id", "prio")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(df, "id", pairs, $"prio")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 10L))
+  }
+
+  test("keepBest with no pairs keeps everything") {
+    val df = Seq((1L, 5L), (2L, 8L)).toDF("id", "prio")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.keepBest(df, "id", none, $"prio").count() === 2L)
+  }
+
   test("simHash: identical text equal, near text close, unrelated far") {
     val fps = docs.select(Dedup.simHash64($"text")).as[Long].collect()
     assert(fps(0) === fps(1))

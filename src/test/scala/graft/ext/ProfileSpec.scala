@@ -35,4 +35,26 @@ class ProfileSpec extends SparkTestBase {
     assert(got.getLong(0) === 4 && got.getLong(1) === 1)
     assert(got.getDouble(2) === 0.25)
   }
+
+  test("keySkew: heavy keys first, exact share and skew factor, stable ties") {
+    // key 7 → 6 rows, key 3 → 2, keys 1/2 → 1 each: 10 rows, 4 keys.
+    val rows = Seq.fill(6)(7) ++ Seq(3, 3, 1, 2)
+    val skew = Profile.keySkew(rows.toDF("k"), "k", 3).collect()
+    assert(skew.map(_.getInt(0)).toSeq === Seq(7, 3, 1)) // tie 1-vs-2 → key asc
+    val top = skew(0)
+    assert(top.getLong(1) === 6)
+    assert(top.getDouble(2) === 0.6)       // share 6/10
+    assert(top.getDouble(3) === 2.4)       // skew 6 / (10/4)
+    assert(top.getLong(4) === 4 && top.getLong(5) === 10)
+  }
+
+  test("keySkew: uniform keys have skew factor 1.0") {
+    val skew = Profile.keySkew(Seq(1, 1, 2, 2, 3, 3).toDF("k"), "k", 2).collect()
+    assert(skew.forall(_.getDouble(3) === 1.0))
+  }
+
+  test("keySkew rejects non-positive topN") {
+    intercept[IllegalArgumentException](
+      Profile.keySkew(Seq(1).toDF("k"), "k", 0))
+  }
 }

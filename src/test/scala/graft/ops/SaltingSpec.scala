@@ -33,4 +33,27 @@ class SaltingSpec extends SparkTestBase {
       .distinct().as[Int].collect().toSet
     assert(buckets.size > 4 && buckets.forall(b => b >= 0 && b < 8))
   }
+
+  test("saltedJoin equals the plain inner join, hot key included") {
+    // one hot key (100 rows), two cold, one unmatched each side
+    val big = ((1 to 100).map(i => (7L, i.toLong)) ++
+      Seq((1L, 200L), (2L, 201L), (99L, 202L))).toDF("k", "rid")
+    val small = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (50L, "orphan"))
+      .toDF("sk", "label")
+    val salted = Salting.saltedJoin(big, small, "k", "sk", $"rid", 4)
+      .select("k", "rid", "label").collect().map(_.toSeq).toSet
+    val plain = big.join(small, $"k" === $"sk")
+      .select("k", "rid", "label").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(plain.size === 102)
+  }
+
+  test("saltedJoin preconditions fail fast") {
+    val df = Seq((1L, 2L)).toDF("k", "rid")
+    val s = Seq((1L, "x")).toDF("sk", "label")
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(df, s, "k", "sk", $"rid", 0))
+    intercept[IllegalArgumentException](
+      Salting.saltedJoin(df.withColumnRenamed("rid", "__salt"), s, "k", "sk", $"k", 2))
+  }
 }
