@@ -1118,6 +1118,84 @@ object ExtQueries {
           max(substring(md5(col("text")), 1, 16)).as("max_fp"))
     }),
 
+    // Versioned copy-on-write snapshots (lakehouse commit-log
+    // primitive): v1 and v2 of the corpus committed as manifests, read
+    // back BY VERSION — v1 must stay bit-stable after v2 commits. The
+    // oracle replays both versions' defining subsets from the source.
+    "q_ext_time_travel" -> ((s, dir) => {
+      val out = scratchDir(s, "g_docs_snap", dir)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") < 450).select("doc_id", "source", "text")
+      val v2 = docs.filter(col("doc_id") >= 50)
+        .withColumn("text",
+          when(col("doc_id") % 100 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select("doc_id", "source", "text")
+      graft.io.SnapshotTable.writeSnapshot(v1, out, 1, "source", 4)
+      graft.io.SnapshotTable.writeSnapshot(v2, out, 2, "source", 4)
+      Seq(1, 2).map { v =>
+        graft.io.SnapshotTable.readSnapshot(s, out, v)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("sum_len"),
+            min(substring(md5(col("text")), 1, 16)).as("min_fp"),
+            max(substring(md5(col("text")), 1, 16)).as("max_fp"))
+          .select(lit(v).cast("int").as("version"), col("n_docs"),
+            col("sum_len"), col("min_fp"), col("max_fp"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // File-level data skipping off the manifest's per-file min/max:
+    // the range layout makes date stats tight, the pruned read opens
+    // only intersecting FILES (above parquet row-group skipping). The
+    // aggregate must equal the full-scan oracle; `prune_effective`
+    // pins that skipping actually happened (files_read strictly
+    // between 0 and files_total).
+    "q_ext_manifest_prune" -> ((s, dir) => {
+      val out = scratchDir(s, "g_events_snap", dir)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val e = Tables.events(s, dir)
+        .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+      graft.io.SnapshotTable.writeSnapshot(e, out, 1, "d", 16)
+      val (pruned, nRead, nTotal) =
+        graft.io.SnapshotTable.prunedRead(s, out, 1, "2024-01-05", "2024-01-07")
+      pruned.filter(col("d").between("2024-01-05", "2024-01-07"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+        .withColumn("prune_effective", lit(nRead < nTotal && nRead > 0))
+    }),
+
+    // Trapezoidal integration of each irregular event series — the
+    // power→energy computation of the solar domain, gap-robust where a
+    // rectangle resample under-reads. Terms go decimal before summing:
+    // cross-partition order can't change the answer.
+    "q_ext_trapezoid" -> ((s, dir) =>
+      graft.ops.Integrate.trapezoid(
+          Tables.events(s, dir), "event_type", "ts", "event_id", "value")
+        .select(col("event_type"),
+          round(col("integral"), 4).as("integral"),
+          col("n_intervals"))),
+
+    // Percentile winsorization: per-key p01/p99 clip bounds broadcast
+    // back onto the scan (the data never shuffles for the clipping),
+    // then robust per-key stats over the clipped column.
+    "q_ext_winsorize" -> ((s, dir) =>
+      graft.ops.Winsorize.winsorize(
+          Tables.events(s, dir), Seq("event_type"), "value", 0.01, 0.99)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo_bound"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("hi_bound"), 1L).otherwise(0L)).as("n_hi"),
+          sum(col("value_w").cast("decimal(28,6)")).cast("double").as("sum_w"),
+          round(max(col("lo_bound")), 6).as("lo_bound"),
+          round(max(col("hi_bound")), 6).as("hi_bound"))),
+
     // Incremental aggregate maintenance: per-key state built from
     // history, one batch folded in O(batch), derived view read out.
     // The oracle is the from-scratch aggregate over history ∪ batch —
@@ -2097,6 +2175,69 @@ object ExtQueries {
         |       min(substring(md5(text), 1, 16)) AS min_fp,
         |       max(substring(md5(text), 1, 16)) AS max_fp
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_time_travel" ->
+      """SELECT 1 AS version, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |       min(substring(md5(text), 1, 16)) AS min_fp,
+        |       max(substring(md5(text), 1, 16)) AS max_fp
+        |FROM documents WHERE doc_id < 450
+        |UNION ALL
+        |SELECT 2, count(*),
+        |       CAST(sum(length(CASE WHEN doc_id % 100 = 0
+        |                            THEN text || ' v2' ELSE text END)) AS BIGINT),
+        |       min(substring(md5(CASE WHEN doc_id % 100 = 0
+        |                              THEN text || ' v2' ELSE text END), 1, 16)),
+        |       max(substring(md5(CASE WHEN doc_id % 100 = 0
+        |                              THEN text || ' v2' ELSE text END), 1, 16))
+        |FROM documents WHERE doc_id >= 50""".stripMargin,
+
+    "q_ext_manifest_prune" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+        |       TRUE AS prune_effective
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
+        |GROUP BY 1""".stripMargin,
+
+    "q_ext_trapezoid" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events),
+        |l AS (
+        |  SELECT event_type, value AS v,
+        |         lag(value) OVER (PARTITION BY event_type
+        |                          ORDER BY us, event_id) AS pv,
+        |         us,
+        |         lag(us) OVER (PARTITION BY event_type
+        |                       ORDER BY us, event_id) AS pus
+        |  FROM e),
+        |t AS (
+        |  SELECT event_type,
+        |         CASE WHEN pv IS NOT NULL
+        |              THEN CAST(((v + pv) / 2.0) * ((us - pus) / 1000000.0)
+        |                        AS DECIMAL(28,10)) END AS term
+        |  FROM l)
+        |SELECT event_type,
+        |       round(CAST(coalesce(sum(term), 0) AS DOUBLE), 4) AS integral,
+        |       count(term) AS n_intervals
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q_ext_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(value, 0.01), 6) AS lo_bound,
+        |         round(quantile_cont(value, 0.99), 6) AS hi_bound
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value < lo_bound THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_lo,
+        |       CAST(sum(CASE WHEN value > hi_bound THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hi,
+        |       CAST(sum(CAST(least(greatest(value, lo_bound), hi_bound)
+        |                     AS DECIMAL(28,6))) AS DOUBLE) AS sum_w,
+        |       round(max(lo_bound), 6) AS lo_bound,
+        |       round(max(hi_bound), 6) AS hi_bound
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     "q_ext_incr_agg" ->
       """SELECT event_type, count(value) AS n,

@@ -941,6 +941,36 @@ object SparkEntry {
         col("n_events"))
     }),
 
+    // §2.10 driver-gated streaming gap detection: the live form of
+    // q_ext_gaps — per-key (last-instant) state, a row emitted per
+    // outage. Single AvailableNow batch + within-batch (ts, id) sort
+    // makes the emitted set bit-identical to the batch operator, so
+    // this query SHARES the q_ext_gaps oracle.
+    "q_st9_stream_gaps" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sp = s
+      import sp.implicits._
+      val raw = streamTable(s, dir, "events")
+      val events =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("ts div 1000"))
+        else raw.withColumn("ts", unix_micros(col("ts")))
+      val obs = events.select(
+          col("event_type").as("key"),
+          col("ts").as("tsUs"),
+          col("event_id").as("id"))
+        .as[graft.streaming.StreamGaps.GapObs]
+      val out = graft.streaming.StreamGaps.gaps(obs, 3600L).toDF()
+      s.catalog.dropTempView("g_st9")
+      val q = out.writeStream.format("memory").queryName("g_st9")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st9").select(
+        col("key").as("event_type"),
+        col("gap_start_us"), col("gap_end_us"), col("gap_us"),
+        expr("gap_us div 1000000").as("gap_seconds"))
+    }),
+
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
@@ -1553,6 +1583,10 @@ object SparkEntry {
         |       CAST(floor(epoch(max(t))) AS BIGINT) AS last_sec,
         |       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_s
         |FROM g GROUP BY station""".stripMargin,
+
+    // The streamed gap events equal the batch operator's — one oracle,
+    // two engines (see q_ext_gaps in ExtQueries for the SQL).
+    "q_st9_stream_gaps" -> ExtQueries.oracleSql("q_ext_gaps"),
 
     // Stream-static broadcast enrichment == the batch join.
     "q_st4_stream_enrich" ->

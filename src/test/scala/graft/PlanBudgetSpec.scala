@@ -39,7 +39,15 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_domain_stats", 1, "broadcast anti-join blocklist + one partial-agg rollup"),
     ("q_ext_dedup_incremental_near", 4,
       "new-batch band window + candidate distinct + candidate-side join exchanges; " +
-        "the STORE side never shuffles (IncrementalNearDupSpec pins that separately)"))
+        "the STORE side never shuffles (IncrementalNearDupSpec pins that separately)"),
+    ("q_ext_bloom_join", 1,
+      "probe pruned by might_contain at the scan; dim side broadcasts; one grouped agg"),
+    ("q_ext_incr_agg", 2,
+      "one partial-agg shuffle per side; the fold join reuses both hash partitionings"),
+    ("q_ext_gaps", 1, "one keyed lag window"),
+    ("q_ext_skew_profile", 3,
+      "per-key count agg (planned twice, reused at execution) + the one-row " +
+        "summary's single-partition gather; top-N is TakeOrderedAndProject, no sort shuffle"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IntegrateSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def series(rows: (String, Long, Long, Double)*) =
+    rows.toDF("k", "us", "id", "v").withColumn("ts", timestamp_micros(col("us")))
+
+  test("trapezoid matches the hand-computed integral per key") {
+    // key a: (0s, 2.0) -> (10s, 4.0) -> (20s, 0.0)
+    //   = (2+4)/2*10 + (4+0)/2*10 = 30 + 20 = 50
+    val df = series(
+      ("a", 0L, 1L, 2.0), ("a", 10_000_000L, 2L, 4.0), ("a", 20_000_000L, 3L, 0.0),
+      ("b", 0L, 4L, 1.0), ("b", 5_000_000L, 5L, 1.0))
+    val got = Integrate.trapezoid(df, "k", "ts", "id", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got("a") === ((50.0, 2L)))
+    assert(got("b") === ((5.0, 1L)))
+  }
+
+  test("a singleton key integrates to zero over zero intervals") {
+    val got = Integrate.trapezoid(series(("solo", 0L, 1L, 99.0)), "k", "ts", "id", "v")
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0.0, 0L)))
+  }
+
+  test("result is invariant to input partitioning (decimal term sums)") {
+    val df = series((1 to 200).map(i =>
+      ("a", i.toLong * 1_000_000L, i.toLong, math.sin(i / 7.0) * 100)): _*)
+    val one = Integrate.trapezoid(df, "k", "ts", "id", "v").head().getDouble(1)
+    val many = Integrate.trapezoid(df.repartition(17), "k", "ts", "id", "v")
+      .head().getDouble(1)
+    assert(one === many)
+  }
+}
