@@ -1118,6 +1118,35 @@ object ExtQueries {
           max(substring(md5(col("text")), 1, 16)).as("max_fp"))
     }),
 
+    // Perplexity-style quality filter (CCNet tier): add-one unigram LM
+    // trained on the %10!=0 split, every doc scored by average token
+    // log-prob, OOV tokens at the smoothing floor. Per-term log-probs
+    // round to 8 dp BEFORE the decimal per-doc sum (engine ulp
+    // discipline — see LangModel).
+    "q_ext_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LangModel.scoreUnigram(
+        docs, "doc_id", "text", docs.filter(col("doc_id") % 10 =!= 0))
+    }),
+
+    // Approximate frequent-items CONTRACT: Misra-Gries style freqItems
+    // guarantees any key with frequency above the support threshold
+    // appears in the result — so the exact heaviest key (support 0.86%
+    // at sf0.01, threshold 0.05%) must be inside the approximate set.
+    // The exact-side check rides keySkew; the oracle pins TRUE.
+    "q_ext_freq_items" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val approx = e.stat.freqItems(Seq("user_id"), 0.0005)
+        .select(col("user_id_freqItems").as("approx_set"))
+      val top1 = Profile.keySkew(e, "user_id", 1)
+        .select(col("user_id").as("top_user"))
+      top1.crossJoin(broadcast(approx))
+        .select(
+          array_contains(col("approx_set"), col("top_user"))
+            .as("top_key_found"),
+          (size(col("approx_set")) > 0).as("has_items"))
+    }),
+
     // Versioned copy-on-write snapshots (lakehouse commit-log
     // primitive): v1 and v2 of the corpus committed as manifests, read
     // back BY VERSION — v1 must stay bit-stable after v2 commits. The
@@ -2175,6 +2204,35 @@ object ExtQueries {
         |       min(substring(md5(text), 1, 16)) AS min_fp,
         |       max(substring(md5(text), 1, 16)) AS max_fp
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_perplexity" ->
+      """WITH tr AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |c AS (SELECT term, count(*) AS c FROM tr GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+        |lm AS (
+        |  SELECT term,
+        |         round(ln(CAST(c + 1 AS DOUBLE) / (n_total + v_size)), 8) AS ln_p
+        |  FROM c, t),
+        |fl AS (SELECT round(ln(1.0 / (n_total + v_size)), 8) AS floor_lp FROM t),
+        |dt AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN lm.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       round(CAST(sum(CAST(coalesce(lm.ln_p, fl.floor_lp)
+        |                          AS DECIMAL(28,10))) AS DOUBLE)
+        |             / count(*), 6) AS avg_logprob
+        |FROM dt LEFT JOIN lm ON dt.term = lm.term, fl
+        |GROUP BY 1""".stripMargin,
+
+    // Contract oracle: the guarantees themselves (no SQL twin for a
+    // counter sketch; the exact side is already oracle-gated via
+    // q_ext_skew_profile).
+    "q_ext_freq_items" ->
+      "SELECT TRUE AS top_key_found, TRUE AS has_items",
 
     "q_ext_time_travel" ->
       """SELECT 1 AS version, count(*) AS n_docs,
