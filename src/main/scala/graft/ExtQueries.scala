@@ -1118,6 +1118,35 @@ object ExtQueries {
           max(substring(md5(col("text")), 1, 16)).as("max_fp"))
     }),
 
+    // Train/test split-leakage report: near-dup pairs that CROSS split
+    // boundaries — the contamination a random split inflicts on held-out
+    // evaluation when duplicates exist. Pure composition: the gated
+    // jaccard detector × the gated split assigner, split labels joined
+    // broadcast onto the (tiny) pair set.
+    "q_ext_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.wordJaccardPairs(docs, "doc_id", "text", 0.8)
+      val splits = Sampling.assignSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp")
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(broadcast(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a"))), Seq("id_a"))
+        .join(broadcast(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b"))), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(
+          count(lit(1)).as("n_leaks"),
+          min(col("id_a")).as("example_a"),
+          round(max(col("jaccard")), 6).as("worst_jaccard"))
+    }),
+
+    // Equi-width value histogram (profile tier): one counted shuffle on
+    // the bucket id; bucket arithmetic identical in both engines.
+    "q_ext_value_histogram" -> ((s, dir) =>
+      Profile.histogram(Tables.events(s, dir), "value", 10.0)),
+
     // Perplexity-style quality filter (CCNet tier): add-one unigram LM
     // trained on the %10!=0 split, every doc scored by average token
     // log-prob, OOV tokens at the smoothing floor. Per-term log-probs
@@ -2204,6 +2233,49 @@ object ExtQueries {
         |       min(substring(md5(text), 1, 16)) AS min_fp,
         |       max(substring(md5(text), 1, 16)) AS max_fp
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_ext_split_leakage" -> {
+      val (t80, t90) = (Sampling.rateThreshold(0.8), Sampling.rateThreshold(0.9))
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+         |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |         cnt * 1.0 / (sa.sz + sb.sz - cnt) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN h < '$t80' THEN 'train'
+         |              WHEN h < '$t90' THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          substring(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |        FROM documents WHERE doc_id % 10 = 0))
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |       count(*) AS n_leaks, min(id_a) AS example_a,
+         |       round(max(jaccard), 6) AS worst_jaccard
+         |FROM pairs
+         |JOIN sp sa ON sa.doc_id = id_a
+         |JOIN sp sb ON sb.doc_id = id_b
+         |WHERE sa.split <> sb.split
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_ext_value_histogram" ->
+      """SELECT bucket, n, min_v, max_v, bucket * 10.0 AS bucket_lo FROM (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |         count(*) AS n,
+        |         round(min(value), 6) AS min_v,
+        |         round(max(value), 6) AS max_v
+        |  FROM events GROUP BY 1)""".stripMargin,
 
     "q_ext_perplexity" ->
       """WITH tr AS (

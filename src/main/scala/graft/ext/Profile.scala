@@ -103,6 +103,21 @@ object Profile {
     * topN. Skew arithmetic stays in exact integers (`cnt * n_keys`)
     * until the final division so the DuckDB oracle rounds identically.
     */
+  /** Equi-width histogram of a numeric column: bucket id =
+    * floor(value / width), with per-bucket count and value extrema —
+    * one counted shuffle on the bucket id, integer bucket arithmetic
+    * identical across engines (negatives floor toward -inf in both).
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    df.groupBy(floor(col(valueCol) / width).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col(valueCol)), 6).as("min_v"),
+        round(max(col(valueCol)), 6).as("max_v"))
+      .withColumn("bucket_lo", col("bucket") * width)
+  }
+
   def keySkew(df: DataFrame, key: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
