@@ -66,6 +66,10 @@ object SnapshotTable {
       .collect()
       .map(r => FileStat(r.getString(0), r.getString(1), r.getString(2)))
       .sortBy(_.path)
+    // an empty snapshot has no file list to hand a reader later — fail
+    // the COMMIT, not the read, and say why
+    require(stats.nonEmpty,
+      s"refusing to commit v$version at $dir: the snapshot is empty")
     val m = Manifest(version, statsCol, stats.toSeq)
     val json =
       s"""{"version":${m.version},"statsCol":"${m.statsCol}","files":[""" +

@@ -53,6 +53,13 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(df.columns.toSeq === Seq("id", "k"))
   }
 
+  test("an empty snapshot refuses to commit (no file list to read later)") {
+    val dir = freshDir
+    val empty = Seq((1L, "a")).toDF("id", "k").filter($"id" < 0)
+    intercept[IllegalArgumentException](
+      SnapshotTable.writeSnapshot(empty, dir, 1, "k", 2))
+  }
+
   test("manifest round-trips stats and version") {
     val dir = freshDir
     SnapshotTable.writeSnapshot(
