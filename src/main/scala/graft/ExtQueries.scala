@@ -355,6 +355,17 @@ object ExtQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Hard-negative mining: per query, the most similar vectors with a
+    // DIFFERENT label (pseudo-label = vec_id % 8) — the contrastive-
+    // training negative sampler, exclusion fused before scoring.
+    "q_ext_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          (col("vec_id") % 8).as("label"))
+      Similarity.hardNegatives(emb.filter(col("id") % 25 === 0), emb, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // LSH sign-bucketed approximate top-k (the scale path).
     "q_ext_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1327,6 +1338,23 @@ object ExtQueries {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8""".stripMargin,
+
+    "q_ext_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |         vec_id % 8 AS ql
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |         vec_id % 8 AS cl
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_cosine_similarity(qv, cv), 4) AS sim
+        |  FROM c, q WHERE ql <> cl),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin,
 
     "q_ext_ann_cosine" ->
       """WITH q AS (

@@ -87,6 +87,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors whose LABEL differs —
+    * similar-but-wrong is where the contrastive gradient lives; random
+    * negatives are trivially separable. `queries`/`corpus`: (id, vec,
+    * label) frames; output shape of [[bruteForceTopK]].
+    *
+    * Same plan as the brute-force baseline (queries broadcast,
+    * TopKPerKey ranking — zero Sort nodes) with the label-exclusion
+    * predicate fused BEFORE scoring, so excluded pairs never pay the
+    * cosine. The scale path swaps the corpus cross join for an
+    * IVF/LSH-bucketed candidate set exactly as ANN does.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int, simScale: Int = 4): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      asDouble(col("vec")).as("qv"), col("label").as("__ql"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      asDouble(col("vec")).as("cv"), col("label").as("__cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__ql") =!= col("__cl"))
+      .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to the query's
     * sign-bit bucket. Same output shape as [[bruteForceTopK]].
     */

@@ -26,6 +26,19 @@ class SimilaritySpec extends SparkTestBase {
     (4L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("id", "vec")
 
+  test("hardNegatives excludes the query's own label and ranks the rest") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),
+      (2L, Array(0.95f, 0.05f), 0L),  // same label: similar but EXCLUDED
+      (3L, Array(0.8f, 0.2f), 1L),    // different label, most similar
+      (4L, Array(0.0f, 1.0f), 1L)     // different label, orthogonal
+    ).toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(labeled.filter($"id" === 1), labeled, k = 2)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(3L, 4L), "rank 1 must be the similar-but-wrong-label vector")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val got = Similarity.bruteForceTopK(corpus.filter($"id" === 1), corpus, k = 2)
       .orderBy("rank").collect()
