@@ -835,6 +835,20 @@ object ExtQueries {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // BM25 top-k retrieval against a fixed keyword query set: corpus
+    // text never shuffles (postings are broadcast-semi-joined to the
+    // query vocabulary at the scan), ranking through TopKPerKey. The
+    // oracle replays the identical Lucene-variant scoring in SQL.
+    "q_ext_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        "q1" -> "spark", "q1" -> "join", "q1" -> "window",
+        "q2" -> "customer", "q2" -> "order", "q2" -> "value",
+        "q3" -> "fast", "q3" -> "slow", "q3" -> "filter", "q3" -> "scan")
+        .toDF("query_id", "term")
+      Search.bm25TopK(Tables.documents(s, dir), "doc_id", "text", queries, 10)
+    }),
+
     // Corpus-level top n-grams: global frequency ranking, planned as
     // TakeOrderedAndProject (bounded top-k, no full sort shuffle).
     "q_ext_top_ngrams" -> ((s, dir) => {
@@ -1888,6 +1902,40 @@ object ExtQueries {
         |        ORDER BY tf_idf DESC, term) AS rank FROM scored)
         |SELECT doc_id, term, tf, tf_idf, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q_ext_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) * 1.0 AS n_docs, avg(len(words) * 1.0) AS avgdl
+        |  FROM docs),
+        |qt AS (SELECT * FROM (VALUES
+        |  ('q1', 'spark'), ('q1', 'join'), ('q1', 'window'),
+        |  ('q2', 'customer'), ('q2', 'order'), ('q2', 'value'),
+        |  ('q3', 'fast'), ('q3', 'slow'), ('q3', 'filter'), ('q3', 'scan'))
+        |  AS t(query_id, term)),
+        |postings AS (
+        |  SELECT doc_id, len(words) * 1.0 AS dl, unnest(words) AS term
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, term, dl, count(*) AS tf FROM postings
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT t.doc_id, t.term,
+        |         round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        |               * (t.tf * (1.2 + 1.0))
+        |               / (t.tf + 1.2 * (0.25 + (t.dl / avgdl) * 0.75)),
+        |               7) AS c
+        |  FROM tf t JOIN dfreq USING (term), stats),
+        |scores AS (
+        |  SELECT q.query_id, c.doc_id, round(sum(c.c), 4) AS score
+        |  FROM contrib c JOIN qt q USING (term) GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rank FROM scores)
+        |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "q_ext_top_ngrams" ->
       """WITH toks AS (

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus: BM25-scored top-k search
+  * against a (small) set of keyword queries — the retrieval primitive a
+  * training-data pipeline uses for targeted corpus probes (eval-set
+  * leakage hunts, topic coverage audits, seed-set expansion).
+  *
+  * Scale shape, in order of what matters at 100 TB:
+  *   - The corpus text NEVER shuffles. Tokens are exploded map-side and
+  *     immediately semi-joined (broadcast) against the query vocabulary,
+  *     so only (doc_id, query-term, tf) postings — a few rows per doc —
+  *     reach the aggregation shuffle. A 100 TB corpus with a 20-term
+  *     query set shuffles ~20 longs per document, not the text.
+  *   - Document length and corpus stats (N, avgdl) reduce to a
+  *     single-row broadcast; no join against a per-doc table.
+  *   - Per-query ranking goes through the row_number()-over-window
+  *     form that [[graft.functions.GraftExtensions]] rewrites to the
+  *     bounded-heap TopKPerKey plan — no global sort of scores.
+  *
+  * Scoring follows the Lucene/Okapi BM25 variant with the +1 inside the
+  * idf log so idf is always positive:
+  *   idf(t)  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+  *   s(q, d) = sum over t in q of idf(t) * tf * (k1+1)
+  *             / (tf + k1 * (1 - b + b * dl/avgdl))
+  * Per-term contributions are rounded to 7 decimals and the summed
+  * score to 4 before ranking, so the DuckDB oracle's sum order cannot
+  * flip a rank (ties then break on doc id).
+  */
+object Search {
+
+  /** BM25 top-k retrieval. `docs`: corpus with `idCol` and `textCol`;
+    * `queryTerms`: a SMALL (broadcastable) frame of (query_id, term)
+    * rows — one row per keyword occurrence of each query. Output:
+    * (query_id, doc_id, rank, score), `k` rows per query at most.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = docs.select(
+      col(idCol).as("doc_id"), TextStats.tokens(col(textCol)).as("words"))
+    // Single-row corpus stats: broadcast, never a per-doc join. dl is
+    // integral so the avg is order-independent (exact long sum).
+    val stats = base
+      .select(size(col("words")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    // Postings restricted to the query vocabulary BEFORE any shuffle:
+    // the broadcast semi-join runs map-side against the exploded tokens,
+    // so corpus text and non-query terms never leave the scan stage.
+    val qvocab = queryTerms.select("term").distinct()
+    val postings = base
+      .select(col("doc_id"), size(col("words")).cast("double").as("dl"),
+        explode(col("words")).as("term"))
+      .join(broadcast(qvocab), "term")
+    // dl is constant per doc, so folding it into the grouping key costs
+    // nothing and keeps the aggregate deterministic.
+    val tf = postings.groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
+    // Document frequency over query terms only: at most |vocab| rows.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + col("dl") / col("avgdl") * b)), 7))
+    val scores = contrib
+      .join(broadcast(queryTerms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("c"), 4).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+}
