@@ -462,6 +462,34 @@ object ExtQueries {
         Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")),
         "id", "embedding", minCosine = 0.3, bits = 8)),
 
+    // SemDeDup: cluster embeddings (IVF-style assignment against the
+    // deterministic centroid sample), then drop within-cluster vectors
+    // with a lower-id cosine>=tau neighbor. tau=0.3 exercises the prune
+    // on the random fixture vectors (their max within-cell cosine is
+    // ~0.49); production tau is ~0.95+.
+    "q_ext_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.semDeDup(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents, tau = 0.3)
+    }),
+
+    // Segment-level (CCNet-style) dedup: a 10-word boilerplate header
+    // is injected on every third doc, and the operator must find it by
+    // corpus-wide document frequency and strip it — while reassembling
+    // every untouched segment in order.
+    "q_ext_line_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("terms of service apply to this site contact us today "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.segmentDedup(docs, "doc_id", "text", segWords = 10, maxDocFreq = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Multimodal: binary payload + expression-level metadata.
     "q_ext_multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -955,6 +983,15 @@ object ExtQueries {
         .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long"))
       Sampling.takeTokenBudget(docs, "doc_id", "source", "n_tok", 1000L, "tb")
         .select(col("doc_id"), col("source"), col("n_tok"))
+    }),
+
+    // DSIR importance scoring: target distribution = sources src0-src3;
+    // every doc scored by hashed-unigram log-likelihood ratio vs the
+    // raw corpus. The oracle replays the identical smoothed ratio.
+    "q_ext_dsir" -> ((s, dir) => {
+      Sampling.dsirScores(Tables.documents(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // Hash-sharded export layout: deterministic multiplicative-hash
@@ -1502,6 +1539,57 @@ object ExtQueries {
          |FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin
     },
+
+    "q_ext_semdedup" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 7),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, vv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(list_cosine_similarity(vv, cvec), 4) DESC,
+        |                    cent_id) AS rk
+        |  FROM v, cent),
+        |asg AS (SELECT vec_id, vv, cell FROM r WHERE rk = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.vv, b.vv), 4) >= 0.3)
+        |SELECT asg.vec_id, asg.cell, (dup.vec_id IS NULL) AS kept
+        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin,
+
+    "q_ext_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN 'terms of service apply to this site contact us today ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM src),
+        |segs AS (
+        |  SELECT doc_id,
+        |         unnest(range(CAST(ceil(len(words) / 10.0) AS BIGINT))) AS seg_idx,
+        |         words
+        |  FROM docs),
+        |seg2 AS (
+        |  SELECT doc_id, seg_idx,
+        |         array_to_string(words[(seg_idx * 10 + 1):(seg_idx * 10 + 10)],
+        |                         ' ') AS seg
+        |  FROM segs),
+        |hot AS (
+        |  SELECT seg FROM seg2 GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) >= 10),
+        |flag AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg, (h.seg IS NOT NULL) AS is_hot
+        |  FROM seg2 s LEFT JOIN hot h ON s.seg = h.seg)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN NOT is_hot THEN seg END,
+        |                           ' ' ORDER BY seg_idx), '') AS clean_text,
+        |       CAST(count(CASE WHEN NOT is_hot THEN 1 END) AS BIGINT) AS n_kept,
+        |       CAST(count(CASE WHEN is_hot THEN 1 END) AS BIGINT) AS n_dropped
+        |FROM flag GROUP BY doc_id""".stripMargin,
 
     "q_ext_multimodal_decode" -> {
       val p = graft.io.VerifyFixtures.mediaExpectedPath
@@ -2076,6 +2164,33 @@ object ExtQueries {
         |         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
         |  FROM s)
         |SELECT doc_id, source, n_tok FROM c WHERE cum - n_tok < 1000""".stripMargin,
+
+    "q_ext_dsir" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         (source IN ('src0', 'src1', 'src2', 'src3')) AS is_target,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, is_target, substring(md5(term), 1, 3) AS bucket
+        |  FROM src),
+        |perdoc AS (
+        |  SELECT doc_id, bucket, count(*) AS n_db FROM toks GROUP BY 1, 2),
+        |raw AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY 1),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM toks
+        |        WHERE is_target GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*) * 1.0 AS tot_r,
+        |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) * 1.0 AS tot_t
+        |  FROM toks),
+        |contrib AS (
+        |  SELECT doc_id,
+        |         round(n_db * ln(((coalesce(ct, 0) + 1.0) * (tot_r + 4096.0))
+        |                         / ((cr + 1.0) * (tot_t + 4096.0))), 7) AS c
+        |  FROM perdoc JOIN raw USING (bucket)
+        |       LEFT JOIN tgt USING (bucket), tot)
+        |SELECT doc_id, round(sum(c), 4) AS dsir_score
+        |FROM contrib GROUP BY 1""".stripMargin,
 
     "q_ext_shards" -> {
       val sh = graft.io.Layout.shardIdSql("doc_id", 8)

@@ -572,4 +572,60 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------- segment-level (CCNet)
+  /** CCNet-style sub-document dedup: cut each document into consecutive
+    * `segWords`-word segments, count each segment's corpus-wide document
+    * frequency, strip segments present in >= `maxDocFreq` documents, and
+    * reassemble the survivors in order. Removes boilerplate (headers,
+    * footers, cookie banners) that whole-document dedup can't touch —
+    * CCNet does this per line; synthetic fixture text has no newlines,
+    * so the unit here is the fixed-width word window.
+    *
+    * Scale shape: segments are cut map-side with `slice` on the token
+    * array (no explode-then-regroup — the text is never reassembled
+    * from shuffled word rows). The frequency count groups 8-byte
+    * xxhash64 keys, not segment text. Boilerplate segments are by
+    * definition FEW distinct values (each repeated in many docs), so
+    * the hot set broadcasts back for the strip — document text itself
+    * never shuffles; the only wide exchange carries (hash, doc_id)
+    * pairs. 64-bit hash collisions conflate two segments' counts at
+    * ~N^2/2^65 odds — the standard exact-dedup trade (see fingerprint
+    * keys at the top of this file).
+    *
+    * Output: one row per input doc — (id, clean_text, n_kept,
+    * n_dropped); a fully-boilerplate doc survives with clean_text = ''.
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      segWords: Int, maxDocFreq: Int): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    require(maxDocFreq > 1, s"maxDocFreq must exceed 1, got $maxDocFreq")
+    val base = df.select(col(idCol).as("id"),
+      TextStats.tokens(col(textCol)).as("words"))
+    val segs = base
+      .select(col("id"),
+        explode(sequence(lit(0),
+          ceil(size(col("words")) / lit(segWords.toDouble)).cast("int") - 1))
+          .as("seg_idx"),
+        col("words"))
+      .select(col("id"), col("seg_idx"),
+        array_join(slice(col("words"),
+          col("seg_idx") * segWords + 1, lit(segWords)), " ").as("seg"))
+      .withColumn("seg_h", xxhash64(col("seg")))
+    // Boilerplate set: few distinct segments, each in many docs.
+    val hot = segs.groupBy("seg_h")
+      .agg(countDistinct(col("id")).as("seg_df"))
+      .filter(col("seg_df") >= maxDocFreq)
+      .select(col("seg_h"))
+    val flagged = segs.join(broadcast(hot).withColumn("__hot", lit(true)),
+      Seq("seg_h"), "left")
+    flagged.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("seg_idx"), col("seg"))))),
+        x => x("seg")), " ").as("clean_text"),
+      count(when(col("__hot").isNull, 1)).as("n_kept"),
+      count(when(col("__hot").isNotNull, 1)).as("n_dropped"))
+  }
 }

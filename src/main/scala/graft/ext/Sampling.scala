@@ -105,4 +105,59 @@ object Sampling {
       .filter(col("__cum") - col(sizeCol) < budget)
       .drop("__cum")
   }
+
+  /** DSIR (Xie et al. 2023, arXiv:2302.03169): data selection by
+    * importance resampling. Each document is scored by how much more
+    * likely its hashed-unigram bag is under the TARGET distribution
+    * (rows matching `isTarget` — e.g. a trusted high-quality domain)
+    * than under the RAW corpus distribution:
+    *
+    *   w(d) = sum over buckets b of n_db * ln(p_t(b) / p_r(b)),
+    *   p_x(b) = (count_x(b) + 1) / (total_x + B)   (Laplace smoothing)
+    *
+    * Features are md5-prefix hash buckets (3 hex chars → B = 4096),
+    * the same engine-portable bucketing as [[hashHex]] — no
+    * vocabulary build, fixed feature space, exactly the paper's hashed
+    * n-gram trick. Positive score = more target-like than the corpus
+    * average.
+    *
+    * Scale shape: tokens reduce map-side to (doc, bucket, n) counts —
+    * ONE shuffle keyed on (doc, bucket), then a per-doc sum that
+    * re-aggregates on the doc-prefix of the same key. Both
+    * distributions are <= B rows after partial aggregation and
+    * broadcast back; document text never shuffles. Contributions are
+    * rounded before the per-doc sum so the oracle's addition order
+    * cannot move the rounded score.
+    *
+    * Output: (id, dsir_score) — higher = more target-like. The absolute
+    * level carries a corpus-wide normalizer offset (ln((tot_r + B) /
+    * (tot_t + B)) per token), so downstream selection should rank or
+    * threshold RELATIVE to the score distribution ([[takeTokenBudget]] /
+    * [[hashHex]] compose for the actual resampling step), not test the
+    * sign.
+    */
+  def dsirScores(
+      df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val b = 4096.0 // 16^3 buckets = 3 hex chars of md5
+    val toks = df.select(col(idCol).as("id"), isTarget.as("is_target"),
+        explode(TextStats.tokens(col(textCol))).as("term"))
+      .withColumn("bucket", substring(md5(col("term")), 1, 3))
+    val perDoc = toks.groupBy("id", "bucket").agg(count(lit(1)).as("n_db"))
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("is_target"))
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).cast("double").as("tot_r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("tot_t"))
+    perDoc
+      .join(broadcast(raw), "bucket")
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("c", round(col("n_db") * log(
+        ((coalesce(col("ct"), lit(0L)) + 1.0) * (col("tot_r") + b)) /
+          ((col("cr") + 1.0) * (col("tot_t") + b))), 7))
+      .groupBy("id")
+      .agg(round(sum("c"), 4).as("dsir_score"))
+  }
 }

@@ -309,6 +309,56 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    * embeddings, then pruning within-cluster near-duplicates — the
+    * cluster step turns the quadratic all-pairs scan into
+    * sum(cellSize^2), which the centroid count controls (k ~ sqrt(N)
+    * makes it linear-ish; the paper uses k = 11k for LAION-440M).
+    *
+    * Assignment reuses the IVF plan: centroids broadcast, nearest cell
+    * via the bounded-heap TopKPerKey form. The pair scan is a self-join
+    * keyed ON THE CELL — vectors shuffle once by cell and pairs never
+    * cross cells. `capPerCell` bounds the quadratic term per cell
+    * (members ranked by id; overflow vectors are kept, not scanned) so
+    * a degenerate mega-cluster degrades recall, not wall time — the
+    * same hot-bucket defense as MinHash banding (Dedup.scala).
+    *
+    * Keep rule, one pass, deterministic: a vector is DROPPED iff some
+    * lower-id vector in its cell has cosine >= tau with it. No
+    * transitive closure here — chain resolution is [[Clusters]]'
+    * large-star/small-star job, which composes downstream when wanted.
+    *
+    * Output: (vec_id, cell, kept) for every input vector.
+    */
+  def semDeDup(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      tau: Double, capPerCell: Int = 10000, simScale: Int = 4): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(capPerCell > 1, s"capPerCell must exceed 1, got $capPerCell")
+    val cos = fastCosine(df) _
+    val cents = broadcast(
+      centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = df
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(cents)
+      .withColumn("csim", round(cos(col("v"), col("cvec")), simScale))
+      .withColumn("cent_rank", row_number().over(assignW))
+      .filter(col("cent_rank") <= 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val cellW = Window.partitionBy("cell").orderBy(col("vec_id"))
+    val ranked = assigned.withColumn("m_rank", row_number().over(cellW))
+    val scanned = ranked.filter(col("m_rank") <= capPerCell)
+    val dropped = scanned.as("a").join(scanned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cos(col("a.v"), col("b.v")), simScale) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    ranked.join(dropped.as("d"), ranked("vec_id") === col("d.vec_id"), "left")
+      .select(ranked("vec_id"), col("cell"),
+        col("d.vec_id").isNull.as("kept"))
+  }
+
   /** Per-group mean vector (class prototype / cluster centroid), in
     * long format (key, dim, centroid) — the oracle-stable shape, and
     * the shape downstream per-dimension work (PCA-ish stats, per-dim

@@ -181,4 +181,42 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("segmentDedup strips corpus-frequent segments and reassembles in order") {
+    // Segment unit = 2 words. "ad spam" opens 3 of 4 docs -> boilerplate
+    // at maxDocFreq=3; the rest of each doc must survive verbatim.
+    val df = Seq(
+      (1L, "ad spam alpha beta gamma delta"),
+      (2L, "ad spam epsilon zeta"),
+      (3L, "ad spam eta theta"),
+      (4L, "iota kappa lambda")
+    ).toDF("id", "text")
+    val got = Dedup.segmentDedup(df, "id", "text", segWords = 2, maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("alpha beta gamma delta", 2L, 1L)))
+    assert(got(2L) === (("epsilon zeta", 1L, 1L)))
+    assert(got(3L) === (("eta theta", 1L, 1L)))
+    assert(got(4L) === (("iota kappa lambda", 2L, 0L))) // trailing partial segment kept
+  }
+
+  test("segmentDedup: a fully-boilerplate doc survives as an empty row") {
+    val df = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x y")
+    ).toDF("id", "text")
+    val got = Dedup.segmentDedup(df, "id", "text", segWords = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(got.size === 3)
+    assert(got.values.forall(_ == (("", 1L))))
+  }
+
+  test("segmentDedup counts document frequency, not occurrences") {
+    // "x y" appears twice INSIDE doc 1 but only in 2 distinct docs ->
+    // below maxDocFreq=3, nothing dropped.
+    val df = Seq(
+      (1L, "x y x y"), (2L, "x y a b"), (3L, "c d e f")
+    ).toDF("id", "text")
+    val got = Dedup.segmentDedup(df, "id", "text", segWords = 2, maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.values.sum === 0L)
+  }
 }

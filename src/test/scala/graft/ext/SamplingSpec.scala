@@ -69,4 +69,36 @@ class SamplingSpec extends SparkTestBase {
       assert(rows.nonEmpty && total - rows.map(_._3).max < budget)
     }
   }
+
+  test("dsirScores ranks target-vocabulary docs above off-target docs") {
+    // Target docs speak "physics"; raw background speaks "celebrity".
+    // A fresh doc in target vocabulary must outscore one in background
+    // vocabulary — the whole point of importance weighting.
+    val df = Seq(
+      (1L, "quark lepton boson quark", true),
+      (2L, "quark boson hadron lepton", true),
+      (3L, "gossip scandal tabloid fame", false),
+      (4L, "gossip fame scandal tabloid", false),
+      (5L, "quark hadron lepton boson", false),  // target-like, unlabeled
+      (6L, "tabloid gossip fame scandal", false) // background-like
+    ).toDF("id", "text", "tgt")
+    val got = Sampling.dsirScores(df, "id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(5L) > got(6L),
+      s"target-vocab doc must outscore background doc: $got")
+    assert(got(1L) > got(3L))
+  }
+
+  test("dsirScores is invariant to token order and scales with length") {
+    val df = Seq(
+      (1L, "a b", true),
+      (2L, "b a", false),      // same bag as 1 -> identical score
+      (3L, "a b a b", false)   // doubled bag
+    ).toDF("id", "text", "tgt")
+    val got = Sampling.dsirScores(df, "id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === got(2L))
+    assert(math.abs(got(3L) - 2 * got(1L)) < 1e-3,
+      "doubling every count doubles the log-ratio sum (up to rounding)")
+  }
 }

@@ -129,4 +129,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims(("a", "c")) === 1.0) // parallel prototypes
     assert(sims(("b", "c")) === 0.0)
   }
+
+  test("semDeDup drops the higher id of a within-cluster near-dup pair only") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cell x
+      (2L, Array(0.99f, 0.01f)),  // cell x, near-dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f)),    // cell y, alone
+      (4L, Array(-1.0f, 0.0f))    // cell z (anti-parallel to x centroid)
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
+      (12L, Array(-1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.semDeDup(emb, "vec_id", "embedding", cents, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("semDeDup never pairs across cells even when vectors are close") {
+    // 1 and 2 are near-identical but straddle the two centroids' decision
+    // boundary -> different cells -> both kept.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.9f)),
+      (2L, Array(0.9f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val got = Similarity.semDeDup(emb, "vec_id", "embedding", cents, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true))
+  }
+
+  test("semDeDup capPerCell keeps overflow members without scanning them") {
+    // Three copies of the same direction in one cell; cap=2 means member
+    // rank 3 (id 3) is never scanned as a pair side -> kept, while id 2
+    // is still dropped against id 1.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f)),
+      (3L, Array(1.0f, 0.002f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.semDeDup(
+      emb, "vec_id", "embedding", cents, tau = 0.99, capPerCell = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
 }
