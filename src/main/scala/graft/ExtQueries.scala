@@ -985,6 +985,27 @@ object ExtQueries {
         .select(col("doc_id"), col("source"), col("n_tok"))
     }),
 
+    // Conversation assembly: events -> per-(user, session) transcripts,
+    // 1-day session gaps (the fixture's event density makes that the
+    // gap where real sessions form: ~1.2k sessions, a third of them
+    // longer than the 8-turn cap), cut flagged. The oracle rebuilds
+    // the identical transcripts with string_agg ORDER BY.
+    "q_ext_conversations" -> ((s, dir) => {
+      Assembly.conversations(
+        Tables.events(s, dir), "user_id",
+        graft.ops.TimeOps.epochSeconds(col("ts")), col("event_id"),
+        col("event_type"), gapSec = 86400L, maxTurns = 8)
+    }),
+
+    // Temperature-scaled mixing over the (skewed) language column:
+    // alpha=0.5 boosts tail languages relative to proportional
+    // sampling; the oracle replays quota math and hash ranking.
+    "q_ext_mix_temperature" -> ((s, dir) => {
+      Sampling.mixTemperature(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5, budget = 120L, salt = "mt")
+    }),
+
     // DSIR importance scoring: target distribution = sources src0-src3;
     // every doc scored by hashed-unigram log-likelihood ratio vs the
     // raw corpus. The oracle replays the identical smoothed ratio.
@@ -1208,6 +1229,12 @@ object ExtQueries {
     // the bucket id; bucket arithmetic identical in both engines.
     "q_ext_value_histogram" -> ((s, dir) =>
       Profile.histogram(Tables.events(s, dir), "value", 10.0)),
+
+    // Equi-depth histogram: 8 near-equal-count bins over the skewed
+    // price column; boundaries are exact interpolated percentiles.
+    "q_ext_eqdepth_hist" -> ((s, dir) =>
+      Profile.histogramEquiDepth(
+        Tables.lineitem(s, dir), "l_extendedprice", 8)),
 
     // Perplexity-style quality filter (CCNet tier): add-one unigram LM
     // trained on the %10!=0 split, every doc scored by average token
@@ -2165,6 +2192,50 @@ object ExtQueries {
         |  FROM s)
         |SELECT doc_id, source, n_tok FROM c WHERE cum - n_tok < 1000""".stripMargin,
 
+    "q_ext_conversations" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |         event_type || '#' || CAST(event_id AS VARCHAR) AS turn
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN sec - lag(sec) OVER
+        |      (PARTITION BY user_id ORDER BY sec, event_id) > 86400
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY sec, event_id) AS rk
+        |  FROM numbered)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_turns,
+        |       min(sec) AS start_sec, max(sec) AS end_sec,
+        |       string_agg(CASE WHEN rk <= 8 THEN turn END,
+        |                  ' ' ORDER BY rk) AS transcript,
+        |       (count(*) > 8) AS truncated
+        |FROM ranked GROUP BY 1, 2""".stripMargin,
+
+    "q_ext_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) * 1.0 AS c FROM documents GROUP BY 1),
+        |w AS (SELECT lang, pow(c, 0.5) AS w FROM c),
+        |s AS (SELECT sum(w) AS wsum FROM w),
+        |q AS (
+        |  SELECT lang,
+        |         greatest(CAST(1 AS BIGINT),
+        |                  CAST(floor(120.0 * w / wsum) AS BIGINT)) AS n_target
+        |  FROM w, s),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, q.n_target,
+        |         row_number() OVER (PARTITION BY d.lang
+        |           ORDER BY substring(md5('mt' || CAST(d.doc_id AS VARCHAR)), 1, 8),
+        |                    d.doc_id) AS rk
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT doc_id, lang, n_target FROM r WHERE rk <= n_target""".stripMargin,
+
     "q_ext_dsir" ->
       """WITH src AS (
         |  SELECT doc_id,
@@ -2176,19 +2247,17 @@ object ExtQueries {
         |  FROM src),
         |perdoc AS (
         |  SELECT doc_id, bucket, count(*) AS n_db FROM toks GROUP BY 1, 2),
-        |raw AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY 1),
-        |tgt AS (SELECT bucket, count(*) AS ct FROM toks
-        |        WHERE is_target GROUP BY 1),
+        |stats AS (
+        |  SELECT bucket, count(*) AS cr,
+        |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+        |  FROM toks GROUP BY 1),
         |tot AS (
-        |  SELECT count(*) * 1.0 AS tot_r,
-        |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) * 1.0 AS tot_t
-        |  FROM toks),
+        |  SELECT sum(cr) * 1.0 AS tot_r, sum(ct) * 1.0 AS tot_t FROM stats),
         |contrib AS (
         |  SELECT doc_id,
-        |         round(n_db * ln(((coalesce(ct, 0) + 1.0) * (tot_r + 4096.0))
+        |         round(n_db * ln(((ct + 1.0) * (tot_r + 4096.0))
         |                         / ((cr + 1.0) * (tot_t + 4096.0))), 7) AS c
-        |  FROM perdoc JOIN raw USING (bucket)
-        |       LEFT JOIN tgt USING (bucket), tot)
+        |  FROM perdoc JOIN stats USING (bucket), tot)
         |SELECT doc_id, round(sum(c), 4) AS dsir_score
         |FROM contrib GROUP BY 1""".stripMargin,
 
@@ -2467,6 +2536,18 @@ object ExtQueries {
         |         round(min(value), 6) AS min_v,
         |         round(max(value), 6) AS max_v
         |  FROM events GROUP BY 1)""".stripMargin,
+
+    "q_ext_eqdepth_hist" ->
+      """WITH bs AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+        |  FROM lineitem)
+        |SELECT CAST(len(list_filter(b, x -> l_extendedprice > x)) AS BIGINT)
+        |         AS bin,
+        |       count(*) AS n,
+        |       round(min(l_extendedprice), 6) AS min_v,
+        |       round(max(l_extendedprice), 6) AS max_v
+        |FROM lineitem, bs GROUP BY 1""".stripMargin,
 
     "q_ext_perplexity" ->
       """WITH tr AS (

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation / interaction-log assembly: turn event streams into
+  * ordered per-session transcripts — the terminal shaping step of a
+  * chat-style training-data pipeline (raw telemetry in, one training
+  * example per session out).
+  *
+  * Scale shape: ONE shuffle. The session-id window partitions by user;
+  * the downstream per-(user, session) aggregation is satisfied by the
+  * same hash partitioning (ClusteredDistribution on a superset key —
+  * Catalyst inserts no second exchange; `PlanBudgetSpec` pins this).
+  * Turn text rides map-side into `collect_list` structs whose
+  * array_sort is per-session, bounded by session length — never a
+  * global sort. Truncation to `maxTurns` happens AFTER assembly via
+  * `slice`, so the count of dropped turns is retained (the alternative
+  * — filter-then-assemble — silently loses how long sessions really
+  * were, which downstream curriculum sampling wants to know).
+  */
+object Assembly {
+
+  /** Assemble per-(user, session) transcripts. Sessions split on
+    * event-time gaps > `gapSec`. Each turn renders as
+    * `<turnText>#<seqId>` ordered by (time, seq); transcripts keep the
+    * first `maxTurns` turns and flag the cut.
+    *
+    * `tsSec`: event time in epoch seconds; `seqId`: a unique
+    * tie-breaker (event id) making turn order total and
+    * engine-portable.
+    *
+    * Output: (user, session_id, n_turns, start_sec, end_sec,
+    * transcript, truncated).
+    */
+  def conversations(
+      events: DataFrame, userCol: String, tsSec: Column, seqId: Column,
+      turnText: Column, gapSec: Long, maxTurns: Int): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    require(maxTurns > 0, s"maxTurns must be positive, got $maxTurns")
+    val byUser = Window.partitionBy(userCol).orderBy(col("sec"), col("seq"))
+    val e = events.select(col(userCol), tsSec.as("sec"), seqId.as("seq"),
+      concat(turnText, lit("#"), seqId.cast("string")).as("turn"))
+    val sessioned = e
+      .withColumn("new_session",
+        when(col("sec") - lag(col("sec"), 1).over(byUser) > gapSec, 1)
+          .otherwise(lit(0)))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser).cast("long"))
+    sessioned
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        array_sort(collect_list(struct(col("sec"), col("seq"), col("turn"))))
+          .as("__ts"))
+      .withColumn("transcript",
+        array_join(transform(slice(col("__ts"), 1, maxTurns),
+          x => x("turn")), " "))
+      .withColumn("truncated", col("n_turns") > maxTurns)
+      .drop("__ts")
+  }
+}

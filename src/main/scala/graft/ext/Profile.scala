@@ -118,6 +118,38 @@ object Profile {
       .withColumn("bucket_lo", col("bucket") * width)
   }
 
+  /** Equi-DEPTH histogram: bins hold (near-)equal row counts instead of
+    * equal value ranges — the shape a query optimizer or skew auditor
+    * wants when the distribution is heavy-tailed and [[histogram]]'s
+    * fixed widths would pile everything into one bucket.
+    *
+    * Boundaries are the exact interpolated percentiles at k/nBins.
+    * `percentile` aggregates in one pass (partial per partition, merge
+    * at the driver-side final — a single-row result, NOT a global
+    * sort), then broadcasts back: row assignment is a map-side
+    * `size(filter(bounds, b -> v > b))`, so the data shuffles once for
+    * the per-bin count and never for the boundary computation. At
+    * 100 TB the exact percentile's state is the value multiset per
+    * partition — swap in approx_percentile when the column has
+    * unbounded cardinality; the plan shape is identical.
+    *
+    * Output: (bin, n, min_v, max_v), bin in [0, nBins).
+    */
+  def histogramEquiDepth(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 1, s"nBins must exceed 1, got $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val bounds = df.agg(
+      percentile(col(valueCol), lit(ps.toArray)).as("bs"))
+    df.select(col(valueCol).as("v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        size(filter(col("bs"), b => col("v") > b)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 6).as("min_v"),
+        round(max(col("v")), 6).as("max_v"))
+  }
+
   def keySkew(df: DataFrame, key: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))

@@ -106,6 +106,51 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Temperature-scaled source mixing (the multilingual-sampling rule
+    * of mBERT/XLM-R, p_s ∝ c_s^alpha): per-source quotas
+    *
+    *   n_s = max(1, floor(budget * c_s^alpha / sum_t c_t^alpha))
+    *
+    * alpha = 1 reproduces proportional sampling; alpha -> 0 approaches
+    * uniform; 0.3-0.7 is the usual "boost the tail without drowning
+    * the head" band. Every source keeps at least one row, so rare
+    * sources never vanish from the mix; a quota above a source's row
+    * count keeps the whole source (the mix under-fills rather than
+    * over-sampling — upsampling is a repeat-epochs decision, not a
+    * selection one).
+    *
+    * The quota computation aggregates to one row per source (partial
+    * map-side count), joins back as a broadcast; selection inside each
+    * source is the [[hashHex]]-ranked prefix — a per-source-partitioned
+    * window, deterministic across engines, retries, and re-partitioning.
+    * Only (key, source) pairs shuffle; payload columns ride along
+    * untouched.
+    *
+    * Output: the kept rows plus their source's quota `n_target`.
+    */
+  def mixTemperature(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      alpha: Double, budget: Long, salt: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .withColumn("__w", pow(col("__c"), alpha))
+    val wsum = counts.agg(sum(col("__w")).as("__wsum"))
+    val quotas = counts.crossJoin(broadcast(wsum))
+      .withColumn("n_target",
+        greatest(lit(1L),
+          floor(lit(budget.toDouble) * col("__w") / col("__wsum")).cast("long")))
+      .select(col(sourceCol), col("n_target"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(hashHex(col(keyCol), salt), col(keyCol))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("n_target"))
+      .drop("__rk")
+  }
+
   /** DSIR (Xie et al. 2023, arXiv:2302.03169): data selection by
     * importance resampling. Each document is scored by how much more
     * likely its hashed-unigram bag is under the TARGET distribution
@@ -144,18 +189,20 @@ object Sampling {
         explode(TextStats.tokens(col(textCol))).as("term"))
       .withColumn("bucket", substring(md5(col("term")), 1, 3))
     val perDoc = toks.groupBy("id", "bucket").agg(count(lit(1)).as("n_db"))
-    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgt = toks.filter(col("is_target"))
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = toks.agg(
-      count(lit(1)).cast("double").as("tot_r"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).cast("double").as("tot_t"))
+    // Both distributions in ONE pass over the tokens (conditional agg),
+    // and the totals fold from the bucket stats instead of re-scanning:
+    // two scans of the corpus total, for any number of distributions.
+    val stats = toks.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = stats.agg(
+      sum(col("cr")).cast("double").as("tot_r"),
+      sum(col("ct")).cast("double").as("tot_t"))
     perDoc
-      .join(broadcast(raw), "bucket")
-      .join(broadcast(tgt), Seq("bucket"), "left")
+      .join(broadcast(stats), "bucket")
       .crossJoin(broadcast(totals))
       .withColumn("c", round(col("n_db") * log(
-        ((coalesce(col("ct"), lit(0L)) + 1.0) * (col("tot_r") + b)) /
+        ((col("ct") + 1.0) * (col("tot_r") + b)) /
           ((col("cr") + 1.0) * (col("tot_t") + b))), 7))
       .groupBy("id")
       .agg(round(sum("c"), 4).as("dsir_score"))

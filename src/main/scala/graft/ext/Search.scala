@@ -61,10 +61,14 @@ object Search {
     // nothing and keeps the aggregate deterministic.
     val tf = postings.groupBy("doc_id", "term", "dl")
       .agg(count(lit(1)).as("tf"))
-    // Document frequency over query terms only: at most |vocab| rows.
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
-    val contrib = tf
-      .join(broadcast(dfreq), "term")
+    // Document frequency as a term-partitioned window over tf, NOT a
+    // second aggregate: a separate dfreq frame re-plans (and re-scans)
+    // the whole postings subtree — Catalyst's exchange reuse does not
+    // catch it — while the window reuses the materialized tf rows, all
+    // of which are already restricted to the query vocabulary.
+    val tfd = tf.withColumn("df_t",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val contrib = tfd
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))

@@ -47,7 +47,17 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_gaps", 1, "one keyed lag window"),
     ("q_ext_skew_profile", 3,
       "per-key count agg (planned twice, reused at execution) + the one-row " +
-        "summary's single-partition gather; top-N is TakeOrderedAndProject, no sort shuffle"))
+        "summary's single-partition gather; top-N is TakeOrderedAndProject, no sort shuffle"),
+    ("q_ext_conversations", 1,
+      "one user-keyed window shuffle; the per-(user, session) assembly agg is " +
+        "clustered by a superset key and reuses the window's partitioning"),
+    ("q_ext_bm25", 6,
+      "data-bearing: postings tf agg, term-window df, per-query score agg; " +
+        "bounded: top-k final (k rows/query), single-row corpus stats, " +
+        "query-vocab distinct — query map and stats broadcast"),
+    ("q_ext_dsir", 4,
+      "data-bearing: (doc, bucket) count + per-doc sum; bounded: bucket-stats " +
+        "agg (<= 4096 rows) + its single-row total fold, both broadcast back"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AssemblySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def conv(df: org.apache.spark.sql.DataFrame,
+                   gapSec: Long = 100L, maxTurns: Int = 8) =
+    Assembly.conversations(df, "user", col("sec"), col("eid"),
+      col("et"), gapSec, maxTurns)
+
+  test("conversations split on gaps and order turns by (time, seq)") {
+    val df = Seq(
+      // user 1, session 0: two turns, out-of-seq arrival order
+      (1L, 10L, 2L, "b"),
+      (1L, 10L, 1L, "a"),
+      (1L, 50L, 3L, "c"),
+      // gap > 100 -> session 1
+      (1L, 500L, 4L, "d"),
+      (2L, 10L, 5L, "x")
+    ).toDF("user", "sec", "eid", "et")
+    val got = conv(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(5), r.getBoolean(6))))
+      .toMap
+    assert(got((1L, 0L)) === ((3L, "a#1 b#2 c#3", false)),
+      "same-second turns must order by seq id")
+    assert(got((1L, 1L)) === ((1L, "d#4", false)))
+    assert(got((2L, 0L)) === ((1L, "x#5", false)))
+  }
+
+  test("conversations truncate to maxTurns but keep the full count") {
+    val df = (1 to 5).map(i => (1L, i.toLong, i.toLong, "t"))
+      .toDF("user", "sec", "eid", "et")
+    val got = conv(df, gapSec = 100L, maxTurns = 3).collect().head
+    assert(got.getLong(2) === 5L, "n_turns reports the UNtruncated length")
+    assert(got.getString(5) === "t#1 t#2 t#3")
+    assert(got.getBoolean(6) === true)
+    assert(got.getLong(3) === 1L && got.getLong(4) === 5L,
+      "start/end span the whole session, not the kept prefix")
+  }
+
+  test("a gap of exactly gapSec does NOT split (strictly-greater rule)") {
+    val df = Seq((1L, 0L, 1L, "a"), (1L, 100L, 2L, "b"))
+      .toDF("user", "sec", "eid", "et")
+    val got = conv(df, gapSec = 100L).collect()
+    assert(got.length === 1 && got.head.getLong(2) === 2L)
+  }
+}

@@ -57,4 +57,27 @@ class ProfileSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Profile.keySkew(Seq(1).toDF("k"), "k", 0))
   }
+
+  test("histogramEquiDepth splits a uniform range into equal-count bins") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Profile.histogramEquiDepth(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.map(_._1).sum === 100L)
+    // near-equal depths (boundary interpolation may shift one row)
+    assert(got.values.forall(v => v._1 >= 24 && v._1 <= 26), got.toString)
+    assert(got(0L)._2 === 1.0 && got(3L)._3 === 100.0)
+  }
+
+  test("histogramEquiDepth adapts to skew where equi-width cannot") {
+    // 99 values at ~0, one at 1000: equi-width piles 99 rows into one
+    // bucket; equi-depth still cuts the mass into populated bins.
+    val df = ((1 to 99).map(_ / 100.0) ++ Seq(1000.0)).toDF("v")
+    val eqw = Profile.histogram(df, "v", 250.0).collect()
+    assert(eqw.length === 2, "equi-width collapses to 2 buckets")
+    val eqd = Profile.histogramEquiDepth(df, "v", 4).collect()
+    assert(eqd.length === 4, "equi-depth keeps 4 populated bins")
+    assert(eqd.map(_.getLong(1)).sum === 100L)
+  }
 }

@@ -70,6 +70,33 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("mixTemperature boosts tail sources vs proportional sampling") {
+    // 80 head rows vs 20 tail rows; budget 50.
+    // alpha=1 (proportional): tail quota = floor(50*20/100) = 10.
+    // alpha=0.5: tail quota = floor(50*sqrt(20)/(sqrt(80)+sqrt(20))) = 16.
+    val df = ((1 to 80).map(i => (i.toLong, "head")) ++
+      (81 to 100).map(i => (i.toLong, "tail"))).toDF("id", "src")
+    val prop = Sampling.mixTemperature(df, "id", "src", 1.0, 50L, "x")
+      .filter($"src" === "tail").count()
+    val temp = Sampling.mixTemperature(df, "id", "src", 0.5, 50L, "x")
+      .filter($"src" === "tail").count()
+    assert(prop === 10L)
+    assert(temp === 16L)
+  }
+
+  test("mixTemperature keeps at least one row per source and is stable") {
+    val df = ((1 to 99).map(i => (i.toLong, "big")) ++ Seq((100L, "rare")))
+      .toDF("id", "src")
+    val kept = Sampling.mixTemperature(df, "id", "src", 0.5, 10L, "s1")
+    assert(kept.filter($"src" === "rare").count() === 1L,
+      "a one-row source must survive any mix")
+    // determinism: same salt -> same rows
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.mixTemperature(df, "id", "src", 0.5, 10L, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("dsirScores ranks target-vocabulary docs above off-target docs") {
     // Target docs speak "physics"; raw background speaks "celebrity".
     // A fresh doc in target vocabulary must outscore one in background
