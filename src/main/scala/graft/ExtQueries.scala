@@ -1359,6 +1359,126 @@ object ExtQueries {
           col("sum").as("sum_value"), col("avg").as("avg_value"),
           col("min").as("min_value"), col("max").as("max_value"))
     }),
+
+    // Domain PageRank over a deterministic event-derived link graph —
+    // fixed-point integer arithmetic end to end, so the 5-iteration
+    // power recurrence is BIT-exact across engines (Graph.pageRankSql
+    // unrolls the identical integer recurrence for the oracle; no
+    // epsilon anywhere).
+    "q_ext_pagerank" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .selectExpr("user_id % 40 AS src", "event_id % 40 AS dst")
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.pageRank(e, iterations = 5)
+    }),
+
+    // In/out degrees of the same link graph — the cheap companion
+    // report (full outer merge keeps source-only and sink-only nodes).
+    "q_ext_graph_degrees" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .selectExpr("user_id % 40 AS src", "event_id % 40 AS dst")
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.degrees(e)
+    }),
+
+    // Preference-pair assembly (DPO shaping): best/worst scored
+    // response per prompt in ONE map-side-combined aggregate; prompts
+    // with zero margin dropped. The oracle rebuilds the identical
+    // pairs with two ranked windows.
+    "q_ext_preference_pairs" -> ((s, dir) =>
+      Assembly.preferencePairs(
+          Tables.events(s, dir), "user_id", "event_id", "event_type", "value")
+        .withColumn("margin",
+          round(col("chosen_score") - col("rejected_score"), 6))),
+
+    // Line-level boilerplate strip (jusText-lite): documents augmented
+    // with known nav/footer lines, then audited — the oracle replays
+    // the identical predicate inside DuckDB's list_filter.
+    "q_ext_boilerplate" -> ((s, dir) => {
+      val aug = array_join(array(
+        col("text"),
+        lit("Home | About | Contact"),
+        concat(lit("Copyright 2024 "), col("source")),
+        when(col("doc_id") % 2 === 0, lit("Subscribe | Newsletter | RSS"))
+          .otherwise(lit("This sentence definitely has more than five words.")),
+        concat(lit("doc "), col("doc_id"))), "\n")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.boilerplateAudit(aug).as("a"))
+        .select(col("doc_id"),
+          col("a")("n_lines").cast("long").as("n_lines"),
+          col("a")("n_boiler").cast("long").as("n_boiler"),
+          col("a")("clean_text").as("clean_text"))
+    }),
+
+    // Source-overlap matrix over a corpus with a deliberately
+    // duplicated slice (the raw fixture has no cross-source dups):
+    // every doc labeled s(id%3), every 5th doc ALSO labeled with the
+    // next pseudo-source — guaranteed pairwise overlap whose Jaccard /
+    // containment the oracle recomputes from the same fingerprints.
+    "q_ext_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(
+        concat(lit("s"), col("doc_id") % 3).as("src"), col("text"))
+      val dup = docs.filter(col("doc_id") % 5 === 0).select(
+        concat(lit("s"), (col("doc_id") + 1) % 3).as("src"), col("text"))
+      Dedup.sourceOverlap(base.unionAll(dup), "text", "src")
+    }),
+
+    // Compression-ratio quality signal: no SQL engine exposes deflate,
+    // so the gate is (a) per-doc CONTRACTS the oracle pins as constant
+    // booleans — doubling a text within the 32KB window must compress
+    // better than 2x, the length is bounded by raw+overhead, and pure
+    // repetition must land below prose — plus (b) the pinned-fixture
+    // query below.
+    "q_ext_compress_contract" -> ((s, dir) => {
+      val d1 = TextStats.deflateLength(col("text"))
+      val d2 = TextStats.deflateLength(concat(col("text"), col("text")))
+      val rep = concat_ws(" ", array_repeat(lit("spark"), 60))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        (d2 < d1 * 2).as("doubling_compresses"),
+        (d1 > 0 && d1 <= octet_length(col("text")) + 64).as("bounded"),
+        (TextStats.compressionRatio(rep) < TextStats.compressionRatio(col("text")))
+          .as("repetition_lower"))
+    }),
+
+    // Deflate lengths of four constructed strings vs values pinned at
+    // build time (the q_ext_multimodal_decode pattern): JDK zlib at a
+    // fixed level is deterministic, so drift means the operator — or
+    // the platform — changed.
+    "q_ext_compress_pinned" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        ("a100", "a" * 100),
+        ("ab50", "ab" * 50),
+        ("pangram", "the quick brown fox jumps over the lazy dog"),
+        ("digits", "0123456789"))
+        .toDF("name", "str")
+        .select(col("name"),
+          TextStats.deflateLength(col("str")).cast("long").as("deflate_len"))
+    }),
+
+    // Deterministic global training shuffle: hash-sharded, hash-ordered
+    // export written and read back; the oracle recomputes each shard's
+    // membership AND its (hash, id) order digest from the raw table
+    // with the same portable arithmetic. (The order digest collects
+    // ids per shard — gate-sized work; the export itself never does.)
+    "q_ext_shuffle_export" -> ((s, dir) => {
+      val out = scratchDir(s, "g_docs_shuffled", dir)
+      graft.io.Layout.writeShuffled(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "ep0", 8, out)
+      s.read.parquet(out)
+        .withColumn("h", Sampling.hashHex(col("doc_id"), "ep0"))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("h")).as("min_h"),
+          max(col("h")).as("max_h"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x("doc_id").cast("string")), ",")).as("order_digest"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2681,5 +2801,121 @@ object ExtQueries {
         |WHERE doc_id NOT IN (SELECT node FROM memb)
         |UNION ALL
         |SELECT doc_id, n_chars FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q_ext_pagerank" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+         |  FROM events WHERE user_id % 40 <> event_id % 40),
+         |${Graph.pageRankSql(5)}
+         |SELECT v, r AS rank_e12 FROM it5""".stripMargin,
+
+    "q_ext_graph_degrees" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+        |  FROM events WHERE user_id % 40 <> event_id % 40),
+        |o AS (SELECT src AS v, count(*) AS out_deg FROM edges GROUP BY 1),
+        |i AS (SELECT dst AS v, count(*) AS in_deg FROM edges GROUP BY 1)
+        |SELECT coalesce(o.v, i.v) AS v,
+        |       coalesce(out_deg, 0) AS out_deg,
+        |       coalesce(in_deg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.v = i.v""".stripMargin,
+
+    "q_ext_preference_pairs" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_candidates,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id DESC) AS rk_top,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value ASC, event_id ASC) AS rk_bot
+        |  FROM events),
+        |top AS (SELECT user_id, n_candidates, event_id AS chosen_id,
+        |               event_type AS chosen, value AS chosen_score
+        |        FROM ranked WHERE rk_top = 1),
+        |bot AS (SELECT user_id, event_id AS rejected_id,
+        |               event_type AS rejected, value AS rejected_score
+        |        FROM ranked WHERE rk_bot = 1)
+        |SELECT t.user_id AS prompt_id, t.n_candidates,
+        |       chosen_id, chosen, chosen_score,
+        |       rejected_id, rejected, rejected_score,
+        |       round(chosen_score - rejected_score, 6) AS margin
+        |FROM top t JOIN bot b ON t.user_id = b.user_id
+        |WHERE chosen_score > rejected_score""".stripMargin,
+
+    "q_ext_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |    'Home | About | Contact',
+        |    'Copyright 2024 ' || source,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe | Newsletter | RSS'
+        |         ELSE 'This sentence definitely has more than five words.' END,
+        |    'doc ' || doc_id) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(str_split(t, chr(10))) AS n_lines,
+        |  len(list_filter(str_split(t, chr(10)), x ->
+        |    len(regexp_split_to_array(trim(x), '\s+')) < 5
+        |    OR length(trim(x)) - length(replace(trim(x), '|', '')) >= 2
+        |    OR contains(lower(trim(x)), 'copyright')
+        |    OR contains(lower(trim(x)), 'all rights reserved')
+        |    OR contains(lower(trim(x)), 'privacy policy')
+        |    OR contains(lower(trim(x)), 'terms of')
+        |    OR contains(lower(trim(x)), 'cookie'))) AS n_boiler,
+        |  array_to_string(list_filter(str_split(t, chr(10)), x -> NOT (
+        |    len(regexp_split_to_array(trim(x), '\s+')) < 5
+        |    OR length(trim(x)) - length(replace(trim(x), '|', '')) >= 2
+        |    OR contains(lower(trim(x)), 'copyright')
+        |    OR contains(lower(trim(x)), 'all rights reserved')
+        |    OR contains(lower(trim(x)), 'privacy policy')
+        |    OR contains(lower(trim(x)), 'terms of')
+        |    OR contains(lower(trim(x)), 'cookie'))), chr(10)) AS clean_text
+        |FROM aug""".stripMargin,
+
+    "q_ext_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT 's' || (doc_id % 3) AS src, text FROM documents
+        |  UNION ALL
+        |  SELECT 's' || ((doc_id + 1) % 3) AS src, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |sets AS (
+        |  SELECT DISTINCT src AS source,
+        |    substring(md5(lower(trim(regexp_replace(
+        |      regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')))), 1, 16) AS fp
+        |  FROM corpus),
+        |sizes AS (SELECT source, count(*) AS n_fp FROM sets GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |  FROM sets a JOIN sets b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n_fp AS n_a, sb.n_fp AS n_b, n_common,
+        |  round(n_common * 1.0 / (sa.n_fp + sb.n_fp - n_common), 6) AS jaccard,
+        |  round(n_common * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b""".stripMargin,
+
+    "q_ext_compress_contract" ->
+      """SELECT doc_id, true AS doubling_compresses, true AS bounded,
+        |       true AS repetition_lower
+        |FROM documents""".stripMargin,
+
+    // Values measured from the committed operator (JDK zlib, level 6,
+    // raw stream); see CompressSpec which pins the same numbers.
+    "q_ext_compress_pinned" ->
+      """SELECT name, CAST(deflate_len AS BIGINT) AS deflate_len FROM (VALUES
+        |  ('a100', 6), ('ab50', 7), ('pangram', 44), ('digits', 12))
+        |AS t(name, deflate_len)""".stripMargin,
+
+    "q_ext_shuffle_export" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${graft.io.Layout.shardIdSql("doc_id", 8)} AS shard,
+         |    substring(md5('ep0' || CAST(doc_id AS VARCHAR)), 1, 8) AS hh
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, min(hh) AS min_h, max(hh) AS max_h,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hh, doc_id))
+         |    AS order_digest
+         |FROM h GROUP BY 1""".stripMargin,
   )
 }

@@ -62,4 +62,43 @@ object Assembly {
       .withColumn("truncated", col("n_turns") > maxTurns)
       .drop("__ts")
   }
+
+  /** Preference-pair assembly (the DPO/RLHF reward-data shaping step):
+    * from scored candidate responses, build one (chosen, rejected) pair
+    * per prompt — the best- and worst-scored response, with
+    * deterministic total tie-breaking by response id (larger id wins
+    * the chosen side, smaller id the rejected side, so the pair is
+    * stable across engines and reruns). Prompts whose best and worst
+    * scores are EQUAL are dropped: a pair with zero margin carries no
+    * preference signal, and emitting it would train on noise.
+    *
+    * Scale shape: ONE partially-aggregated shuffle on the prompt key —
+    * chosen/rejected are `max`/`min` over (score, id, text) structs,
+    * which combine map-side (each mapper sends at most one candidate
+    * struct per prompt, not the full response list), so response text
+    * crosses the wire once per (mapper, prompt), never as a collected
+    * group. No window, no sort.
+    */
+  def preferencePairs(
+      responses: DataFrame, promptCol: String, idCol: String,
+      textCol: String, scoreCol: String): DataFrame = {
+    val cand = struct(col(scoreCol).as("score"), col(idCol).as("id"),
+      col(textCol).as("text"))
+    responses
+      .groupBy(col(promptCol).as("prompt_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(cand).as("__top"),
+        min(cand).as("__bot"))
+      .filter(col("__top")("score") > col("__bot")("score"))
+      .select(
+        col("prompt_id"),
+        col("n_candidates"),
+        col("__top")("id").as("chosen_id"),
+        col("__top")("text").as("chosen"),
+        col("__top")("score").as("chosen_score"),
+        col("__bot")("id").as("rejected_id"),
+        col("__bot")("text").as("rejected"),
+        col("__bot")("score").as("rejected_score"))
+  }
 }

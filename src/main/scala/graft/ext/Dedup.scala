@@ -628,4 +628,50 @@ object Dedup {
       count(when(col("__hot").isNull, 1)).as("n_kept"),
       count(when(col("__hot").isNotNull, 1)).as("n_dropped"))
   }
+
+  /** Source-overlap matrix: for every pair of sources, how much
+    * normalized content they share — the dataset-composition audit run
+    * BEFORE mixing corpora (two "different" crawls can be 80% the same
+    * pages; mixing them double-counts that mass and skews any
+    * temperature/budget recipe computed from raw sizes).
+    *
+    * Per (source, fingerprint) the text collapses to one 16-hex-char
+    * md5 of the dedup-normalized form, so only ~24-byte keys shuffle —
+    * never text. The pair counts come from a self-equi-join on the
+    * fingerprint: cost is sum over shared fingerprints of (#sources
+    * containing it choose 2), bounded by S² per fingerprint — S is the
+    * number of SOURCES (dozens), not documents, so the join cannot blow
+    * up the way an all-pairs document join would.
+    *
+    * Output per (source_a < source_b): distinct-fingerprint set sizes,
+    * intersection size, Jaccard, and containment
+    * (|∩| / min(|A|, |B|) — the "is B a subset of A" signal Jaccard
+    * hides when sizes are lopsided).
+    */
+  def sourceOverlap(
+      df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val sets = df.select(col(sourceCol).as("source"),
+        TextStats.fingerprintMd5(TextStats.normalizeForDedup(col(textCol)))
+          .as("fp"))
+      .distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("n_fp", "n_a"),
+        col("source_a") === col("source"))
+      .drop("source")
+      .join(broadcast(sizes).withColumnRenamed("n_fp", "n_b"),
+        col("source_b") === col("source"))
+      .drop("source")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6)
+          .as("jaccard"),
+        round(col("n_common") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+  }
 }

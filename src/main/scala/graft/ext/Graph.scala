@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring for web-corpus curation — PageRank over
+  * a (src, dst) edge list. Crawl pipelines weigh documents by the
+  * authority of their host/domain (harvest priority, quality priors,
+  * spam demotion); this is that signal, computed engine-portably.
+  *
+  * Exactness: ranks are kept in FIXED-POINT integer units (1e12 per
+  * unit of mass) and every step is 64-bit floor division — no floating
+  * point anywhere, so the result is bit-identical in any engine that
+  * has integer division (the DuckDB oracle unrolls the same recurrence
+  * with `//`). Floating-point PageRank differs across engines in the
+  * last ulps because summation order differs; integer arithmetic makes
+  * the contract exact instead of "within epsilon".
+  *
+  * Scale shape: each iteration is one shuffle join of the rank vector
+  * (|V| rows, keyed by vertex) against the edge list (keyed by src —
+  * a stable partitioning a production run would pre-bucket, see
+  * [[graft.io.Bucketing]]) followed by one partially-aggregated sum on
+  * dst. Nothing is collected to the driver; the iteration count is a
+  * fixed small constant (the standard 5-20 power steps), so plan depth
+  * is bounded. Contributions from dangling vertices (no out-edges) are
+  * dropped — the simple power-iteration variant; total mass decays
+  * slightly instead of being redistributed, which preserves ranking
+  * order for curation purposes and keeps the recurrence one join.
+  *
+  * Overflow bound: every rank is <= SCALE (total initial mass), so the
+  * inbound sum at any vertex is <= SCALE = 1e12 and `85 * sum` is
+  * <= 8.5e13 — far inside Long range for any graph size.
+  */
+object Graph {
+
+  /** Fixed-point scale: one unit of total rank mass = 1e12. */
+  val Scale: Long = 1000000000000L
+
+  /** Damping numerator/denominator (d = 0.85) as integers so the
+    * recurrence stays in exact arithmetic.
+    */
+  val DampNum: Long = 85L
+  val DampDen: Long = 100L
+
+  /** PageRank over `edges` (columns `src`, `dst`; self-loops and
+    * duplicate edges should be removed by the caller). Returns
+    * (v, rank_e12): the fixed-point rank after `iterations` power
+    * steps,
+    *
+    *   r0(v)   = Scale div N
+    *   r_k(v)  = (15 * Scale) div (100 * N)
+    *             + (85 * sum over in-edges (u,v) of r_{k-1}(u) div deg(u)) div 100
+    *
+    * with all divisions 64-bit floor division.
+    */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // |V| rides the plan as a broadcast scalar — no driver-side count.
+    // SQL `div` (not `/`) everywhere: `/` on longs is DOUBLE division,
+    // whose nearest-rounding can land one above the true floor on large
+    // operands; `div` is exact 64-bit integer division.
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .selectExpr("v", s"$Scale div n AS r", "n")
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(deg, "src")
+        .join(ranks.select(col("v").as("src"), col("r")), "src")
+        .selectExpr("dst AS v", "r div d AS c")
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      ranks = ranks.select(col("v"), col("n"))
+        .join(contribs, Seq("v"), "left")
+        .selectExpr("v",
+          s"(${(DampDen - DampNum) * Scale} div ($DampDen * n))" +
+            s" + (($DampNum * coalesce(s, 0L)) div $DampDen) AS r",
+          "n")
+    }
+    ranks.select(col("v"), col("r").as("rank_e12"))
+  }
+
+  /** The identical recurrence as DuckDB SQL over a CTE named `edges`
+    * (columns src, dst) — unrolled `iterations` times so oracle and
+    * operator share one source of truth. DuckDB `//` is floor division
+    * on BIGINT, = Spark's `div`/cast-after-`/` for the all-positive
+    * values here; sums are cast back to BIGINT because DuckDB widens
+    * SUM to HUGEINT.
+    */
+  def pageRankSql(iterations: Int): String = {
+    require(iterations >= 1)
+    val base = s"((${DampDen - DampNum} * $Scale) // ($DampDen * (SELECT n FROM nn)))"
+    val iters = (1 to iterations).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s"""it$k AS (
+         |  SELECT nodes.v,
+         |    CAST($base + ($DampNum * coalesce(c.s, 0)) // $DampDen AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS v, CAST(sum(p.r // deg.d) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN $prev p ON p.v = e.src
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) c ON c.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT v, CAST($Scale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+       |$iters""".stripMargin
+  }
+
+  /** In/out degree per vertex — the cheap companion report (one
+    * partially-aggregated shuffle per direction, outer-merged so
+    * source-only and sink-only vertices both appear).
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -294,6 +294,61 @@ object TextStats {
       regexp_replace(acc, pat, tag)
     }
 
+  // ------------------------------------- line-level boilerplate
+  /** Line-level boilerplate predicate (a jusText-lite heuristic tier):
+    * a line is boilerplate when it is too short to be prose (< 5
+    * tokens), looks like a separator-delimited nav bar (>= 2 pipe
+    * characters), or carries legal/footer markers (copyright, all
+    * rights reserved, privacy policy, terms of, cookie). Pure
+    * codegen'd string expressions, RE2-free, so the DuckDB oracle runs
+    * the identical predicate inside `list_filter`.
+    */
+  def isBoilerplateLine(line: Column): Column = {
+    val t = trim(line)
+    val short = size(split(t, "\\s+")) < 5
+    val navBar = (length(t) - length(replace(t, lit("|"), lit("")))) >= 2
+    val lower_ = lower(t)
+    val legal = Seq("copyright", "all rights reserved", "privacy policy",
+      "terms of", "cookie").map(m => lower_.contains(m)).reduce(_ || _)
+    short || navBar || legal
+  }
+
+  /** Strip boilerplate lines from a newline-delimited document —
+    * the standard main-content extraction pass between raw web text and
+    * the document-level quality filters. Per-row, shuffle-free: one
+    * split + one `filter` HOF + one join.
+    */
+  def stripBoilerplate(text: Column): Column =
+    array_join(filter(split(text, "\n"), l => !isBoilerplateLine(l)), "\n")
+
+  /** Per-document line audit for [[stripBoilerplate]]: total lines,
+    * boilerplate lines, and the cleaned text — pipelines filter on the
+    * ratio (a mostly-boilerplate page is dropped whole, not trimmed).
+    */
+  def boilerplateAudit(text: Column): Column = {
+    val lines = split(text, "\n")
+    val nBoiler = size(filter(lines, l => isBoilerplateLine(l)))
+    struct(
+      size(lines).as("n_lines"),
+      nBoiler.as("n_boiler"),
+      stripBoilerplate(text).as("clean_text"))
+  }
+
+  /** DEFLATE length of the document's UTF-8 bytes (fixed level, raw
+    * stream) — see [[graft.functions.CompressExpressions]].
+    */
+  def deflateLength(text: Column): Column =
+    graft.functions.CompressExpressions.deflateLength(text)
+
+  /** Compression ratio `deflate_len / byte_len` — the redundancy
+    * quality signal: template/generated text lands well below prose
+    * (~0.3–0.6 for English), random noise near or above 1. Null for
+    * the empty document (no bytes to measure).
+    */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      round(deflateLength(text).cast("double") / octet_length(text), 6))
+
   /** Content fingerprint: first 16 hex chars of md5 — stable across
     * engines, enough bits (64) for dedup bucketing at trillions of docs.
     */

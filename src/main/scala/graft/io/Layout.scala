@@ -96,6 +96,36 @@ object Layout {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** Deterministic global training shuffle: export `df` hash-SHARDED
+    * (the [[shardId]] arithmetic) and hash-ORDERED within each shard by
+    * `(md5(salt || id), id)`. A trainer that consumes shard 0..n-1 in
+    * file order sees a reproducible pseudo-random permutation of the
+    * corpus — THE export shape for epoch shuffling at 100 TB, where an
+    * explicit global sort-by-random would be one giant range shuffle
+    * per epoch; here the permutation is a pure function of (id, salt),
+    * so re-exports, retries, and other engines reproduce it row for
+    * row, and a new salt is a new epoch order.
+    *
+    * Plan: one hash shuffle on the shard id (each task holds whole
+    * shards → one file per shard) with an in-task sort — no global
+    * range exchange, no sampling pass. Row order inside each written
+    * file IS the (hash, id) order (`sortWithinPartitions` before a
+    * partitioned write survives into the parquet row order;
+    * `LayoutSpec` pins this physically).
+    */
+  def writeShuffled(
+      df: DataFrame, idCol: String, salt: String, n: Int,
+      outDir: String): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it — writeShuffled reserves that name")
+    df.withColumn("shard", shardId(col(idCol), n))
+      .withColumn("__h", graft.ext.Sampling.hashHex(col(idCol), salt))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Write `df` clustered along `zCol` (a
     * [[graft.functions.ZOrder.zValue]] column): range-partition into
     * `numFiles` z-ranges, sort within each, drop the helper column,

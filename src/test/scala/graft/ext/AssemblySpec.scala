@@ -47,4 +47,35 @@ class AssemblySpec extends SparkTestBase {
     val got = conv(df, gapSec = 100L).collect()
     assert(got.length === 1 && got.head.getLong(2) === 2L)
   }
+
+  private def prefs(rows: Seq[(Long, Long, String, Double)]) =
+    Assembly.preferencePairs(
+        rows.toDF("p", "rid", "txt", "score"), "p", "rid", "txt", "score")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(5), r.getString(6))))
+      .toMap
+
+  test("preferencePairs picks best vs worst with positive margin") {
+    val got = prefs(Seq(
+      (1L, 10L, "meh", 2.0), (1L, 11L, "best", 5.0), (1L, 12L, "worst", 1.0),
+      (2L, 20L, "only-pair-a", 1.0), (2L, 21L, "only-pair-b", 3.0)))
+    assert(got(1L) === ((3L, 11L, "best", 12L, "worst")))
+    assert(got(2L) === ((2L, 21L, "only-pair-b", 20L, "only-pair-a")))
+  }
+
+  test("preferencePairs: zero-margin prompts are dropped, ties break by id") {
+    val got = prefs(Seq(
+      // all equal -> no signal -> dropped
+      (1L, 10L, "a", 2.0), (1L, 11L, "b", 2.0),
+      // top tie at 5.0 -> larger id chosen; bottom tie at 1.0 -> smaller id
+      (2L, 20L, "t1", 5.0), (2L, 21L, "t2", 5.0),
+      (2L, 22L, "b1", 1.0), (2L, 23L, "b2", 1.0)))
+    assert(!got.contains(1L))
+    assert(got(2L) === ((4L, 21L, "t2", 22L, "b1")))
+  }
+
+  test("preferencePairs: a single-candidate prompt emits nothing") {
+    assert(prefs(Seq((1L, 10L, "solo", 4.0))).isEmpty)
+  }
 }

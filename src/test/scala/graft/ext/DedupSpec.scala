@@ -219,4 +219,23 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got.values.sum === 0L)
   }
+
+  test("sourceOverlap: jaccard/containment from normalized fingerprints") {
+    val df = Seq(
+      ("A", "alpha beta"), ("A", "gamma delta"),
+      ("B", "Alpha, beta!"), // normalizes identically to A's first doc
+      ("B", "epsilon zeta"),
+      ("C", "epsilon zeta")
+    ).toDF("src", "text")
+    val got = Dedup.sourceOverlap(df, "text", "src")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // A∩B = {alpha beta}: jaccard 1/3, containment 1/2
+    assert(got(("A", "B")) === ((2L, 2L, 1L, 0.333333, 0.5)))
+    // B∩C = {epsilon zeta}: containment 1.0 — C is a subset of B
+    assert(got(("B", "C")) === ((2L, 1L, 1L, 0.5, 1.0)))
+    assert(!got.contains(("A", "C")), "disjoint pairs emit no row")
+  }
 }

@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("symmetric cycle keeps all ranks equal at every iteration") {
+    val got = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 5)
+    assert(got.size === 3)
+    assert(got.values.toSet.size === 1, s"cycle ranks must be equal: $got")
+    // mass is conserved up to floor-division loss: 3 * r ≈ Scale
+    val r = got.values.head
+    assert(r > Graph.Scale / 3 - 10 && r <= Graph.Scale / 3)
+  }
+
+  test("star graph matches the hand-computed integer recurrence") {
+    // 1 -> 2, 1 -> 3: after one step, 1 holds only the base term and
+    // 2/3 split 1's initial rank. Exact 64-bit floor arithmetic:
+    val r0 = Graph.Scale / 3                         // 333333333333
+    val base = 15L * Graph.Scale / (100L * 3L)       // 50000000000
+    val in = 85L * (r0 / 2L) / 100L                  // 141666666666
+    val got = ranks(Seq((1L, 2L), (1L, 3L)), 1)
+    assert(got(1L) === base)
+    assert(got(2L) === base + in)
+    assert(got(3L) === base + in)
+  }
+
+  test("dangling vertices leak mass but total never exceeds Scale") {
+    // 2 and 3 are dangling (no out-edges): their mass is dropped each
+    // step in the simple variant; the sum must stay <= Scale.
+    val got = ranks(Seq((1L, 2L), (1L, 3L)), 5)
+    assert(got.values.sum <= Graph.Scale)
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("degrees outer-merges source-only and sink-only vertices") {
+    val got = Graph.degrees(Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 0L)))
+    assert(got(2L) === ((1L, 1L)))
+    assert(got(3L) === ((0L, 2L)), "sink-only vertex must appear with out_deg 0")
+  }
+
+  test("pageRank rejects a non-positive iteration count") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 0)
+    }
+  }
+}

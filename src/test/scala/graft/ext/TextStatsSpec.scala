@@ -162,4 +162,38 @@ class TextStatsSpec extends SparkTestBase {
     assert(rolls(0) === rolls(1))
     assert(rolls(0) !== rolls(2)) // same bag of words, different order
   }
+
+  test("boilerplate predicate: short, nav-bar, and legal lines flagged; prose kept") {
+    val df = Seq(
+      "Home | About | Contact",                                  // nav bar
+      "Copyright 2024 Example Corp",                             // legal
+      "ok bye",                                                  // too short
+      "We use cookie banners to track everything you never read.", // legal marker
+      "This perfectly ordinary sentence should clearly survive the filter."
+    ).toDF("line")
+    val got = df.select(TextStats.isBoilerplateLine($"line")).as[Boolean].collect()
+    assert(got.toSeq === Seq(true, true, true, true, false))
+  }
+
+  test("stripBoilerplate keeps prose lines joined in order; audit counts match") {
+    val text = Seq(
+      "First real paragraph with plenty of words in it.",
+      "Home | Products | Pricing | Blog",
+      "Second real paragraph also has enough words here.",
+      "doc 42").mkString("\n")
+    val row = Seq(text).toDF("text")
+      .select(TextStats.boilerplateAudit($"text").as("a"))
+      .select($"a.n_lines", $"a.n_boiler", $"a.clean_text").collect().head
+    assert(row.getInt(0) === 4)
+    assert(row.getInt(1) === 2)
+    assert(row.getString(2) ===
+      "First real paragraph with plenty of words in it.\n" +
+        "Second real paragraph also has enough words here.")
+  }
+
+  test("a fully-boilerplate document strips to the empty string") {
+    val row = Seq("a | b | c\nshort").toDF("text")
+      .select(TextStats.stripBoilerplate($"text")).collect().head
+    assert(row.getString(0) === "")
+  }
 }

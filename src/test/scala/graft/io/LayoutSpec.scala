@@ -86,4 +86,34 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ===
       (0L until 1000L).map(i => (i, s"row$i")).toSet)
   }
+
+  test("writeShuffled: files are PHYSICALLY in (hash, id) order per shard") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("shuffled").toString + "/x"
+    val df = (0L until 500L).map(i => (i, s"d$i")).toDF("id", "v")
+    Layout.writeShuffled(df, "id", "ep0", 4, out)
+    val shardDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === 4)
+    shardDirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getName}: one file per shard")
+      // read the single file directly — small file = one split, so the
+      // collected order IS the physical row order
+      val rows = spark.read.parquet(files.head.toString)
+        .select(graft.ext.Sampling.hashHex(col("id"), "ep0").as("h"), col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${d.getName}: rows must be stored in (hash, id) order")
+    }
+    // membership matches the portable shard arithmetic
+    val back = spark.read.parquet(out)
+      .select(col("id"), col("shard").cast("long").as("s"),
+        Layout.shardId(col("id"), 4).as("expect"))
+    assert(back.filter(col("s") =!= col("expect")).count() === 0)
+    // rejects a clashing reserved column
+    intercept[IllegalArgumentException] {
+      Layout.writeShuffled(df.withColumnRenamed("v", "shard"), "id", "s", 2, out)
+    }
+  }
 }
