@@ -1479,7 +1479,74 @@ object ExtQueries {
             array_sort(collect_list(struct(col("h"), col("doc_id")))),
             x => x("doc_id").cast("string")), ",")).as("order_digest"))
     }),
+
+    // BPE decode under the same pinned vocab as the encoder. The mini
+    // tokenizer has no whitespace tokens, so the oracle-gated
+    // round-trip contract is decode(encode(text)) == text minus
+    // spaces (the corpus is [a-z ]-only: no UNK ids involved).
+    "q_ext_bpe_decode" -> ((s, dir) => {
+      val decoded = graft.functions.Bpe.bpeDecode(
+        graft.functions.Bpe.bpeEncode(col("text")))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        (decoded === replace(col("text"), lit(" "), lit(""))).as("round_trip"),
+        length(decoded).cast("long").as("n_chars_decoded"))
+    }),
+
+    // T5-style span corruption: grid-aligned 3-token blocks, ~20% of
+    // blocks masked by a salted (id, block) hash — the oracle rebuilds
+    // input/target/counts with the identical arithmetic over DuckDB
+    // lists.
+    "q_ext_span_corrupt" -> ((s, dir) =>
+      Assembly.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
+        spanLen = 3, rateHex = "33333333", salt = "sc")),
+
+    // Leakage-safe split: hash the GROUP key (source), not the row id,
+    // so every doc of a correlated group lands in ONE split — the
+    // constructive fix for what q_ext_split_leakage measures.
+    "q_ext_group_split" -> ((s, dir) =>
+      Sampling.assignSplit(Tables.documents(s, dir), "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "gs")
+        .select(col("doc_id"), col("source"), col("split"))),
+
+    // Unicode NFC normalization: docs augmented with DECOMPOSED
+    // sequences (e + combining acute, u + combining diaeresis); the
+    // JDK normalizer and DuckDB's nfc_normalize implement the same
+    // Unicode standard, so text, lengths, and the changed flag gate
+    // hash-exact. NFKC (DuckDB has no nfkc) gates as a pinned
+    // ligature/fullwidth folding contract.
+    "q_ext_unicode_nfc" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" cafe\u0301 u\u0308ber"))
+      val nfc = TextStats.nfcNormalize(aug)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nfc.as("nfc_text"),
+        length(aug).cast("long").as("n_before"),
+        length(nfc).cast("long").as("n_after"),
+        (nfc =!= aug).as("changed"),
+        (TextStats.nfkcNormalize(lit("\ufb01 \uff11\uff12\uff13")) === lit("fi 123"))
+          .as("nfkc_folds"))
+    }),
+
+    // Per-script character profile (the writing-system router a
+    // multilingual crawl applies before language ID): counts from
+    // replace-length arithmetic over Unicode script classes; the
+    // oracle respells Java's \p{IsHan} as RE2's \p{Han}.
+    "q_ext_script_profile" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" " + Cjk + " " + Cyr + " 123"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.scriptProfile(aug).as("p"))
+        .select(col("doc_id"), col("p.n_latin"), col("p.n_han"),
+          col("p.n_cyrillic"), col("p.n_digit"), col("p.n_space"),
+          col("p.n_other"), col("p.dominant_script"))
+    }),
   )
+
+  /** Script-profile fixture tails, shared verbatim by query and oracle
+    * (\u escapes so composed/decomposed status is explicit in source).
+    */
+  private val Cjk = "\u4f60\u597d\u4e16\u754c" // CJK: ni hao shi jie
+  private val Cyr = "\u043c\u0438\u0440"       // Cyrillic: mir
 
   def oracleSql: Map[String, String] = Map(
     "q_ext_text_stats" ->
@@ -2917,5 +2984,72 @@ object ExtQueries {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hh, doc_id))
          |    AS order_digest
          |FROM h GROUP BY 1""".stripMargin,
+
+    "q_ext_bpe_decode" ->
+      """SELECT doc_id, true AS round_trip,
+        |       length(replace(text, ' ', '')) AS n_chars_decoded
+        |FROM documents""".stripMargin,
+
+    "q_ext_span_corrupt" ->
+      """WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         greatest(CAST(ceil(len(regexp_split_to_array(trim(text), '\s+')) / 3.0)
+        |                       AS INT), 1) AS nb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(range(0, nb), i ->
+        |    CASE WHEN substring(md5('sc' || doc_id || '-' || i), 1, 8) < '33333333'
+        |         THEN '<extra_id_' || i || '>'
+        |         ELSE array_to_string(toks[i*3+1 : i*3+3], ' ') END), ' ')
+        |    AS input_text,
+        |  coalesce(array_to_string(list_filter(list_transform(range(0, nb), i ->
+        |    CASE WHEN substring(md5('sc' || doc_id || '-' || i), 1, 8) < '33333333'
+        |         THEN '<extra_id_' || i || '> ' ||
+        |              array_to_string(toks[i*3+1 : i*3+3], ' ')
+        |         ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS target_text,
+        |  len(list_filter(range(0, nb), i ->
+        |    substring(md5('sc' || doc_id || '-' || i), 1, 8) < '33333333'))
+        |    AS n_masked,
+        |  CAST(nb AS BIGINT) AS n_blocks
+        |FROM b""".stripMargin,
+
+    "q_ext_group_split" -> {
+      val (t80, t90) = (Sampling.rateThreshold(0.8), Sampling.rateThreshold(0.9))
+      s"""SELECT doc_id, source,
+         |  CASE WHEN h < '$t80' THEN 'train'
+         |       WHEN h < '$t90' THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |        substring(md5('gs' || source), 1, 8) AS h
+         |      FROM documents)""".stripMargin
+    },
+
+    "q_ext_unicode_nfc" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber' AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS nfc_text,
+        |  length(t) AS n_before, length(nfc_normalize(t)) AS n_after,
+        |  nfc_normalize(t) <> t AS changed,
+        |  true AS nfkc_folds
+        |FROM a""".stripMargin,
+
+    "q_ext_script_profile" ->
+      ("""WITH a AS (SELECT doc_id, text || ' """ + Cjk + " " + Cyr +
+        """ 123' AS t FROM documents),
+          |c AS (SELECT doc_id, t,
+          |  length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_latin,
+          |  length(t) - length(regexp_replace(t, '\p{Han}', '', 'g')) AS n_han,
+          |  length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS n_cyrillic,
+          |  length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+          |  length(t) - length(regexp_replace(t, '\s', '', 'g')) AS n_space
+          |  FROM a)
+          |SELECT doc_id, n_latin, n_han, n_cyrillic, n_digit, n_space,
+          |  length(t) - n_latin - n_han - n_cyrillic - n_digit - n_space AS n_other,
+          |  CASE WHEN greatest(n_latin, n_han, n_cyrillic) = 0 THEN 'none'
+          |       WHEN n_latin = greatest(n_latin, n_han, n_cyrillic) THEN 'latin'
+          |       WHEN n_han = greatest(n_latin, n_han, n_cyrillic) THEN 'han'
+          |       ELSE 'cyrillic' END AS dominant_script
+          |FROM c""").stripMargin,
   )
 }

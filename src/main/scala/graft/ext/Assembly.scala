@@ -63,6 +63,51 @@ object Assembly {
       .drop("__ts")
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4), the
+    * denoising-objective shaping step: the token stream is cut into
+    * fixed-length blocks and a deterministic ~`rate` of blocks is
+    * replaced by sentinels in the input, with the masked blocks
+    * emitted (sentinel-prefixed) as the target. Differences from the
+    * paper's sampler, chosen for engine-portable determinism: spans
+    * are grid-aligned (exactly `spanLen` tokens, the mean length the
+    * paper samples around) and the mask decision is a salted md5 of
+    * (id, block) compared to a hex threshold — the [[Sampling.hashHex]]
+    * trick, so the SAME example set reproduces on any engine, any
+    * partitioning, any rerun. Sentinels are numbered by block index
+    * (stable) rather than sequentially.
+    *
+    * Pure per-row HOF expressions — zero shuffle. Cost note: the
+    * slice-per-block lambda re-derives O(blocks × spanLen) = O(tokens)
+    * work per row (the [[TextStats.chunkTokens]] pattern).
+    */
+  def spanCorrupt(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, rateHex: String, salt: String): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive, got $spanLen")
+    require(rateHex.matches("[0-9a-f]{8}"), s"rateHex must be 8 lowercase hex: $rateHex")
+    val toks = TextStats.tokens(col(textCol))
+    val nb = greatest(ceil(size(toks) / lit(spanLen.toDouble)).cast("int"), lit(1))
+    val blocks = sequence(lit(0), nb - 1)
+    def masked(b: Column): Column =
+      substring(md5(concat(lit(salt), col(idCol).cast("string"),
+        lit("-"), b.cast("string"))), 1, 8) < lit(rateHex)
+    def blockText(b: Column): Column =
+      array_join(slice(toks, b * spanLen + 1, lit(spanLen)), " ")
+    def sentinel(b: Column): Column =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val inputArr = transform(blocks,
+      b => when(masked(b), sentinel(b)).otherwise(blockText(b)))
+    val targetArr = filter(
+      transform(blocks,
+        b => when(masked(b), concat(sentinel(b), lit(" "), blockText(b)))),
+      x => x.isNotNull)
+    df.select(col(idCol),
+      array_join(inputArr, " ").as("input_text"),
+      array_join(targetArr, " ").as("target_text"),
+      size(targetArr).cast("long").as("n_masked"),
+      nb.cast("long").as("n_blocks"))
+  }
+
   /** Preference-pair assembly (the DPO/RLHF reward-data shaping step):
     * from scored candidate responses, build one (chosen, rejected) pair
     * per prompt — the best- and worst-scored response, with

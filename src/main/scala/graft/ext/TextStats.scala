@@ -334,6 +334,51 @@ object TextStats {
       stripBoilerplate(text).as("clean_text"))
   }
 
+  /** Unicode NFC normalization — see
+    * [[graft.functions.UnicodeExpressions]]. Run BEFORE
+    * [[normalizeForDedup]] / fingerprinting on any web corpus: composed
+    * vs decomposed forms of the same visible text otherwise fragment
+    * every dedup key.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.UnicodeExpressions.nfcNormalize(text)
+
+  def nfkcNormalize(text: Column): Column =
+    graft.functions.UnicodeExpressions.nfkcNormalize(text)
+
+  /** Per-script character profile: counts of Latin, Han (CJK),
+    * Cyrillic, digit, whitespace, and other characters, plus the
+    * dominant script — the writing-system companion to [[langId]]
+    * (language ID by stopwords only works for languages whose script
+    * you already matched; a multilingual crawl routes on script
+    * FIRST). Pure codegen'd replace-length counting; the oracle
+    * respells the script classes in RE2's `\p{Han}` syntax (Java
+    * spells the same Unicode property `\p{IsHan}`).
+    */
+  def scriptProfile(text: Column): Column = {
+    def cnt(pattern: String): Column =
+      length(text) - length(regexp_replace(text, pattern, ""))
+    val latin = cnt("[A-Za-z]")
+    val han = cnt("\\p{IsHan}")
+    val cyr = cnt("\\p{IsCyrillic}")
+    val digit = cnt("[0-9]")
+    val ws = cnt("\\s")
+    val other = length(text) - latin - han - cyr - digit - ws
+    val top = greatest(latin, han, cyr)
+    val dominant = when(top === 0, lit("none"))
+      .when(latin === top, lit("latin"))
+      .when(han === top, lit("han"))
+      .otherwise(lit("cyrillic"))
+    struct(
+      latin.cast("long").as("n_latin"),
+      han.cast("long").as("n_han"),
+      cyr.cast("long").as("n_cyrillic"),
+      digit.cast("long").as("n_digit"),
+      ws.cast("long").as("n_space"),
+      other.cast("long").as("n_other"),
+      dominant.as("dominant_script"))
+  }
+
   /** DEFLATE length of the document's UTF-8 bytes (fixed level, raw
     * stream) — see [[graft.functions.CompressExpressions]].
     */

@@ -122,10 +122,15 @@ object Bpe {
     override def nullSafeEval(input: Any): Any =
       encodeIds(input.asInstanceOf[UTF8String])
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val bpe = Bpe.getClass.getName.stripSuffix("$") + ".MODULE$"
-      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $bpe.encodeIds($t);")
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // the MIRROR class's static forwarder, not `Bpe$.MODULE$`: with no
+      // companion class, Janino rejects the MODULE$ spelling — which made
+      // generated code fail to COMPILE and silently fall back to
+      // interpreted eval per query (the plan string still shows `*(1)`,
+      // so a plan-text assert cannot catch it; BpeSpec now compiles the
+      // projection eagerly instead)
+      nullSafeCodeGen(ctx, ev,
+        t => s"${ev.value} = graft.functions.Bpe.encodeIds($t);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -133,4 +138,59 @@ object Bpe {
 
   def bpeEncode(text: Column): Column =
     GraftColumnBridge.column(BpeEncodeExpr(GraftColumnBridge.expression(text)))
+
+  // ------------------------------------------------------------ decode
+
+  /** id -> token string, UNK as U+FFFD. Built once per JVM from the
+    * same pinned vocab the encoder uses — the two cannot drift.
+    */
+  private val idToToken: Array[String] = {
+    val arr = new Array[String](vocab.values.max + 1)
+    arr(UnkId) = "�"
+    vocab.foreach { case (tok, id) => arr(id) = tok }
+    arr
+  }
+
+  /** Decode token ids back to the character stream. Whitespace is NOT
+    * recoverable: this mini-tokenizer has no whitespace tokens (unlike
+    * a production byte-level BPE, where decode is exact), so the
+    * round-trip contract is decode(encode(text)) == text minus
+    * whitespace — pinned by `BpeSpec` and the `q_ext_bpe_decode` gate.
+    * Unknown ids (outside the vocab) decode as U+FFFD.
+    */
+  def decode(ids: Array[Int]): String = {
+    val sb = new java.lang.StringBuilder(ids.length * 2)
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      sb.append(if (id >= 0 && id < idToToken.length && idToToken(id) != null)
+        idToToken(id) else "�")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Codegen entry point for [[BpeDecodeExpr]]. */
+  def decodeIds(ids: ArrayData): UTF8String =
+    UTF8String.fromString(decode(ids.toIntArray()))
+
+  /** array<int> of token ids -> decoded string. */
+  case class BpeDecodeExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "bpe_decode"
+
+    override def nullSafeEval(input: Any): Any =
+      decodeIds(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // mirror-class static forwarder — see BpeEncodeExpr
+      nullSafeCodeGen(ctx, ev,
+        t => s"${ev.value} = graft.functions.Bpe.decodeIds($t);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def bpeDecode(ids: Column): Column =
+    GraftColumnBridge.column(BpeDecodeExpr(GraftColumnBridge.expression(ids)))
 }

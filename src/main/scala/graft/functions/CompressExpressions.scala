@@ -52,10 +52,12 @@ object CompressExpressions {
     override def nullSafeEval(input: Any): Any =
       deflatedLength(input.asInstanceOf[UTF8String])
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val obj = CompressExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $obj.deflatedLength($s);")
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // mirror-class static forwarder (the `X$.MODULE$` spelling also
+      // compiles under Janino, but the forwarder is what Spark's own
+      // StaticInvoke emits — one idiom everywhere)
+      nullSafeCodeGen(ctx, ev,
+        s => s"${ev.value} = graft.functions.CompressExpressions.deflatedLength($s);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

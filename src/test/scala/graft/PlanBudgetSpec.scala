@@ -57,7 +57,26 @@ class PlanBudgetSpec extends SparkTestBase {
         "query-vocab distinct — query map and stats broadcast"),
     ("q_ext_dsir", 4,
       "data-bearing: (doc, bucket) count + per-doc sum; bounded: bucket-stats " +
-        "agg (<= 4096 rows) + its single-row total fold, both broadcast back"))
+        "agg (<= 4096 rows) + its single-row total fold, both broadcast back"),
+    ("q_ext_preference_pairs", 1,
+      "chosen/rejected are max/min struct aggregates — ONE map-side-combined " +
+        "shuffle on the prompt key, no window, no sort"),
+    ("q_ext_pagerank", 9,
+      "3 setup aggs (nodes distinct, out-degree, |V|) + the 5 power iterations' " +
+        "join/agg chain reusing partitionings — a 10th exchange means an " +
+        "iteration stopped sharing its partitioning"),
+    ("q_ext_source_overlap", 4,
+      "(source, fp) distinct + fp-keyed self-join sides + pair agg; " +
+        "set sizes broadcast back"),
+    ("q_ext_boilerplate", 0, "pure per-row string predicates — scan to output"),
+    ("q_ext_span_corrupt", 0, "per-row HOF masking — scan to output"),
+    ("q_ext_bpe_decode", 0, "codegen'd encode+decode round-trip — scan to output"),
+    ("q_ext_group_split", 0, "hash-of-group-key predicate — scan to output"),
+    ("q_ext_shuffle_export", 1,
+      "the export itself is one hash shuffle (separate write job); the gate's " +
+        "read-back digest agg is the single counted exchange"),
+    ("q_ext_unicode_nfc", 0, "codegen'd normalizer — scan to output"),
+    ("q_ext_script_profile", 0, "replace-length counting — scan to output"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

@@ -78,4 +78,34 @@ class AssemblySpec extends SparkTestBase {
   test("preferencePairs: a single-candidate prompt emits nothing") {
     assert(prefs(Seq((1L, 10L, "solo", 4.0))).isEmpty)
   }
+
+  private def corrupt(text: String, rateHex: String) =
+    Assembly.spanCorrupt(
+      Seq((7L, text)).toDF("id", "text"), "id", "text",
+      spanLen = 3, rateHex = rateHex, salt = "t")
+      .collect().head
+
+  test("spanCorrupt with rate 0 masks nothing and re-joins block text") {
+    val r = corrupt("a b c d e f g h", "00000000")
+    assert(r.getString(1) === "a b c d e f g h", "input re-joins untouched")
+    assert(r.getString(2) === "")
+    assert(r.getLong(3) === 0L)
+    assert(r.getLong(4) === 3L, "8 tokens / span 3 -> 3 blocks (last short)")
+  }
+
+  test("spanCorrupt with rate ~1 masks every block with indexed sentinels") {
+    val r = corrupt("a b c d e f g h", "ffffffff")
+    assert(r.getString(1) === "<extra_id_0> <extra_id_1> <extra_id_2>")
+    assert(r.getString(2) ===
+      "<extra_id_0> a b c <extra_id_1> d e f <extra_id_2> g h",
+      "targets carry the masked tokens, short last block included")
+    assert(r.getLong(3) === 3L)
+  }
+
+  test("spanCorrupt is deterministic: same (id, salt) -> same mask") {
+    val a = corrupt("w x y z w x y z w", "80000000")
+    val b = corrupt("w x y z w x y z w", "80000000")
+    assert(a.getString(1) === b.getString(1))
+    assert(a.getString(2) === b.getString(2))
+  }
 }

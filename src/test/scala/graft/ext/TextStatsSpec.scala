@@ -196,4 +196,37 @@ class TextStatsSpec extends SparkTestBase {
       .select(TextStats.stripBoilerplate($"text")).collect().head
     assert(row.getString(0) === "")
   }
+
+  test("nfcNormalize composes; nfkcNormalize also folds compatibility forms") {
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val composed = "caf\u00e9"
+    val got = Seq((decomposed, "\ufb01 \uff11\uff12\uff13"))
+      .toDF("a", "b")
+      .select(TextStats.nfcNormalize($"a"), TextStats.nfkcNormalize($"b"),
+        TextStats.nfcNormalize($"b")).collect().head
+    assert(got.getString(0) === composed)
+    assert(got.getString(1) === "fi 123", "ligature + fullwidth digits fold under NFKC")
+    assert(got.getString(2) === "\ufb01 \uff11\uff12\uff13",
+      "NFC must NOT fold compatibility forms")
+  }
+
+  test("scriptProfile counts per script and picks the dominant one") {
+    val row = Seq("abc \u4f60\u597d\u4e16\u754c\u4e2d\u6587 \u043c\u0438\u0440 12!")
+      .toDF("text")
+      .select(TextStats.scriptProfile($"text").as("p")).select($"p.*")
+      .collect().head
+    assert(row.getLong(0) === 3L, "latin")
+    assert(row.getLong(1) === 6L, "han")
+    assert(row.getLong(2) === 3L, "cyrillic")
+    assert(row.getLong(3) === 2L, "digits")
+    assert(row.getLong(4) === 3L, "spaces")
+    assert(row.getLong(5) === 1L, "other: the bang")
+    assert(row.getString(6) === "han")
+  }
+
+  test("scriptProfile on empty text reports none") {
+    val row = Seq("").toDF("text")
+      .select(TextStats.scriptProfile($"text")("dominant_script")).collect().head
+    assert(row.getString(0) === "none")
+  }
 }

@@ -53,4 +53,21 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.vocab("th") === 27 && Bpe.vocab("at") === 36)
     assert(Bpe.vocab.size === 36)
   }
+
+  test("decode inverts encode up to whitespace; unknown ids -> U+FFFD") {
+    assert(Bpe.decode(Bpe.encode("the cat")) === "thecat")
+    assert(Bpe.decode(Bpe.encode("standing at the station")) ===
+      "standingatthestation")
+    assert(Bpe.decode(Array(27, 0, 99)) === "th��",
+      "UNK and out-of-range ids both decode as the replacement char")
+    assert(Bpe.decode(Array.empty[Int]) === "")
+  }
+
+  test("bpeDecode expression round-trips through the DataFrame path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq("in the end", "zz").toDF("t")
+      .select(Bpe.bpeDecode(Bpe.bpeEncode(col("t")))).as[String].collect()
+    assert(got.toSeq === Seq("intheend", "zz"))
+  }
 }
