@@ -1528,6 +1528,32 @@ object ExtQueries {
           .as("nfkc_folds"))
     }),
 
+    // Interpolated-bigram LM scoring (the word-order-aware upgrade of
+    // q_ext_perplexity's unigram model): train on 90% of docs, score
+    // all; bigram table joins on the gram key (shuffle — never
+    // broadcast at corpus scale), unigram context/fallback broadcasts.
+    "q_ext_bigram_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LangModel.scoreBigramInterpolated(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 =!= 0), lambda = 0.7)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Duplicate-cluster SIZE histogram — the dedup planning report
+    // (how much mass sits in big clusters decides canonical-keep
+    // strategy); composes the alternating-star closure with two
+    // partial aggs.
+    "q_ext_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.wordJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 0.8)
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // Per-script character profile (the writing-system router a
     // multilingual crawl applies before language ID): counts from
     // replace-length arithmetic over Unicode script classes; the
@@ -3022,6 +3048,66 @@ object ExtQueries {
          |        substring(md5('gs' || source), 1, 8) AS h
          |      FROM documents)""".stripMargin
     },
+
+    "q_ext_bigram_lm" ->
+      """WITH tr AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |cu AS (SELECT term, count(*) AS c
+        |       FROM (SELECT unnest(t) AS term FROM tr) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_size FROM cu),
+        |bc AS (SELECT gram, count(*) AS c12 FROM (
+        |         SELECT unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS gram
+        |         FROM tr WHERE len(t) >= 2) GROUP BY 1),
+        |dt AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS gram
+        |       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents)
+        |       WHERE len(t) >= 2),
+        |j AS (
+        |  SELECT doc_id,
+        |    round(ln(0.7 * ((coalesce(bc.c12, 0) + 1) * 1.0
+        |                    / (coalesce(c1.c, 0) + tt.v_size))
+        |           + (1.0 - 0.7) * ((coalesce(c2.c, 0) + 1) * 1.0
+        |                    / (tt.n_total + tt.v_size))), 8) AS lp,
+        |    CASE WHEN bc.gram IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM dt
+        |  LEFT JOIN bc ON dt.gram = bc.gram
+        |  LEFT JOIN cu c1 ON c1.term = split_part(dt.gram, ' ', 1)
+        |  LEFT JOIN cu c2 ON c2.term = split_part(dt.gram, ' ', 2), tt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen_bigrams,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+        |    AS avg_interp_logprob
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q_ext_cluster_sizes" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b
+        |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |memb AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |cs AS (SELECT cluster, count(*) AS sz FROM memb GROUP BY 1)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin,
 
     "q_ext_unicode_nfc" ->
       """WITH a AS (

@@ -130,6 +130,9 @@ object Assembly {
     val cand = struct(col(scoreCol).as("score"), col(idCol).as("id"),
       col(textCol).as("text"))
     responses
+      // an unscored response can neither win nor lose; keeping it would
+      // make struct min/max ordering depend on engine null placement
+      .filter(col(scoreCol).isNotNull)
       .groupBy(col(promptCol).as("prompt_id"))
       .agg(
         count(lit(1)).as("n_candidates"),

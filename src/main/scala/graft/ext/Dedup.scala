@@ -650,7 +650,10 @@ object Dedup {
     */
   def sourceOverlap(
       df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
-    val sets = df.select(col(sourceCol).as("source"),
+    // a null text has no fingerprint; keeping the row would inflate the
+    // per-source set size while never matching in the intersection join
+    val sets = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
         TextStats.fingerprintMd5(TextStats.normalizeForDedup(col(textCol)))
           .as("fp"))
       .distinct()

@@ -55,8 +55,11 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // null endpoints would silently vanish inside the joins mid-iteration;
+    // drop them at the door so |V| and the base term see the same graph
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))

@@ -68,4 +68,69 @@ object LangModel {
         round(sum(col("term_lp").cast("decimal(28,10)")).cast("double")
           / count(lit(1)), 6).as("avg_logprob"))
   }
+
+  /** Interpolated-bigram scoring — the shape real perplexity filters
+    * take (a unigram LM calls keyword-stuffed spam fluent; the bigram
+    * term restores word-ORDER sensitivity):
+    *
+    *   score(d) = mean over bigram positions (w1, w2) of
+    *     ln( λ·p_bi(w2|w1) + (1−λ)·p_uni(w2) )
+    *   p_bi = (c(w1 w2) + 1) / (c(w1) + V)      (add-one vs context)
+    *   p_uni = (c(w2) + 1) / (N + V)
+    *
+    * with unseen grams/terms taking c = 0 — the same smoothing floors
+    * as [[scoreUnigram]]. Documents with < 2 tokens have no bigram
+    * positions and emit no row.
+    *
+    * Determinism across engines: probabilities are exact-integer-count
+    * ratios in double (bit-identical given identical counts), each
+    * position's ln is rounded to 8 before a DECIMAL(28,10)-exact sum —
+    * addition order cannot move the result — and the mean rounds to 6.
+    * λ is passed through and (1−λ) computed in double on BOTH sides,
+    * so even the classic 1.0−0.7 representation error agrees.
+    *
+    * Scale shape: doc bigrams join the bigram table ON THE GRAM KEY as
+    * a shuffle join — a 100 TB corpus's bigram table dwarfs executor
+    * memory, so it must never broadcast (the unigram side is
+    * vocabulary-sized and does, as in [[scoreUnigram]]). One explode,
+    * one keyed shuffle join, one partial-agg per doc.
+    */
+  def scoreBigramInterpolated(
+      docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val uc = train
+      .select(explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = uc.agg(
+      sum(col("c")).as("n_total"), count(lit(1)).as("v_size"))
+    val bi = train
+      .select(explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val docBi = docs.select(col(idCol).as("id"),
+        explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val p = docBi
+      .join(bi, Seq("gram"), "left")
+      .join(broadcast(uc.select(col("term").as("w1"), col("c").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uc.select(col("term").as("w2"), col("c").as("c2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p_bi",
+        (coalesce(col("c12"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("c1"), lit(0L)) + col("v_size")))
+      .withColumn("p_uni",
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double")
+          / (col("n_total") + col("v_size")))
+      .withColumn("lp",
+        round(log(lit(lambda) * col("p_bi") + lit(1.0 - lambda) * col("p_uni")), 8))
+    p.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen_bigrams"),
+        round(sum(col("lp").cast("decimal(28,10)")).cast("double")
+          / count(lit(1)), 6).as("avg_interp_logprob"))
+  }
 }

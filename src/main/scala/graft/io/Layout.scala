@@ -118,6 +118,8 @@ object Layout {
       outDir: String): Unit = {
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column; rename it — writeShuffled reserves that name")
+    require(!df.columns.contains("__h"),
+      "input already has a '__h' column; rename it — writeShuffled reserves that name")
     df.withColumn("shard", shardId(col(idCol), n))
       .withColumn("__h", graft.ext.Sampling.hashHex(col(idCol), salt))
       .repartition(n, col("shard"))

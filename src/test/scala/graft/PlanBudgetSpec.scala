@@ -76,7 +76,10 @@ class PlanBudgetSpec extends SparkTestBase {
       "the export itself is one hash shuffle (separate write job); the gate's " +
         "read-back digest agg is the single counted exchange"),
     ("q_ext_unicode_nfc", 0, "codegen'd normalizer — scan to output"),
-    ("q_ext_script_profile", 0, "replace-length counting — scan to output"))
+    ("q_ext_script_profile", 0, "replace-length counting — scan to output"),
+    ("q_ext_bigram_lm", 4,
+      "bigram-table count agg + doc-gram x gram-table shuffle join sides + " +
+        "per-doc partial agg; unigram context/fallback and totals broadcast"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

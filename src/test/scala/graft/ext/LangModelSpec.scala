@@ -32,4 +32,38 @@ class LangModelSpec extends SparkTestBase {
       .collect().map(row => row.getLong(0) -> row.getDouble(3)).toMap
     assert(scores(900L) > scores(901L))
   }
+
+  test("bigram interpolation matches the hand recurrence; unseen grams floor") {
+    // train "a b a b": c(a)=2 c(b)=2, N=4 V=2; c12("a b")=2, c12("b a")=1
+    val train = Seq((1L, "a b a b")).toDF("id", "text")
+    val docs = Seq((9L, "a b c")).toDF("id", "text")
+    val got = LangModel.scoreBigramInterpolated(docs, "id", "text", train, 0.5)
+      .collect().head
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    // "a b": p_bi=(2+1)/(2+2)=0.75, p_uni(b)=(2+1)/(4+2)=0.5 -> mix 0.625
+    // "b c": p_bi=(0+1)/(2+2)=0.25 (unseen gram), p_uni(c)=(0+1)/6 -> mix
+    val lp1 = r8(math.log(0.5 * 0.75 + 0.5 * 0.5))
+    val lp2 = r8(math.log(0.5 * 0.25 + 0.5 * (1.0 / 6)))
+    val want = ((lp1 + lp2) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.getLong(1) === 2L, "two bigram positions")
+    assert(got.getLong(2) === 1L, "one unseen gram")
+    assert((BigDecimal(got.getDouble(3)) - want).abs <= BigDecimal("0.000001"))
+  }
+
+  test("word order moves the bigram score where the unigram model is blind") {
+    val train = (1L to 30L).map(i => (i, "the cat sat on the mat")).toDF("id", "text")
+    val docs = Seq((1L, "the cat sat"), (2L, "sat the cat"), (3L, "cat the sat"))
+      .toDF("id", "text")
+    val got = LangModel.scoreBigramInterpolated(docs, "id", "text", train, 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) > got(2L) && got(1L) > got(3L),
+      "in-order text must outscore its permutations")
+  }
+
+  test("a single-token document emits no bigram row") {
+    val train = Seq((1L, "a b")).toDF("id", "text")
+    val docs = Seq((9L, "a")).toDF("id", "text")
+    assert(LangModel.scoreBigramInterpolated(docs, "id", "text", train, 0.5)
+      .count() === 0L)
+  }
 }
