@@ -1566,6 +1566,54 @@ object ExtQueries {
           col("p.n_cyrillic"), col("p.n_digit"), col("p.n_space"),
           col("p.n_other"), col("p.dominant_script"))
     }),
+
+    // Bradley-Terry strength fit over pairwise preferences (the
+    // reward-modeling aggregation): per-user item comparisons on
+    // decimal-exact mean value -> two MM iterations. The vote log is
+    // reduced to pair counts in one pass; iterations touch only the
+    // item-sized strengths table (broadcast).
+    "q_ext_bradley_terry" -> ((s, dir) => {
+      val cmp = Ranking.pairwiseComparisons(
+        Tables.events(s, dir), "user_id", "event_type", "value")
+      Ranking.bradleyTerry(cmp, "winner", "loser", iterations = 2)
+    }),
+
+    // Hybrid retrieval by reciprocal-rank fusion: BM25 top-10 fused
+    // with coordination-level (term-overlap) top-10 — two incomparable
+    // scorers merged rank-wise, the standard hybrid-search shape.
+    "q_ext_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        "q1" -> "spark", "q1" -> "join", "q1" -> "window",
+        "q2" -> "customer", "q2" -> "order", "q2" -> "value",
+        "q3" -> "fast", "q3" -> "slow", "q3" -> "filter", "q3" -> "scan")
+        .toDF("query_id", "term")
+      val docs = Tables.documents(s, dir)
+      Search.rrfFuse(Seq(
+        Search.bm25TopK(docs, "doc_id", "text", queries, 10)
+          .drop("score"),
+        Search.termOverlapTopK(docs, "doc_id", "text", queries, 10)
+          .drop("n_matched")), k = 10)
+    }),
+
+    // Sliding context->target training examples from event sequences
+    // (the next-item example generator): 3 preceding labels per target,
+    // full windows only.
+    "q_ext_seq_pairs" -> ((s, dir) =>
+      Assembly.nextEventExamples(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        contextLen = 3)),
+
+    // Wide->long melt of per-row metrics (Dataset.unpivot): the
+    // relational reshape feeding per-metric aggregation/plotting.
+    "q_ext_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")),
   )
 
   /** Script-profile fixture tails, shared verbatim by query and oracle
@@ -3137,5 +3185,131 @@ object ExtQueries {
           |       WHEN n_han = greatest(n_latin, n_han, n_cyrillic) THEN 'han'
           |       ELSE 'cyrillic' END AS dominant_script
           |FROM c""").stripMargin,
+
+    "q_ext_bradley_terry" ->
+      """WITH per AS (
+        |  SELECT user_id AS g, event_type AS item,
+        |         sum(CAST(round(value, 6) AS DECIMAL(28,10))) AS s,
+        |         count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cmp AS (
+        |  SELECT CASE WHEN ma > mb THEN item_a ELSE item_b END AS winner,
+        |         CASE WHEN ma > mb THEN item_b ELSE item_a END AS loser
+        |  FROM (SELECT a.item AS item_a, b.item AS item_b,
+        |          round(CAST(a.s AS DOUBLE) / a.c, 9) AS ma,
+        |          round(CAST(b.s AS DOUBLE) / b.c, 9) AS mb
+        |        FROM per a JOIN per b ON a.g = b.g AND a.item < b.item)
+        |  WHERE ma <> mb),
+        |directed AS (SELECT winner AS i, loser AS j, count(*) AS w
+        |             FROM cmp GROUP BY 1, 2),
+        |nij AS (SELECT i, j, sum(w) AS n_ij FROM (
+        |          SELECT i, j, w FROM directed
+        |          UNION ALL SELECT j, i, w FROM directed) GROUP BY 1, 2),
+        |wins AS (SELECT i, j, sum(wij) AS wins_ij FROM (
+        |          SELECT i, j, w AS wij FROM directed
+        |          UNION ALL SELECT j, i, 0 FROM directed) GROUP BY 1, 2),
+        |pairs AS (SELECT w.i, w.j, w.wins_ij, n.n_ij
+        |          FROM wins w JOIN nij n ON w.i = n.i AND w.j = n.j),
+        |s0 AS (SELECT i AS item, CAST(sum(wins_ij) AS BIGINT) AS n_wins,
+        |              CAST(sum(n_ij) AS BIGINT) AS n_comparisons, 1.0 AS p
+        |       FROM pairs GROUP BY 1),
+        |d1 AS (SELECT p.i AS item,
+        |         CAST(sum(CAST(round(p.n_ij / (si.p + sj.p), 12)
+        |                       AS DECIMAL(28,14))) AS DOUBLE) AS denom
+        |       FROM pairs p JOIN s0 si ON si.item = p.i
+        |                    JOIN s0 sj ON sj.item = p.j GROUP BY 1),
+        |s1 AS (SELECT s0.item, n_wins, n_comparisons,
+        |              round(n_wins / denom, 9) AS p
+        |       FROM s0 JOIN d1 ON s0.item = d1.item),
+        |d2 AS (SELECT p.i AS item,
+        |         CAST(sum(CAST(round(p.n_ij / (si.p + sj.p), 12)
+        |                       AS DECIMAL(28,14))) AS DOUBLE) AS denom
+        |       FROM pairs p JOIN s1 si ON si.item = p.i
+        |                    JOIN s1 sj ON sj.item = p.j GROUP BY 1),
+        |s2 AS (SELECT s1.item, n_wins, n_comparisons,
+        |              round(n_wins / denom, 9) AS p
+        |       FROM s1 JOIN d2 ON s1.item = d2.item)
+        |SELECT item, n_wins, n_comparisons, round(p, 6) AS strength
+        |FROM s2""".stripMargin,
+
+    "q_ext_rrf" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) * 1.0 AS n_docs, avg(len(words) * 1.0) AS avgdl
+        |  FROM docs),
+        |qt AS (SELECT * FROM (VALUES
+        |  ('q1', 'spark'), ('q1', 'join'), ('q1', 'window'),
+        |  ('q2', 'customer'), ('q2', 'order'), ('q2', 'value'),
+        |  ('q3', 'fast'), ('q3', 'slow'), ('q3', 'filter'), ('q3', 'scan'))
+        |  AS t(query_id, term)),
+        |postings AS (
+        |  SELECT doc_id, len(words) * 1.0 AS dl, unnest(words) AS term
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, term, dl, count(*) AS tf FROM postings
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT t.doc_id, t.term,
+        |         round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        |               * (t.tf * (1.2 + 1.0))
+        |               / (t.tf + 1.2 * (0.25 + (t.dl / avgdl) * 0.75)),
+        |               7) AS c
+        |  FROM tf t JOIN dfreq USING (term), stats),
+        |bm25 AS (
+        |  SELECT q.query_id, c.doc_id, round(sum(c.c), 4) AS score
+        |  FROM contrib c JOIN qt q USING (term) GROUP BY 1, 2),
+        |bm25r AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM bm25),
+        |ov AS (
+        |  SELECT qt.query_id, p.doc_id, count(*) AS n_matched
+        |  FROM (SELECT DISTINCT doc_id, term FROM postings
+        |        WHERE term IN (SELECT DISTINCT term FROM qt)) p
+        |  JOIN qt ON p.term = qt.term GROUP BY 1, 2),
+        |ovr AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n_matched DESC, doc_id) AS rank FROM ov),
+        |fused AS (
+        |  SELECT query_id, doc_id, count(*) AS n_lists,
+        |    round(CAST(sum(CAST(round(1.0 / (60 + rank), 10)
+        |          AS DECIMAL(28,12))) AS DOUBLE), 8) AS rrf_score
+        |  FROM (SELECT * FROM bm25r WHERE rank <= 10
+        |        UNION ALL SELECT * FROM ovr WHERE rank <= 10)
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS rank,
+        |  rrf_score, n_lists
+        |FROM fused
+        |QUALIFY rank <= 10""".stripMargin,
+
+    "q_ext_seq_pairs" ->
+      """WITH w AS (
+        |  SELECT user_id AS entity_id, event_id AS target_id,
+        |         event_type AS target,
+        |         list(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+        |  FROM events)
+        |SELECT entity_id, target_id, array_to_string(ctx, ' ') AS context,
+        |       target
+        |FROM w WHERE len(ctx) = 3""".stripMargin,
+
+    "q_ext_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS value
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
   )
 }

@@ -149,4 +149,36 @@ object Assembly {
         col("__bot")("text").as("rejected"),
         col("__bot")("score").as("rejected_score"))
   }
+
+  /** Sliding context→target training examples from event sequences —
+    * the example generator for next-item / next-action models: per
+    * entity, each event becomes a target with the `contextLen`
+    * immediately-preceding item labels as its context. Only FULL
+    * windows emit (an entity's first `contextLen` events are context
+    * for later examples, never under-filled targets), so every example
+    * has a fixed shape for the trainer.
+    *
+    * Scale shape: one keyed shuffle on the entity, one partitioned
+    * window sort — the standard sessionize plan; the context is
+    * assembled by `collect_list` over a bounded ROWS frame (at most
+    * `contextLen` labels buffered per row, never the whole history).
+    * Event order is made total with the id tie-break so both engines
+    * assemble identical contexts. Context is emitted space-joined
+    * (fixed-shape string) rather than as an array column.
+    */
+  def nextEventExamples(
+      events: DataFrame, entityCol: String, timeCol: String,
+      idCol: String, labelCol: String, contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val w = Window.partitionBy(col("entity_id"))
+      .orderBy(col("__t"), col("target_id"))
+      .rowsBetween(-contextLen, -1)
+    events
+      .select(col(entityCol).as("entity_id"), col(timeCol).as("__t"),
+        col(idCol).as("target_id"), col(labelCol).as("target"))
+      .withColumn("__ctx", collect_list(col("target")).over(w))
+      .filter(size(col("__ctx")) === contextLen)
+      .select(col("entity_id"), col("target_id"),
+        array_join(col("__ctx"), " ").as("context"), col("target"))
+  }
 }

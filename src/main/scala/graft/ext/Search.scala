@@ -86,4 +86,75 @@ object Search {
       .select(col("query_id"), col("doc_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
+
+  /** Coordination-level ranking: documents ranked by how many DISTINCT
+    * terms of the query they contain — the cheap first-pass scorer a
+    * hybrid retrieval stack pairs with BM25 (and the second voice RRF
+    * needs). Same scale shape as [[bm25TopK]]: tokens are restricted to
+    * the query vocabulary map-side, so only (doc, matched-term) rows —
+    * not text — reach the shuffle. Ties break on doc id; ranking runs
+    * through the bounded-heap top-k rewrite, no global sort.
+    */
+  def termOverlapTopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queryTerms.select("query_id", "term").distinct()
+    val matched = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextStats.tokens(col(textCol))).as("term"))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .distinct()
+    val scores = matched
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_matched").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("n_matched"))
+  }
+
+  /** Reciprocal-rank fusion [Cormack, Clarke & Buettcher, SIGIR 2009]:
+    * merge several per-query rankings into one by
+    *
+    *   rrf(q, d) = Σ over rankings r that retrieved d of 1/(k0 + rank_r)
+    *
+    * — the standard way hybrid search combines BM25 with a dense
+    * (embedding) ranking without calibrating their incomparable scores.
+    * Each input needs (query_id, doc_id, rank) columns; k0 = 60 is the
+    * paper's constant.
+    *
+    * Scale shape: inputs are already top-k-per-query (bounded — k rows
+    * per query each), so the union + one keyed partial agg touches
+    * O(queries·k·lists) rows regardless of corpus size; the re-ranking
+    * window runs through the bounded-heap top-k rewrite. Per-list
+    * reciprocal terms are rounded to 10 and summed as DECIMAL so the
+    * fused score is independent of list arrival order; final rank ties
+    * break on doc id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    val unioned = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = unioned
+      .groupBy("query_id", "doc_id")
+      .agg(
+        count(lit(1)).as("n_lists"),
+        sum(round(lit(1.0) / (lit(k0) + col("rank")), 10)
+          .cast("decimal(28,12)")).as("__s"))
+      .withColumn("rrf_score", round(col("__s").cast("double"), 8))
+      .drop("__s")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("rrf_score"),
+        col("n_lists"))
+  }
 }

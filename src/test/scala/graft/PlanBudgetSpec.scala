@@ -79,7 +79,14 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_script_profile", 0, "replace-length counting — scan to output"),
     ("q_ext_bigram_lm", 4,
       "bigram-table count agg + doc-gram x gram-table shuffle join sides + " +
-        "per-doc partial agg; unigram context/fallback and totals broadcast"))
+        "per-doc partial agg; unigram context/fallback and totals broadcast"),
+    ("q_ext_seq_pairs", 1,
+      "one keyed shuffle on the entity; the bounded ROWS window sorts " +
+        "within partitions, no second exchange"),
+    ("q_ext_rrf", 12,
+      "two full scorer subtrees (bm25: postings agg + df window + score " +
+        "agg; overlap: distinct + agg) + fusion agg + fused ranking — " +
+        "each input list is already top-k-bounded"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

@@ -14,7 +14,9 @@ object ShuffleProbe {
     Seq("q_ext_pagerank", "q_ext_graph_degrees", "q_ext_preference_pairs",
       "q_ext_boilerplate", "q_ext_source_overlap", "q_ext_compress_contract",
       "q_ext_shuffle_export", "q_ext_bpe_decode", "q_ext_span_corrupt",
-      "q_ext_group_split", "q_ext_bigram_lm", "q_ext_cluster_sizes").foreach { name =>
+      "q_ext_group_split", "q_ext_bigram_lm", "q_ext_cluster_sizes",
+      "q_ext_bradley_terry", "q_ext_rrf", "q_ext_seq_pairs",
+      "q_ext_unpivot").foreach { name =>
       val plan = SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan
       val n = plan.collect { case s: ShuffleExchangeLike => s }.size
       println(s"SHUFFLES $name = $n")

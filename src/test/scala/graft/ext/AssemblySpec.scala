@@ -108,4 +108,28 @@ class AssemblySpec extends SparkTestBase {
     assert(a.getString(1) === b.getString(1))
     assert(a.getString(2) === b.getString(2))
   }
+
+  test("nextEventExamples emits full windows only, in event order") {
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),
+      (1L, 30L, 102L, "c"), (1L, 40L, 103L, "d"),
+      (2L, 10L, 200L, "x"), (2L, 20L, 201L, "y")  // too short for ctx=2
+    ).toDF("user", "t", "eid", "label")
+    val got = Assembly.nextEventExamples(ev, "user", "t", "eid", "label", 2)
+      .orderBy("target_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq
+      === Seq((102L, "a b", "c"), (103L, "b c", "d")),
+      "user 1 yields two examples; user 2 is too short and emits none")
+  }
+
+  test("nextEventExamples breaks time ties on the event id") {
+    val ev = Seq(
+      (1L, 10L, 2L, "late"), (1L, 10L, 1L, "early"), (1L, 20L, 3L, "t")
+    ).toDF("user", "t", "eid", "label")
+    val got = Assembly.nextEventExamples(ev, "user", "t", "eid", "label", 2)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getString(2) === "early late")
+    assert(got.head.getString(3) === "t")
+  }
 }

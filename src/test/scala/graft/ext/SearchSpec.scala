@@ -64,4 +64,34 @@ class SearchSpec extends SparkTestBase {
     assert(got.length === 2)
     assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L))
   }
+
+  test("termOverlap counts DISTINCT matched terms, not occurrences") {
+    val got = Search.termOverlapTopK(
+      docs, "doc_id", "text", q("q" -> "apple", "q" -> "cherry"), 10)
+      .orderBy("rank").collect()
+    // doc 2 matches both terms (cherry tf=3 must not help beyond the
+    // distinct count); docs 1 matches apple only; 3 and 4 match none.
+    assert(got.map(_.getLong(1)).toSeq === Seq(2L, 1L))
+    assert(got.map(_.getLong(3)).toSeq === Seq(2L, 1L))
+  }
+
+  test("rrfFuse: a doc on both lists beats a higher single-list rank") {
+    val listA = Seq(("q", 10L, 1L), ("q", 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val listB = Seq(("q", 20L, 1L), ("q", 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(listA, listB), k = 10)
+      .orderBy("rank").collect()
+    // doc 20: 1/62 + 1/61 ≈ 0.03252; docs 10/30 each on one list only.
+    assert(got.map(_.getLong(1)).toSeq === Seq(20L, 10L, 30L))
+    assert(got.head.getLong(4) === 2L, "n_lists records the fusion support")
+    val expect = BigDecimal(1.0 / 62).setScale(10, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(1.0 / 61).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(got.head.getDouble(3) -
+      expect.setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("rrfFuse rank ties break on doc id") {
+    val listA = Seq(("q", 5L, 1L), ("q", 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(listA), k = 10).orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(3L, 5L))
+  }
 }
