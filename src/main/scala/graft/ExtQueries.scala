@@ -1614,6 +1614,38 @@ object ExtQueries {
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           "metric", "value")),
+
+    // Good-Turing coverage: unseen-vocabulary mass + adjusted hapax
+    // count from the frequency spectrum — one token agg to one row.
+    "q_ext_good_turing" -> ((s, dir) =>
+      Vocab.goodTuring(Tables.documents(s, dir), "text")),
+
+    // Per-source exact-k deterministic sample (hash order statistic,
+    // not a rate): every source contributes exactly min(k, size).
+    "q_ext_stratified_k" -> ((s, dir) =>
+      Sampling.stratifiedK(Tables.documents(s, dir), "source", "doc_id",
+          k = 10, salt = "ek")
+        .select(col("doc_id"), col("source"))),
+
+    // Per-doc n-gram novelty vs a frozen reference corpus (docs
+    // 0 mod 10): md5-folded shingles, only fixed-width keys shuffle.
+    "q_ext_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramNovelty(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Water-filling mixture allocation: level L with sum min(t_s, L) =
+    // budget via block-parallel prefix sums (no global window, no
+    // driver loop); small sources kept whole, giants capped.
+    "q_ext_water_fill" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("tokens"))
+      Sampling.waterFill(per, "source", "tokens", budget = 140000L)
+    }),
   )
 
   /** Script-profile fixture tails, shared verbatim by query and oracle
@@ -3311,5 +3343,93 @@ object ExtQueries {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |FROM lineitem WHERE l_orderkey % 50 = 0""".stripMargin,
+
+    "q_ext_good_turing" ->
+      """WITH tc AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents) GROUP BY 1),
+        |sp AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS vocab_size,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_hapax,
+        |         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_dis
+        |  FROM tc)
+        |SELECT n_tokens, vocab_size, n_hapax, n_dis,
+        |  CASE WHEN n_tokens > 0
+        |       THEN round(CAST(n_hapax AS DOUBLE) / n_tokens, 6)
+        |       ELSE 0.0 END AS p_unseen,
+        |  CASE WHEN n_hapax > 0
+        |       THEN round(2.0 * n_dis / n_hapax, 6)
+        |       ELSE 0.0 END AS r1_star
+        |FROM sp""".stripMargin,
+
+    "q_ext_stratified_k" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5('ek' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |               doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
+
+    "q_ext_novelty" ->
+      """WITH cand AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |ref AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |refk AS (
+        |  SELECT DISTINCT substring(md5(gram), 1, 16) AS gk FROM (
+        |    SELECT unnest(list_transform(range(1, len(t) - 8 + 2),
+        |           i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |    FROM ref WHERE len(t) >= 8)),
+        |candk AS (
+        |  SELECT DISTINCT doc_id, substring(md5(gram), 1, 16) AS gk FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(t) - 8 + 2),
+        |           i -> array_to_string(t[i:i+7], ' '))) AS gram
+        |    FROM cand WHERE len(t) >= 8))
+        |SELECT c.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN r.gk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN r.gk IS NULL THEN 1 ELSE 0 END)
+        |        AS DOUBLE) / count(*), 6) AS novelty
+        |FROM candk c LEFT JOIN refk r ON c.gk = r.gk
+        |GROUP BY 1""".stripMargin,
+
+    "q_ext_water_fill" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |o AS (
+        |  SELECT source, tokens,
+        |    CAST(coalesce(sum(tokens) OVER (ORDER BY tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS p,
+        |    row_number() OVER (ORDER BY tokens, source) - 1 AS k,
+        |    count(*) OVER () AS n
+        |  FROM per),
+        |f AS (SELECT *, (p + (n - k) * tokens) <= 140000 AS sat FROM o),
+        |s AS (SELECT
+        |        CAST(sum(CASE WHEN sat THEN tokens ELSE 0 END) AS BIGINT)
+        |          AS psat,
+        |        CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ksat,
+        |        max(n) AS n2
+        |      FROM f),
+        |lvl AS (SELECT CASE WHEN ksat = n2 THEN 9223372036854775807
+        |          ELSE CAST(floor(CAST(140000 - psat AS DOUBLE)
+        |                          / (n2 - ksat)) AS BIGINT) END AS level
+        |        FROM s)
+        |SELECT source, tokens,
+        |  least(tokens, level) AS allocated,
+        |  round(CASE WHEN tokens = 0 THEN 0.0
+        |        ELSE CAST(least(tokens, level) AS DOUBLE) / tokens END, 6)
+        |    AS rate
+        |FROM f, lvl""".stripMargin,
   )
 }

@@ -677,4 +677,38 @@ object Dedup {
         round(col("n_common") / least(col("n_a"), col("n_b")), 6)
           .as("containment"))
   }
+
+  /** Per-document n-gram novelty against a reference corpus: the
+    * fraction of a candidate's DISTINCT n-gram shingles absent from
+    * the reference — high-novelty docs are what a curriculum adds
+    * next; near-zero novelty is paraphrase/boilerplate mass the
+    * near-dup tiers may have missed.
+    *
+    * Scale shape: shingles are md5-folded to 16 hex chars map-side, so
+    * the join shuffles fixed-width keys, never text (the same
+    * only-grams-shuffle argument as [[contaminationReport]]); the
+    * reference side deduplicates before the join. Docs with fewer than
+    * n tokens have no shingles and emit no row.
+    */
+  def ngramNovelty(
+      candidates: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def key(gram: Column): Column = substring(md5(gram), 1, 16)
+    val refKeys = reference
+      .select(explode(TextStats.ngramArray(col(textCol), n)).as("__g"))
+      .select(key(col("__g")).as("__gk")).distinct()
+    val candKeys = candidates
+      .select(col(idCol).as("id"),
+        explode(TextStats.ngramArray(col(textCol), n)).as("__g"))
+      .select(col("id"), key(col("__g")).as("__gk")).distinct()
+    candKeys
+      .join(refKeys.withColumn("__seen", lit(1)), Seq("__gk"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -207,4 +207,76 @@ object Sampling {
       .groupBy("id")
       .agg(round(sum("c"), 4).as("dsir_score"))
   }
+
+  /** Per-stratum exact-k deterministic sample: within every stratum,
+    * the k rows with the smallest `md5(salt || key)` hash win — an
+    * order statistic, not a rate, so every stratum contributes EXACTLY
+    * min(k, |stratum|) rows (eval sets, per-domain probes). Like
+    * [[hashSample]] it is stable under reruns and corpus growth*,
+    * engine-reproducible, and the ranking runs through the
+    * bounded-heap top-k rewrite — no global sort, no stratum ever
+    * collected. (*a new row changes membership only if it hashes into
+    * the stratum's current top k — unavoidable for exact-k.)
+    */
+  def stratifiedK(
+      df: DataFrame, strataCol: String, keyCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", hashHex(col(keyCol), salt))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__h", "__rk")
+  }
+
+  /** Water-filling token allocation across sources: given a per-source
+    * weight table and a global `budget`, find the level L with
+    * Σ min(t_s, L) = budget and allocate min(t_s, L) to each source —
+    * the standard mixture solver when small domains must be kept whole
+    * and only the giants capped.
+    *
+    * Distributed shape: sources whose covered-at-own-level total
+    * P(s) + (n − k(s))·t_s fits the budget are saturated; both P (the
+    * running token total in (t, source) order) and k (the running
+    * count) come from [[graft.ops.PrefixSum.runningTotal]] — the
+    * block-parallel scan, NOT a single-partition window — so the
+    * solver holds at millions of sources. The level then solves in
+    * closed form from the saturated mass (one broadcast single-row
+    * aggregate); no iteration, no driver loop.
+    *
+    * Output: (source, tokens, allocated, rate) with
+    * allocated = min(tokens, floor(L)) and rate rounded to 6.
+    */
+  def waterFill(
+      perSource: DataFrame, sourceCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = perSource.select(col(sourceCol).as("source"),
+      col(tokensCol).cast("long").as("tokens"))
+    val withOne = base.withColumn("__one", lit(1L))
+    val pk = graft.ops.PrefixSum.runningTotals(
+      withOne, "tokens", Seq("tokens" -> "__p", "__one" -> "__k"),
+      chunkSpan = 1L << 16, tieBreak = Seq("source"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val flagged = pk.crossJoin(broadcast(n))
+      .withColumn("__sat",
+        col("__p") + (col("__n") - col("__k")) * col("tokens") <= budget)
+    val satAgg = flagged.agg(
+      sum(when(col("__sat"), col("tokens")).otherwise(0L)).as("__psat"),
+      sum(when(col("__sat"), 1L).otherwise(0L)).as("__ksat"),
+      first(col("__n")).as("__n2"))
+    flagged.crossJoin(broadcast(satAgg))
+      .withColumn("__level",
+        when(col("__ksat") === col("__n2"), lit(Long.MaxValue))
+          .otherwise(floor((lit(budget) - col("__psat")).cast("double")
+            / (col("__n2") - col("__ksat")))))
+      .select(col("source"), col("tokens"),
+        least(col("tokens"), col("__level")).cast("long").as("allocated"))
+      .withColumn("rate",
+        when(col("tokens") === 0, lit(0.0))
+          .otherwise(round(col("allocated").cast("double")
+            / col("tokens"), 6)))
+  }
 }

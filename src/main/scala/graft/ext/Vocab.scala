@@ -26,6 +26,33 @@ object Vocab {
       .groupBy("term").agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("term")).limit(topV)
 
+  /** Good-Turing corpus coverage report: from the term frequency
+    * spectrum, the probability mass of UNSEEN vocabulary
+    * (p_unseen = n1/N, Good 1953) and the adjusted count for
+    * once-seen terms (r1* = 2·n2/n1) — the quick answer to "how much
+    * of the language is this corpus still missing", read before
+    * deciding whether more crawling beats more epochs.
+    *
+    * One token-keyed aggregate (map-side combined; only terms
+    * shuffle) folded to a single row — the same plan shape at 100 TB.
+    */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("p_unseen",
+        when(col("n_tokens") > 0,
+          round(col("n_hapax").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("r1_star",
+        when(col("n_hapax") > 0,
+          round(lit(2.0) * col("n_dis") / col("n_hapax"), 6))
+          .otherwise(lit(0.0)))
+
   /** Per-document coverage against `vocab` (a (term, ...) frame):
     * (idCol, n_tokens, n_oov, oov_rate).
     */

@@ -38,18 +38,39 @@ object PrefixSum {
       valueCol: String,
       outCol: String,
       chunkSpan: Long,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    runningTotals(df, orderCol, Seq(valueCol -> outCol), chunkSpan, tieBreak)
+
+  /** [[runningTotal]] for SEVERAL value columns in ONE pass: every
+    * (valueCol, outCol) pair shares the chunking, the within-chunk
+    * window sort, the chunk directory, and the block scan — N prefix
+    * sums for the plan cost of one. (A cumulative quota usually needs
+    * at least two: the running weight AND the running row count.)
+    */
+  def runningTotals(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[(String, String)],
+      chunkSpan: Long,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(chunkSpan > 0, s"chunkSpan must be positive: $chunkSpan")
-    val v = col(valueCol)
+    require(valueCols.nonEmpty, "at least one (valueCol, outCol) pair")
     val ord: Seq[Column] = col(orderCol) +: tieBreak.map(col)
     val chunked = df.withColumn("__chunk",
       floor(col(orderCol) / chunkSpan).cast("long"))
     val wIn = Window.partitionBy("__chunk").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withIncl = chunked.withColumn("__incl", sum(v).over(wIn))
+    val withIncl = valueCols.zipWithIndex.foldLeft(chunked) {
+      case (d, ((v, _), i)) =>
+        d.withColumn(s"__incl$i", sum(col(v)).over(wIn))
+    }
 
     // Chunk directory: totals per chunk, dense-indexed, block-scanned.
-    val totals = chunked.groupBy(col("__chunk")).agg(sum(v).as("__tot"))
+    val totAggs = valueCols.zipWithIndex.map { case ((v, _), i) =>
+      sum(col(v)).as(s"__tot$i")
+    }
+    val totals = chunked.groupBy(col("__chunk"))
+      .agg(totAggs.head, totAggs.tail: _*)
     val blockSize = 4096L
     val tIdx = totals
       .join(broadcast(ChunkedWindow.denseIndex(
@@ -57,18 +78,36 @@ object PrefixSum {
       .withColumn("__blk", (col("__idx") / blockSize).cast("long"))
     val wBlk = Window.partitionBy("__blk").orderBy("__idx")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val blkTotals = tIdx.groupBy(col("__blk")).agg(sum(col("__tot")).as("__btot"))
+    val btotAggs = valueCols.indices.map { i =>
+      sum(col(s"__tot$i")).as(s"__btot$i")
+    }
+    val blkTotals = tIdx.groupBy(col("__blk"))
+      .agg(btotAggs.head, btotAggs.tail: _*)
     val blks = blkTotals.select(col("__blk").as("__tblk"))
+    val boffAggs = valueCols.indices.map { i =>
+      sum(col(s"__btot$i")).as(s"__boff$i")
+    }
     val blkOff = blks.join(blkTotals, col("__blk") < col("__tblk"), "left")
-      .groupBy(col("__tblk")).agg(sum(col("__btot")).as("__boff"))
-    val dirOff = tIdx
-      .withColumn("__in_blk", coalesce(sum(col("__tot")).over(wBlk), lit(0L)))
-      .join(broadcast(blkOff), col("__blk") === blkOff("__tblk"), "left")
-      .select(col("__chunk"),
-        (col("__in_blk") + coalesce(col("__boff"), lit(0L))).as("__chunk_off"))
+      .groupBy(col("__tblk")).agg(boffAggs.head, boffAggs.tail: _*)
+    val dirCols = col("__chunk") +: valueCols.indices.map { i =>
+      (col(s"__in_blk$i") + coalesce(col(s"__boff$i"), lit(0L)))
+        .as(s"__chunk_off$i")
+    }
+    val dirOff = valueCols.indices.foldLeft(
+        tIdx.join(broadcast(blkOff), col("__blk") === blkOff("__tblk"),
+          "left")) {
+        case (d, i) => d.withColumn(s"__in_blk$i",
+          coalesce(sum(col(s"__tot$i")).over(wBlk), lit(0L)))
+      }
+      .select(dirCols: _*)
 
-    withIncl.join(broadcast(dirOff), Seq("__chunk"), "left")
-      .withColumn(outCol, col("__chunk_off") + col("__incl") - v)
-      .drop("__chunk", "__incl", "__chunk_off")
+    val joined = withIncl.join(broadcast(dirOff), Seq("__chunk"), "left")
+    valueCols.zipWithIndex.foldLeft(joined) {
+      case (d, ((v, out), i)) =>
+        d.withColumn(out,
+          col(s"__chunk_off$i") + col(s"__incl$i") - col(v))
+    }.drop("__chunk" +:
+      valueCols.indices.flatMap(i =>
+        Seq(s"__incl$i", s"__chunk_off$i")): _*)
   }
 }

@@ -16,7 +16,8 @@ object ShuffleProbe {
       "q_ext_shuffle_export", "q_ext_bpe_decode", "q_ext_span_corrupt",
       "q_ext_group_split", "q_ext_bigram_lm", "q_ext_cluster_sizes",
       "q_ext_bradley_terry", "q_ext_rrf", "q_ext_seq_pairs",
-      "q_ext_unpivot").foreach { name =>
+      "q_ext_unpivot", "q_ext_good_turing", "q_ext_stratified_k",
+      "q_ext_novelty", "q_ext_water_fill").foreach { name =>
       val plan = SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan
       val n = plan.collect { case s: ShuffleExchangeLike => s }.size
       println(s"SHUFFLES $name = $n")

@@ -238,4 +238,31 @@ class DedupSpec extends SparkTestBase {
     assert(got(("B", "C")) === ((2L, 1L, 1L, 0.5, 1.0)))
     assert(!got.contains(("A", "C")), "disjoint pairs emit no row")
   }
+
+  test("ngramNovelty: seen shingles score 0, unseen score 1, mixes between") {
+    val ref = Seq((100L, "a b c d")).toDF("id", "text") // bigrams ab bc cd
+    val cand = Seq(
+      (1L, "a b c"),     // ab bc -> both seen, novelty 0
+      (2L, "x y z"),     // xy yz -> both novel, novelty 1
+      (3L, "a b x y"),   // ab seen; bx xy novel -> 2/3
+      (4L, "solo")       // no bigram -> no row
+    ).toDF("id", "text")
+    val got = Dedup.ngramNovelty(cand, ref, "id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 0L, 0.0)),
+      2L -> ((2L, 2L, 1.0)),
+      3L -> ((3L, 2L, 0.666667))))
+  }
+
+  test("ngramNovelty counts DISTINCT shingles once") {
+    val ref = Seq((1L, "p q")).toDF("id", "text")
+    val cand = Seq((9L, "p q p q p q")).toDF("id", "text")
+    // distinct bigrams of cand: "p q", "q p" -> one seen, one novel
+    val got = Dedup.ngramNovelty(cand, ref, "id", "text", n = 2)
+      .collect().head
+    assert((got.getLong(1), got.getLong(2), got.getDouble(3))
+      === ((2L, 1L, 0.5)))
+  }
 }

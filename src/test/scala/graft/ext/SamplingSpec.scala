@@ -128,4 +128,53 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(got(3L) - 2 * got(1L)) < 1e-3,
       "doubling every count doubles the log-ratio sum (up to rounding)")
   }
+
+  test("stratifiedK takes exactly min(k, size) per stratum, deterministically") {
+    val df = (1L to 20L).map(i => (i, if (i <= 15) "big" else "small"))
+      .toDF("id", "stratum")
+    val a = Sampling.stratifiedK(df, "stratum", "id", 4, "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = Sampling.stratifiedK(df, "stratum", "id", 4, "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet === b.toSet, "same salt -> same sample")
+    assert(a.count(_._2 === "big") === 4)
+    assert(a.count(_._2 === "small") === 4)
+    val other = Sampling.stratifiedK(df, "stratum", "id", 4, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(other !== a.toSet, "a different salt draws a different sample")
+  }
+
+  test("waterFill: small sources whole, giants capped at the level") {
+    // totals 10+20+100+100 = 230, budget 90:
+    // 10 saturates (10 + 3*10 = 40 <= 90); 20 saturates (10+3*20=70 <= 90);
+    // level = (90-30)/2 = 30 -> the two 100s get 30 each. Sum = 90.
+    val per = Seq(("a", 10L), ("b", 20L), ("c", 100L), ("d", 100L))
+      .toDF("source", "tokens")
+    val got = Sampling.waterFill(per, "source", "tokens", budget = 90L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("a") === ((10L, 10L, 1.0)))
+    assert(got("b") === ((20L, 20L, 1.0)))
+    assert(got("c") === ((100L, 30L, 0.3)))
+    assert(got("d") === ((100L, 30L, 0.3)))
+  }
+
+  test("waterFill: budget >= total saturates everything; budget 0 allocates 0") {
+    val per = Seq(("a", 5L), ("b", 7L)).toDF("source", "tokens")
+    val all = Sampling.waterFill(per, "source", "tokens", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all === Map("a" -> 5L, "b" -> 7L))
+    val none = Sampling.waterFill(per, "source", "tokens", 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(none === Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("waterFill splits a non-integral level by flooring") {
+    // budget 10 over two 100s: level 5 each; over three 100s: floor(10/3)=3.
+    val got = Sampling.waterFill(
+      Seq(("x", 100L), ("y", 100L), ("z", 100L)).toDF("source", "tokens"),
+      "source", "tokens", 10L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(got === Seq(3L, 3L, 3L))
+  }
 }

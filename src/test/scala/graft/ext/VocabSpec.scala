@@ -34,4 +34,23 @@ class VocabSpec extends SparkTestBase {
       2L -> ((4L, 2L, 0.5)),      // x y
       3L -> ((2L, 1L, 0.5))))     // z
   }
+
+  test("goodTuring reads the frequency spectrum") {
+    // tokens: a a a b b c d -> N=7 V=4, hapax {c,d} n1=2, dis {b} n2=1
+    val df = Seq((1L, "a a a b b"), (2L, "c d")).toDF("id", "text")
+    val r = Vocab.goodTuring(df, "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((7L, 4L, 2L, 1L)))
+    assert(r.getDouble(4) === BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) === 1.0, "r1* = 2*n2/n1 = 2/2")
+  }
+
+  test("goodTuring with no hapaxes reports zero unseen mass") {
+    val df = Seq((1L, "a a b b")).toDF("id", "text")
+    val r = Vocab.goodTuring(df, "text").collect().head
+    assert(r.getLong(2) === 0L)
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getDouble(5) === 0.0)
+  }
 }
