@@ -37,4 +37,42 @@ object Winsorize {
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))
   }
+
+  /** Robust outlier profile per key: median / MAD (median absolute
+    * deviation) and the count of rows deviating more than `k` MADs from
+    * the median — the robust-z-score screen that survives exactly the
+    * heavy-tailed contamination that mean/stddev screens are broken by
+    * (one wild sensor value moves a mean arbitrarily far; it moves a
+    * median by at most one order statistic).
+    *
+    * Scale shape: two exact-percentile aggregates per key (median, then
+    * median of |x - med| after a broadcast join of the tiny per-key
+    * median table) plus one counting aggregate — the data shuffles
+    * once per aggregate on the key only, and the intermediate tables
+    * are |keys| rows. At corpus scale swap `percentile` for
+    * `approx_percentile` in both median passes; the join shape holds.
+    *
+    * Determinism contract: median and MAD are rounded to 6 dp before
+    * the `k * mad` threshold comparison, so an engine ulp cannot flip
+    * an outlier decision (same contract as [[winsorize]]'s bounds).
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Double): DataFrame = {
+    require(keys.nonEmpty, "madOutliers needs at least one key column")
+    require(k > 0, s"MAD multiplier must be positive, got $k")
+    val meds = df.groupBy(keys.map(col): _*)
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val dev = df.join(broadcast(meds), keys)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mads = dev.groupBy(keys.map(col): _*)
+      .agg(round(expr("percentile(__dev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mads), keys)
+      .groupBy((keys.map(col) ++ Seq(col("med"), col("mad"))): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
 }
