@@ -348,10 +348,17 @@ object ExtQueries {
         Dedup.simHash64(col("text")).as("simhash"))),
 
     // Brute-force exact cosine top-k (the ANN correctness baseline).
+    // Query side is a FIXED set: `% 25` subsample pinned to the base
+    // replica (`id < KeyShift` — a no-op at base SF). Without the pin,
+    // scale replication grows BOTH crossJoin sides and pair work goes
+    // quadratic (the round-4 31× scaled artifact); a fixed query set
+    // probed against a growing corpus is the scale-honest semantic.
     "q_ext_ann_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.bruteForceTopK(emb.filter(col("id") % 25 === 0), emb, k = 5)
+      val queries = emb.filter(col("id") % 25 === 0 &&
+        col("id") < graft.io.ScaleReplicate.KeyShift)
+      Similarity.bruteForceTopK(queries, emb, k = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -362,7 +369,10 @@ object ExtQueries {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"),
           (col("vec_id") % 8).as("label"))
-      Similarity.hardNegatives(emb.filter(col("id") % 25 === 0), emb, k = 3)
+      // fixed query set under replication, as q_ext_ann_cosine
+      val queries = emb.filter(col("id") % 25 === 0 &&
+        col("id") < graft.io.ScaleReplicate.KeyShift)
+      Similarity.hardNegatives(queries, emb, k = 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -1646,6 +1656,35 @@ object ExtQueries {
         .groupBy(col("source")).agg(sum(col("n_chars")).as("tokens"))
       Sampling.waterFill(per, "source", "tokens", budget = 140000L)
     }),
+
+    // Exact weighted sample without replacement (Efraimidis–Spirakis
+    // exponential keys over the deterministic hash uniform): k smallest
+    // −ln(u)/w win — sort-limit plans as TakeOrderedAndProject, no
+    // global sort shuffle.
+    "q_ext_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
+        k = 50, salt = "ws")),
+
+    // Cross-source score calibration TABLE: per-source vs pooled
+    // quantiles at a fixed probe grid — the step that makes quality
+    // scores comparable across corpus sources before one global
+    // threshold (event_type plays the source role here).
+    "q_ext_calibrate" -> ((s, dir) =>
+      Calibrate.quantileTable(Tables.events(s, dir), "event_type", "value",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))),
+
+    // ... and its per-row APPLICATION: piecewise-linear map through the
+    // broadcast table on a deterministic row subset — data never
+    // shuffles; the oracle replays the interpolation in SQL.
+    "q_ext_calibrate_apply" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val tbl = Calibrate.quantileTable(e, "event_type", "value",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      Calibrate.applyQuantileMap(
+          e.filter(col("event_id") % 97 === 0), tbl, "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value_r"), col("value_cal"))
+    }),
   )
 
   /** Script-profile fixture tails, shared verbatim by query and oracle
@@ -1714,7 +1753,7 @@ object ExtQueries {
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
         |         vec_id % 8 AS ql
-        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 1000000000),
         |c AS (
         |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
         |         vec_id % 8 AS cl
@@ -1730,7 +1769,7 @@ object ExtQueries {
     "q_ext_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 1000000000),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
         |s AS (
         |  SELECT query_id, neighbor_id,
@@ -2168,9 +2207,26 @@ object ExtQueries {
         |a AS (
         |  SELECT unnest(v) AS vi, unnest(range(len(v))) AS i, v FROM e),
         |b AS (
-        |  SELECT i, vi, unnest(v) AS vj, unnest(range(len(v))) AS j FROM a)
-        |SELECT i, j, round(covar_pop(vi, vj), 6) AS cov
-        |FROM b GROUP BY 1, 2""".stripMargin,
+        |  SELECT i, vi, unnest(v) AS vj, unnest(range(len(v))) AS j FROM a),
+        |f AS (SELECT i, j,
+        |        CAST(floor(round(vi*vj*1e15)/16777216.0) AS BIGINT) AS hij,
+        |        CAST(round(vi*vj*1e15) AS BIGINT)
+        |          - CAST(floor(round(vi*vj*1e15)/16777216.0) AS BIGINT)*16777216 AS lij,
+        |        CAST(floor(round(vi*1e15)/16777216.0) AS BIGINT) AS hi_,
+        |        CAST(round(vi*1e15) AS BIGINT)
+        |          - CAST(floor(round(vi*1e15)/16777216.0) AS BIGINT)*16777216 AS li_,
+        |        CAST(floor(round(vj*1e15)/16777216.0) AS BIGINT) AS hj_,
+        |        CAST(round(vj*1e15) AS BIGINT)
+        |          - CAST(floor(round(vj*1e15)/16777216.0) AS BIGINT)*16777216 AS lj_
+        |      FROM b)
+        |SELECT i, j,
+        |  round((CAST(sum(hij) AS DOUBLE)*16777216.0 + CAST(sum(lij) AS DOUBLE))
+        |          /1e15/count(*)
+        |    - ((CAST(sum(hi_) AS DOUBLE)*16777216.0 + CAST(sum(li_) AS DOUBLE))
+        |          /1e15/count(*))
+        |    * ((CAST(sum(hj_) AS DOUBLE)*16777216.0 + CAST(sum(lj_) AS DOUBLE))
+        |          /1e15/count(*)), 6) AS cov
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     "q_ext_pca_contract" ->
       """SELECT TRUE AS orthonormal, TRUE AS eigvals_sorted,
@@ -3431,5 +3487,67 @@ object ExtQueries {
         |        ELSE CAST(least(tokens, level) AS DOUBLE) / tokens END, 6)
         |    AS rate
         |FROM f, lvl""".stripMargin,
+
+    "q_ext_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln((CAST(('0x' || substring(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS es
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT CAST(row_number() OVER (ORDER BY es, doc_id) AS BIGINT) AS rank,
+        |       doc_id, n_chars
+        |FROM s ORDER BY es, doc_id LIMIT 50""".stripMargin,
+
+    "q_ext_calibrate" ->
+      """WITH perq AS (
+        |  SELECT event_type AS source,
+        |         quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT source, unnest(qs) AS sv, unnest(range(5)) AS i FROM perq),
+        |poolq AS (
+        |  SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM events),
+        |pool AS (SELECT unnest(qs) AS rv, unnest(range(5)) AS i FROM poolq),
+        |grid AS (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS q,
+        |                unnest(range(5)) AS i)
+        |SELECT per.source, grid.q,
+        |       round(per.sv, 6) AS src_val,
+        |       round(pool.rv, 6) AS ref_val,
+        |       round(round(pool.rv, 6) - round(per.sv, 6), 6) AS delta
+        |FROM per JOIN pool USING (i) JOIN grid USING (i)""".stripMargin,
+
+    "q_ext_calibrate_apply" ->
+      """WITH perq AS (
+        |  SELECT event_type AS source,
+        |         quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM events GROUP BY 1),
+        |per AS (SELECT source, unnest(qs) AS sv, unnest(range(5)) AS i FROM perq),
+        |poolq AS (
+        |  SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM events),
+        |pool AS (SELECT unnest(qs) AS rv, unnest(range(5)) AS i FROM poolq),
+        |t AS (SELECT per.source, round(per.sv, 6) AS src_val,
+        |             round(pool.rv, 6) AS ref_val
+        |      FROM per JOIN pool USING (i)),
+        |s AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+        |      FROM events WHERE event_id % 97 = 0),
+        |b AS (
+        |  SELECT s.event_id, s.event_type, s.v,
+        |         max(t.src_val) FILTER (WHERE t.src_val <= s.v) AS lo_src,
+        |         max_by(t.ref_val, t.src_val) FILTER (WHERE t.src_val <= s.v)
+        |           AS lo_ref,
+        |         min(t.src_val) FILTER (WHERE t.src_val > s.v) AS up_src,
+        |         min_by(t.ref_val, t.src_val) FILTER (WHERE t.src_val > s.v)
+        |           AS up_ref
+        |  FROM s JOIN t ON t.source = s.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_id, event_type, round(v, 6) AS value_r,
+        |       round(CASE WHEN lo_src IS NULL THEN up_ref
+        |                  WHEN up_src IS NULL THEN lo_ref
+        |                  ELSE lo_ref + (v - lo_src) * (up_ref - lo_ref)
+        |                       / (up_src - lo_src)
+        |             END, 6) AS value_cal
+        |FROM b""".stripMargin,
   )
 }

@@ -30,11 +30,16 @@ object SparkEntry {
   private def streamTable(s: SparkSession, dir: String, table: String) = {
     val path = s"$dir/$table.parquet"
     val schema = s.read.parquet(path).schema
-    if (new java.io.File(path).isDirectory)
-      s.readStream.schema(schema).parquet(path)
-    else
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        s.readStream.schema(schema).parquet(path)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    // Same ts normalization as the batch loaders — watermarks and
+    // unix_micros both reject TIMESTAMP_NTZ, so streams must see a
+    // proper TimestampType regardless of the fixture's encoding.
+    Tables.normalizeTs(raw)
   }
 
   /** Exact decimal sum of a double column, surfaced back as double. */
@@ -736,11 +741,7 @@ object SparkEntry {
     // batch groupBy bit-for-bit, which the DuckDB oracle pins.
     "q_st1_stream_resample" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val raw = streamTable(s, dir, "events")
-      val events =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val events = streamTable(s, dir, "events")
       val agg = graft.streaming.StreamResample.tumblingMean(
         events, "ts", 10, Seq("value"), extraKeys = Seq("event_type"))
       s.catalog.dropTempView("g_st1")
@@ -748,6 +749,35 @@ object SparkEntry {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table("g_st1").select(
+        TimeOps.epochSeconds(col("time")).as("bucket_start"),
+        col("event_type"),
+        round(col("value"), 6).as("avg_value"),
+        col("n_rows").cast("long").as("n"))
+    }),
+
+    // §2.10 driver-gated APPEND-mode watermark semantics — the
+    // production path q_st1's complete-mode gate doesn't exercise: a
+    // window row is emitted only once the watermark (max event time −
+    // delay) passes its end, so the emitted set is the batch resample
+    // FILTERED to finalized windows — which is exactly what the oracle
+    // pins. One AvailableNow batch ingests everything (no input row is
+    // late vs the initial watermark of 0), then the trailing no-data
+    // micro-batch advances the watermark and flushes finalized windows;
+    // unfinalized tail windows stay in state and are never emitted.
+    // The 500 ms delay fraction keeps the watermark off the
+    // second-aligned window-end lattice, so the <=-vs-< eviction
+    // boundary can never bite regardless of the fixture's max(ts).
+    "q_st10_stream_late" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = streamTable(s, dir, "events")
+      val agg = graft.streaming.StreamResample.tumblingMean(
+        events, "ts", 10, Seq("value"), watermark = "7200500 milliseconds",
+        extraKeys = Seq("event_type"))
+      s.catalog.dropTempView("g_st10")
+      val q = agg.writeStream.format("memory").queryName("g_st10")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st10").select(
         TimeOps.epochSeconds(col("time")).as("bucket_start"),
         col("event_type"),
         round(col("value"), 6).as("avg_value"),
@@ -780,11 +810,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val sp = s
       import sp.implicits._
-      val raw = streamTable(s, dir, "events")
-      val events =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val events = streamTable(s, dir, "events")
       val obs = events.select(
           col("user_id").cast("string").as("station"),
           date_trunc("second", col("ts")).as("time"))
@@ -837,12 +863,7 @@ object SparkEntry {
     // out-of-order rows and flake this gate; keep single-batch here.
     "q_st6_stream_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      def ev() = {
-        val raw = streamTable(s, dir, "events")
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      }
+      def ev() = streamTable(s, dir, "events")
       val clicks = ev().filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
@@ -919,11 +940,7 @@ object SparkEntry {
     // oracle computes with lag + running sum.
     "q_st7_session_window" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val raw = streamTable(s, dir, "events")
-      val events =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val events = streamTable(s, dir, "events")
       // whole-second truncation (as q_st3): sub-second parts would make
       // the oracle's epoch-seconds gap arithmetic diverge at boundaries
       val agg = events
@@ -950,11 +967,8 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val sp = s
       import sp.implicits._
-      val raw = streamTable(s, dir, "events")
-      val events =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("ts div 1000"))
-        else raw.withColumn("ts", unix_micros(col("ts")))
+      val events = streamTable(s, dir, "events")
+        .withColumn("ts", unix_micros(col("ts")))
       val obs = events.select(
           col("event_type").as("key"),
           col("ts").as("tsUs"),
@@ -1564,6 +1578,20 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start, event_type,
         |       round(avg(value), 6) AS avg_value, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Append-mode emission = the same resample restricted to windows
+    // whose end precedes the final watermark (max event time, floored
+    // to ms as Spark's event-time stats do, minus the 7200500 ms delay).
+    "q_st10_stream_late" ->
+      """WITH m AS (SELECT epoch_ms(max(ts)) AS mxms FROM events),
+        |w AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS bucket_start,
+        |         event_type,
+        |         round(avg(value), 6) AS avg_value, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w.bucket_start, w.event_type, w.avg_value, w.n
+        |FROM w, m
+        |WHERE (w.bucket_start + 600) * 1000 <= m.mxms - 7200500""".stripMargin,
 
     // First-seen streaming dedup emits exactly the distinct fingerprints.
     "q_st2_stream_dedup" ->

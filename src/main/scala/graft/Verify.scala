@@ -19,14 +19,32 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Crash-loudness contract: a crashed query is simply ABSENT from the
+    // driver's correctness JSON, and nothing downstream would notice the
+    // declared surface silently shrank. Reconcile dumps against the
+    // declared query map and leave a machine-readable diff in-tree.
+    val declared = SparkEntry.queries.keys.filter(keep).toSeq.sorted
+    val missing = declared.filterNot(n =>
+      Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+    Files.writeString(Paths.get(s"$outDir/_verify_manifest.json"),
+      s"""{"declared": ${declared.size}, "dumped": ${declared.size - missing.size},""" +
+        s""" "missing": [${missing.map("\"" + _ + "\"").mkString(", ")}]}""")
+    if (missing.nonEmpty)
+      System.err.println(
+        s"[verify] INCOMPLETE: ${missing.size}/${declared.size} declared " +
+          s"queries wrote no output: ${missing.mkString(", ")}")
+    else
+      System.err.println(s"[verify] complete: ${declared.size}/${declared.size} dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

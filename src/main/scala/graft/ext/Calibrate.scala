@@ -83,8 +83,10 @@ object Calibrate {
       .agg(sort_array(collect_list(struct(
         col("src_val"), col("ref_val")))).as("__map"))
     val v = col(valueCol).cast("double")
-    val lower = expr(s"element_at(filter(__map, p -> p.src_val <= cast($valueCol as double)), -1)")
-    val upper = expr(s"element_at(filter(__map, p -> p.src_val > cast($valueCol as double)), 1)")
+    // try_element_at: outside the grid range one of the filtered arrays
+    // is EMPTY, and ANSI element_at throws instead of returning null.
+    val lower = expr(s"try_element_at(filter(__map, p -> p.src_val <= cast($valueCol as double)), -1)")
+    val upper = expr(s"try_element_at(filter(__map, p -> p.src_val > cast($valueCol as double)), 1)")
     val interp = when(col("__map").isNull, v)
       .when(lower.isNull, upper.getField("ref_val"))
       .when(upper.isNull, lower.getField("ref_val"))

@@ -31,13 +31,52 @@ object Pca {
 
   /** Population covariance matrix in long format (i, j, cov), i/j
     * 0-based dims, `cov` rounded to `scale` for engine-stable output.
+    *
+    * Engine-exactness WITHOUT the decimal tax: a direct `covar_pop`
+    * over doubles is order-dependent — cross-partition accumulation
+    * order lands cells on either side of the rounding boundary run to
+    * run. Decimal sufficient statistics fix that but cost ~50× (three
+    * BigDecimal aggregates over ndocs·dim² generated rows — measured,
+    * 0.65 s → 31 s at sf0.1). Instead each statistic is quantized to
+    * SPLIT FIXED-POINT: the per-row term is rounded at 1e-15 to an
+    * integer (one deterministic IEEE op; |p| < 2^49 for unit-scale
+    * embeddings), split into 24-bit halves hi = ⌊p/2^24⌋, lo = p −
+    * hi·2^24 (the /2^24 is a power-of-two scaling, exact in double),
+    * and both halves sum as plain codegen'd longs — exact,
+    * order-independent, overflow-safe past 10^11 rows (hi, lo ≤ 2^25
+    * per row). The reconstruction hi·2^24 + lo and the final
+    * division/subtraction are a fixed chain of IEEE double ops, so any
+    * engine computing the same algebra reproduces the value
+    * bit-for-bit; the 1e-15 quantization is itself part of the
+    * operator's contract (5e-16 absolute error — three orders below
+    * the 6-dp output rounding).
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    val shift = 16777216.0 // 2^24
+    def hi(c: Column): Column =
+      floor(round(c * 1e15).cast("double") / shift).cast("long")
+    def lo(c: Column): Column =
+      round(c * 1e15).cast("long") - hi(c) * 16777216L
+    def rebuild(hiSum: Column, loSum: Column): Column =
+      (hiSum.cast("double") * shift + loSum.cast("double")) / 1e15
     df.select(posexplode(v).as(Seq("i", "vi")), v.as("__v"))
       .select(col("i"), col("vi"), posexplode(col("__v")).as(Seq("j", "vj")))
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .agg(round(covar_pop(col("vi"), col("vj")), scale).as("cov"))
+      .agg(
+        sum(hi(col("vi") * col("vj"))).as("__hij"),
+        sum(lo(col("vi") * col("vj"))).as("__lij"),
+        sum(hi(col("vi"))).as("__hi"),
+        sum(lo(col("vi"))).as("__li"),
+        sum(hi(col("vj"))).as("__hj"),
+        sum(lo(col("vj"))).as("__lj"),
+        count(lit(1)).as("__n"))
+      .select(col("i"), col("j"),
+        round(
+          rebuild(col("__hij"), col("__lij")) / col("__n")
+            - (rebuild(col("__hi"), col("__li")) / col("__n"))
+            * (rebuild(col("__hj"), col("__lj")) / col("__n")),
+          scale).as("cov"))
   }
 
   /** Top-`k` principal components of a symmetric matrix via

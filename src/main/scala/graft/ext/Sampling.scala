@@ -279,4 +279,45 @@ object Sampling {
           .otherwise(round(col("allocated").cast("double")
             / col("tokens"), 6)))
   }
+
+  /** Exact weighted sample WITHOUT replacement, size `k`, deterministic
+    * (Efraimidis–Spirakis exponential keys): row i gets
+    * E_i = −ln(u_i)/w_i with u_i the row's hash-uniform in (0,1), and
+    * the k SMALLEST E_i win — provably the same distribution as
+    * sequential draws proportional to weight. Deterministic because
+    * u_i comes from the same md5 bucket as [[hashSample]], not an RNG:
+    * the sample is reproducible across reruns, partitionings, and
+    * engines.
+    *
+    * Scale shape: the key is a per-row expression; "k smallest" is
+    * sort-limit, which Spark plans as TakeOrderedAndProject — a
+    * per-partition bounded heap plus a k-row gather, NO global sort
+    * shuffle. The final rank window orders the k surviving rows in one
+    * partition (k rows by construction — fine).
+    *
+    * Rows with weight <= 0 or null are excluded (zero mass). Output:
+    * (rank, key, weight) — the E-S key itself is NOT emitted, so an
+    * engine ulp in ln() can never flip a 6-dp rounding; adjacent
+    * 32-bit uniforms are ~1e-10 apart in key space, 6 orders above
+    * double noise, so the ORDER is engine-stable.
+    */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val v = conv(hashHex(col(keyCol), salt), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val es = -log(u) / col(weightCol).cast("double")
+    val top = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", es)
+      .orderBy(col("__es"), col(keyCol))
+      .limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__es"), col(keyCol)))
+          .cast("long"))
+      .select(col("rank"), col(keyCol), col(weightCol))
+  }
 }

@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleReplicate {
 
-  private val KeyShift = 1_000_000_000L
+  /** Per-replica id shift. Public so fixed-query-set gates can pin
+    * their query side to the base replica (`id < KeyShift`): replica 0
+    * is ALWAYS the untouched source rows, so the predicate is a no-op
+    * at base SF and holds the query set constant under replication.
+    */
+  val KeyShift = 1_000_000_000L
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
   /** Ensure a `times`× copy of `srcDir`'s tables exists at `dstDir`;

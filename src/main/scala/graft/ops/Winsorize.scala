@@ -23,16 +23,29 @@ object Winsorize {
 
   /** Add `<valueCol>_w` (clipped value) plus the per-key bounds
     * `lo_bound` / `hi_bound` to every row.
+    *
+    * `exact = false` is the 100 TB path: `approx_percentile`'s sketch
+    * is MERGEABLE, so the bounds pass stays one partial-aggregate
+    * shuffle of sketch buffers (no per-key value lists); bounds then
+    * land on an actual data element within `1/accuracy` relative rank
+    * of the target quantile instead of the interpolated exact value.
+    * The join shape — tiny bounds table broadcast back onto the scan,
+    * zero data shuffles — is identical in both modes, so gates pin the
+    * exact mode and scale runs flip the flag without replanning.
     */
   def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
-      loQ: Double, hiQ: Double): DataFrame = {
+      loQ: Double, hiQ: Double, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
     require(keys.nonEmpty, "winsorize needs at least one key column")
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
       s"quantiles must satisfy 0 <= lo < hi <= 1, got [$loQ, $hiQ]")
+    def pct(q: Double) =
+      if (exact) s"percentile($valueCol, $q)"
+      else s"approx_percentile($valueCol, $q, $accuracy)"
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(
-        round(expr(s"percentile($valueCol, $loQ)"), 6).as("lo_bound"),
-        round(expr(s"percentile($valueCol, $hiQ)"), 6).as("hi_bound"))
+        round(expr(pct(loQ)), 6).as("lo_bound"),
+        round(expr(pct(hiQ)), 6).as("hi_bound"))
     df.join(broadcast(bounds), keys)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("lo_bound")), col("hi_bound")))

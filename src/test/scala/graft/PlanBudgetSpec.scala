@@ -96,4 +96,29 @@ class PlanBudgetSpec extends SparkTestBase {
         s"$name plans ${shuffles.size} shuffles (budget $max — $why):\n$plan")
     }
   }
+
+  /** The shared-plan win of [[graft.ops.PrefixSum.runningTotals]]: all N
+    * value columns ride ONE chunk window, ONE chunk directory, and ONE
+    * block scan, so the exchange count must not grow with N. Pinned as
+    * 3-column == 1-column (the sharing invariant), not just an absolute
+    * cap — a regression that re-plans the directory per column would
+    * keep a generous cap green while tripling the shuffles.
+    */
+  test("runningTotals: exchange count is independent of the column count") {
+    import org.apache.spark.sql.functions.col
+    def plan(pairs: Seq[(String, String)]) = {
+      val df = noAqe.range(1000).select(
+        col("id").as("ord"), (col("id") % 7).as("v1"),
+        (col("id") % 5).as("v2"), (col("id") % 3).as("v3"))
+      graft.ops.PrefixSum.runningTotals(df, "ord", pairs, chunkSpan = 100L)
+        .queryExecution.executedPlan
+    }
+    def shuffles(pairs: Seq[(String, String)]) =
+      plan(pairs).collect { case s: ShuffleExchangeLike => s }.size
+    val one = shuffles(Seq("v1" -> "p1"))
+    val three = shuffles(Seq("v1" -> "p1", "v2" -> "p2", "v3" -> "p3"))
+    assert(three === one,
+      s"3-column runningTotals plans $three exchanges vs $one for 1 column " +
+        "— the shared chunk/directory/block scan has stopped being shared")
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -24,6 +25,19 @@ class PlanShapeSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** A global window is only the scale-killer when its input is the
+    * DATA: a WindowExec whose child subtree already passed through a
+    * global limit (TakeOrderedAndProject / CollectLimit / GlobalLimit)
+    * sees at most k rows by construction — e.g. the rank column over a
+    * weighted sample's k winners — and is exempt.
+    */
+  private def boundedByLimit(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case t: TakeOrderedAndProjectExec => t
+      case l: GlobalLimitExec => l
+      case c: CollectLimitExec => c
+    }.nonEmpty
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no unpartitioned window") {
       val plan = fn(spark, sfDir).queryExecution.sparkPlan
@@ -31,10 +45,11 @@ class PlanShapeSpec extends SparkTestBase {
       assert(cartesians.isEmpty,
         s"$name plans CartesianProductExec — unbounded all-pairs join")
       val globalWindows = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !boundedByLimit(w.child) => w
       }
       assert(globalWindows.isEmpty,
-        s"$name plans a single-partition global WindowExec")
+        s"$name plans a single-partition global WindowExec over unbounded input")
     }
   }
 }

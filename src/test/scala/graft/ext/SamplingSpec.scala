@@ -177,4 +177,44 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(_.getLong(2)).toSeq
     assert(got === Seq(3L, 3L, 3L))
   }
+
+  test("weightedSample: k rows, deterministic, zero/null weights excluded") {
+    val df = (1 to 200).map(i => (i.toLong, if (i % 50 == 0) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 20, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Sampling.weightedSample(df, "id", "w", k = 20, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.length === 20 && a.toSeq === b.toSeq)
+    assert(a.map(_._1).toSeq === (1L to 20L)) // ranks dense 1..k
+    assert(a.forall { case (_, id) => id % 50 != 0 }) // zero-weight never sampled
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, "id", "w", k = 0, salt = "t"))
+  }
+
+  test("weightedSample with equal weights reduces to the top-k hash uniforms") {
+    // es = -ln(u)/c is strictly decreasing in u, so the k smallest keys
+    // are exactly the k LARGEST hash uniforms — the same order
+    // hashSample's lexicographic hex comparison induces.
+    val df = (1 to 100).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 10, salt = "eq")
+      .collect().map(_.getLong(1)).toSet
+    val expect = df
+      .withColumn("h", Sampling.hashHex(col("id"), "eq"))
+      .orderBy(col("h").desc, col("id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+
+  test("weightedSample skews toward heavy rows: a 100x weight is " +
+      "overwhelmingly more likely in-sample than a 1x weight") {
+    // 20 heavy rows (w=100) among 180 light (w=1): E[heavy in top-40]
+    // dominates; with this fixed salt the heavy set lands >= 18/20.
+    val df = (1 to 200).map(i => (i.toLong, if (i <= 20) 100.0 else 1.0))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 40, salt = "skew")
+      .collect().map(_.getLong(1))
+    val heavyIn = got.count(_ <= 20)
+    assert(heavyIn >= 18, s"only $heavyIn/20 heavy rows sampled")
+  }
 }

@@ -55,6 +55,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_bad = 0
+    # Rows-only queries have no oracle entry, so a crash there is
+    # invisible to the SQL loop below — reconcile against the declared
+    # surface Verify records in its manifest.
+    manifest_p = Path(out_dir) / "_verify_manifest.json"
+    if manifest_p.exists():
+        manifest = json.loads(manifest_p.read_text())
+        for name in manifest.get("missing", []):
+            print(f"FAIL  {name}: declared but wrote no output (crashed)")
+            n_bad += 1
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
