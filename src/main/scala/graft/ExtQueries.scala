@@ -32,6 +32,35 @@ object ExtQueries {
     s"${tag}_$h"
   }
 
+  /** DuckDB replay of `k` BPE merge-learning rounds as chained CTEs:
+    * d0 = the char-split (word, count) dictionary, then per round a
+    * pair-count aggregate, a deterministic argmax (freq desc, then
+    * lexicographic), and the sentinel-padded replace — the same greedy
+    * left-to-right application semantics both engines' `replace` has.
+    */
+  private def bpeLearnCtes(k: Int): String = {
+    val d0 =
+      """d0 AS (
+        |  SELECT array_to_string(string_split(w, ''), ' ') AS s, count(*) AS c
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT z[1] AS l, z[2] AS r, sum(c) AS f FROM (
+         |    SELECT unnest(list_zip(parts, parts[2:])) AS z, c FROM (
+         |      SELECT string_split(s, ' ') AS parts, c FROM d${i - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1),
+         |d$i AS (
+         |  SELECT trim(replace(' ' || s || ' ',
+         |    ' ' || (SELECT l FROM b$i) || ' ' || (SELECT r FROM b$i) || ' ',
+         |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ')) AS s, c
+         |  FROM d${i - 1})""".stripMargin
+    }
+    (d0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
   /** DuckDB replay of `iters` chained Lloyd iterations + the IVF
     * probe/scan — the iteration CTE block is unrolled per step, so the
     * 1-iteration and k-means-n oracles share one source of truth.
@@ -1655,6 +1684,43 @@ object ExtQueries {
       val per = Tables.documents(s, dir)
         .groupBy(col("source")).agg(sum(col("n_chars")).as("tokens"))
       Sampling.waterFill(per, "source", "tokens", budget = 140000L)
+    }),
+
+    // BPE tokenizer TRAINING (merge learning): corpus → (word, count)
+    // dictionary once, then k bounded rounds of pair-count aggregate +
+    // 1-row driver argmax — the Lloyd/PageRank iteration shape applied
+    // to tokenizer induction. Oracle replays the k rounds as chained
+    // CTEs.
+    "q_ext_bpe_learn" -> ((s, dir) =>
+      BpeLearn.learnMerges(Tables.documents(s, dir), "text", k = 4)),
+
+    // ... and the compression those merges buy: corpus token count
+    // before/after replaying the learned table (the training-eval
+    // contract; same dictionary pass, merges applied in rank order).
+    "q_ext_bpe_compress" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = BpeLearn.learnMerges(docs, "text", k = 4)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeLearn.compression(docs, "text", merges)
+    }),
+
+    // Schema-evolution read: two parquet generations with divergent
+    // columns (an old writer without `source`, a new writer without
+    // `n_chars`) merged back into one frame via mergeSchema — the lake
+    // reality that column sets drift across ingest generations. The
+    // oracle reconstructs the same union from the base table.
+    "q_ext_schema_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = scratchDir(s, "g_schema_gen", dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/gen0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen0", s"$out/gen1")
     }),
 
     // Exact weighted sample without replacement (Efraimidis–Spirakis
@@ -3487,6 +3553,28 @@ object ExtQueries {
         |        ELSE CAST(least(tokens, level) AS DOUBLE) / tokens END, 6)
         |    AS rate
         |FROM f, lvl""".stripMargin,
+
+    "q_ext_bpe_learn" ->
+      (bpeLearnCtes(4) + "\nSELECT * FROM (\n" +
+        (1 to 4).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right",
+             |       CAST(f AS BIGINT) AS freq FROM b$i""".stripMargin)
+          .mkString("\nUNION ALL\n") + "\n)"),
+
+    "q_ext_bpe_compress" ->
+      (bpeLearnCtes(4) +
+        """
+          |SELECT CAST(sum(c) AS BIGINT) AS n_words,
+          |       CAST(sum(len(string_split(s, ' ')) * c) AS BIGINT) AS tokens_after,
+          |       CAST(sum(length(replace(s, ' ', '')) * c) AS BIGINT) AS tokens_before
+          |FROM d4""".stripMargin),
+
+    "q_ext_schema_merge" ->
+      """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS source
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS BIGINT) AS n_chars, source
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "q_ext_weighted_sample" ->
       """WITH s AS (
