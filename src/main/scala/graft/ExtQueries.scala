@@ -1731,6 +1731,36 @@ object ExtQueries {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
         k = 50, salt = "ws")),
 
+    // Incremental IVF maintenance: build the persisted index (frozen
+    // trained centroids + cell-bucketed postings) from the base corpus,
+    // then ingest a new batch O(batch) against the persisted centroids
+    // — the embedding twin of the incremental MinHash store. Gate
+    // digests the final postings per cell; the oracle replays the
+    // Lloyd step on the base and assigns base+batch to the same
+    // frozen centroids.
+    "q_ext_ivf_incremental" -> ((s, dir) => {
+      val store = scratchTable(s, "g_ivf_store", dir)
+      Seq(s"${store}_postings", s"${store}_centroids")
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS `$tb`"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = emb.filter(col("id") % 3 =!= 0)
+      val batch = emb.filter(col("id") % 3 === 0)
+      val cents = Similarity.lloydStep(base, base.filter(col("id") % 50 === 7))
+      IvfStore.build(base, cents, store)
+      IvfStore.ingest(batch, store)
+      s.table(s"${store}_postings")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    }),
+
+    // ... and per group: k weighted winners within every source — the
+    // row_number window spelling the TopKPerKey rewrite turns into
+    // bounded per-group heaps (no full per-group sort).
+    "q_ext_weighted_sample_grouped" -> ((s, dir) =>
+      Sampling.weightedSamplePerKey(Tables.documents(s, dir), "source",
+        "doc_id", "n_chars", k = 5, salt = "wsg")),
+
     // Cross-source score calibration TABLE: per-source vs pooled
     // quantiles at a fixed probe grid — the step that makes quality
     // scores comparable across corpus sources before one global
@@ -3586,6 +3616,51 @@ object ExtQueries {
         |SELECT CAST(row_number() OVER (ORDER BY es, doc_id) AS BIGINT) AS rank,
         |       doc_id, n_chars
         |FROM s ORDER BY es, doc_id LIMIT 50""".stripMargin,
+
+    "q_ext_ivf_incremental" ->
+      """WITH cent0 AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 7 AND vec_id % 3 <> 0),
+        |corp AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 3 <> 0),
+        |r0 AS (
+        |  SELECT neighbor_id, cv, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY neighbor_id
+        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+        |           AS cent_rank
+        |  FROM corp, cent0),
+        |asg0 AS (SELECT neighbor_id, cv, cell FROM r0 WHERE cent_rank = 1),
+        |dims0 AS (
+        |  SELECT cell, unnest(cv) AS v, unnest(range(len(cv))) AS dim FROM asg0),
+        |dmeans0 AS (SELECT cell, dim, round(avg(v), 6) AS m FROM dims0 GROUP BY 1, 2),
+        |newc0 AS (SELECT cell, list(m ORDER BY dim) AS nv FROM dmeans0 GROUP BY 1),
+        |cent1 AS (
+        |  SELECT c.cent_id, COALESCE(n.nv, c.cvec) AS cvec
+        |  FROM cent0 c LEFT JOIN newc0 n ON n.cell = c.cent_id),
+        |allv AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |ra AS (
+        |  SELECT id, cent_id AS cell,
+        |         row_number() OVER (PARTITION BY id
+        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC, cent_id)
+        |           AS rr
+        |  FROM allv, cent1)
+        |SELECT cell, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM ra WHERE rr = 1 GROUP BY 1""".stripMargin,
+
+    "q_ext_weighted_sample_grouped" ->
+      """WITH s AS (
+        |  SELECT source, doc_id, n_chars,
+        |    -ln((CAST(('0x' || substring(md5('wsg' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS es
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT source, doc_id, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY es, doc_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 5""".stripMargin,
 
     "q_ext_calibrate" ->
       """WITH perq AS (

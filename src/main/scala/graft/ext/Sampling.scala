@@ -306,12 +306,9 @@ object Sampling {
       salt: String): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val v = conv(hashHex(col(keyCol), salt), 16, 10).cast("double")
-    val u = (v + lit(0.5)) / lit(4294967296.0)
-    val es = -log(u) / col(weightCol).cast("double")
     val top = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("__es", es)
+      .withColumn("__es", esKey(col(keyCol), col(weightCol), salt))
       .orderBy(col("__es"), col(keyCol))
       .limit(k)
     top
@@ -319,5 +316,35 @@ object Sampling {
         row_number().over(Window.orderBy(col("__es"), col(keyCol)))
           .cast("long"))
       .select(col("rank"), col(keyCol), col(weightCol))
+  }
+
+  /** The Efraimidis–Spirakis exponential key −ln(u)/w with u the row's
+    * deterministic 32-bit hash uniform in (0,1).
+    */
+  private def esKey(key: Column, weight: Column, salt: String): Column = {
+    val v = conv(hashHex(key, salt), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    -log(u) / weight.cast("double")
+  }
+
+  /** [[weightedSample]] PER GROUP: k weighted winners within every
+    * `groupCol` value — per-source spot-check sets, per-domain eval
+    * slices. Written as the row_number-over-keyed-window + `rank <= k`
+    * pattern, which [[graft.functions.RewriteWindowTopK]] rewrites into
+    * the bounded-heap TopKPerKey physical operator: per (partition,
+    * group) heaps of k rows, one shuffle on the group key, no full
+    * per-group sort materialized.
+    */
+  def weightedSamplePerKey(
+      df: DataFrame, groupCol: String, keyCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__es"), col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es", esKey(col(keyCol), col(weightCol), salt))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(keyCol), col(weightCol))
   }
 }

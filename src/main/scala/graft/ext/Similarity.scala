@@ -39,7 +39,7 @@ object Similarity {
   /** Codegen'd cosine; registers the native functions on the frame's
     * session on first use.
     */
-  private def fastCosine(df: DataFrame)(a: Column, b: Column): Column = {
+  private[ext] def fastCosine(df: DataFrame)(a: Column, b: Column): Column = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     graft.functions.VectorExpressions.vecCosine(a, b)
   }

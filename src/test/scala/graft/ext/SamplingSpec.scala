@@ -206,6 +206,21 @@ class SamplingSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("weightedSamplePerKey: k winners per group via the bounded-heap rewrite") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toLong, (i % 7 + 1).toDouble))
+      .toDF("g", "id", "w")
+    val out = Sampling.weightedSamplePerKey(df, "g", "id", "w", k = 4, salt = "pk")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === 12) // 3 groups x 4 winners
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L) })
+    // the row_number window spelling must hit the TopKPerKey rewrite,
+    // not a full per-group sort window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"grouped weighted sample did not rewrite to TopKPerKey:\n$plan")
+  }
+
   test("weightedSample skews toward heavy rows: a 100x weight is " +
       "overwhelmingly more likely in-sample than a 1x weight") {
     // 20 heavy rows (w=100) among 180 light (w=1): E[heavy in top-40]
