@@ -1731,6 +1731,29 @@ object ExtQueries {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
         k = 50, salt = "ws")),
 
+    // Embedding drift monitor: per-dimension moment comparison between
+    // the base snapshot and the ingested batch (same split as the
+    // incremental IVF gate) — the retrain trigger for every frozen
+    // embedding structure. Engine-exact via the split fixed-point sums.
+    "q_ext_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Drift.embeddingDrift(
+        emb.filter(col("vec_id") % 3 =!= 0),
+        emb.filter(col("vec_id") % 3 === 0), "embedding")
+    }),
+
+    // Misra–Gries heavy hitters: the constant-memory mergeable
+    // frequent-items summary vs the exact path's one-row-per-distinct
+    // shuffle. The gate pins the order-independent THEOREM (presence +
+    // undercount bound for every item above N/k), never the summary's
+    // merge-order-dependent tail.
+    "q_ext_heavy_hitters" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+      HeavyHitters.heavyHitterContract(words, "w", k = 40)
+    }),
+
     // Incremental IVF maintenance: build the persisted index (frozen
     // trained centroids + cell-bucketed postings) from the base corpus,
     // then ingest a new batch O(batch) against the persisted centroids
@@ -3616,6 +3639,59 @@ object ExtQueries {
         |SELECT CAST(row_number() OVER (ORDER BY es, doc_id) AS BIGINT) AS rank,
         |       doc_id, n_chars
         |FROM s ORDER BY es, doc_id LIMIT 50""".stripMargin,
+
+    "q_ext_embedding_drift" ->
+      """WITH eb AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         unnest(range(len(embedding))) AS dim
+        |  FROM embeddings WHERE vec_id % 3 <> 0),
+        |ec AS (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         unnest(range(len(embedding))) AS dim
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |fb AS (SELECT dim,
+        |    CAST(floor(round(x*1e15)/16777216.0) AS BIGINT) AS h1,
+        |    CAST(round(x*1e15) AS BIGINT)
+        |      - CAST(floor(round(x*1e15)/16777216.0) AS BIGINT)*16777216 AS l1,
+        |    CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT) AS h2,
+        |    CAST(round(x*x*1e15) AS BIGINT)
+        |      - CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT)*16777216 AS l2
+        |  FROM eb),
+        |fc AS (SELECT dim,
+        |    CAST(floor(round(x*1e15)/16777216.0) AS BIGINT) AS h1,
+        |    CAST(round(x*1e15) AS BIGINT)
+        |      - CAST(floor(round(x*1e15)/16777216.0) AS BIGINT)*16777216 AS l1,
+        |    CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT) AS h2,
+        |    CAST(round(x*x*1e15) AS BIGINT)
+        |      - CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT)*16777216 AS l2
+        |  FROM ec),
+        |sb AS (SELECT dim,
+        |    (CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*) AS m,
+        |    (CAST(sum(h2) AS DOUBLE)*16777216.0 + CAST(sum(l2) AS DOUBLE))/1e15/count(*)
+        |      - ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*))
+        |      * ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*)) AS va
+        |  FROM fb GROUP BY 1),
+        |sc AS (SELECT dim,
+        |    (CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*) AS m,
+        |    (CAST(sum(h2) AS DOUBLE)*16777216.0 + CAST(sum(l2) AS DOUBLE))/1e15/count(*)
+        |      - ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*))
+        |      * ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*)) AS va
+        |  FROM fc GROUP BY 1)
+        |SELECT sb.dim,
+        |       round(sb.m, 6) AS mean_base, round(sc.m, 6) AS mean_batch,
+        |       round(sb.va, 6) AS var_base, round(sc.va, 6) AS var_batch,
+        |       round(abs(sc.m - sb.m), 6) AS mean_shift
+        |FROM sb JOIN sc ON sb.dim = sc.dim""".stripMargin,
+
+    "q_ext_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |t AS (SELECT w FROM w WHERE w <> ''),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |e AS (SELECT w AS item, count(*) AS exact_n FROM t GROUP BY 1)
+        |SELECT item, exact_n, TRUE AS present, TRUE AS within_bound
+        |FROM e, n WHERE exact_n * 40 > n_total""".stripMargin,
 
     "q_ext_ivf_incremental" ->
       """WITH cent0 AS (

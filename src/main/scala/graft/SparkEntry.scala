@@ -881,6 +881,38 @@ object SparkEntry {
       s.table("g_st6")
     }),
 
+    // §2.10 driver-gated LEFT OUTER stream-stream interval join — the
+    // "which clicks never converted" funnel the inner q_st6 can't
+    // answer. Matched pairs emit as they match (single AvailableNow
+    // batch = the batch join); an unmatched click emits null-padded
+    // only when the final watermark proves its 10-minute window closed
+    // (state eviction = emission), which the oracle replays as an
+    // epoch-microsecond inequality against max(ts) − the 30-minute
+    // watermark delay. Clicks whose window is still open at end of
+    // stream are withheld in state and never emit — also replayed.
+    // The 500 ms delay fraction keeps the eviction boundary off any
+    // second-aligned timestamp lattice (same defense as q_st10).
+    "q_st11_stream_join_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def ev() = streamTable(s, dir, "events")
+      val clicks = ev().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val joined = graft.streaming.StreamJoin.intervalJoinLeftOuter(
+          clicks, purchases, Seq("user_id"), "click_ts", "purchase_ts",
+          minLagSec = 0L, maxLagSec = 600L,
+          watermarkDelay = "1800500 milliseconds")
+        .select(col("click_id"), col("purchase_id"))
+      s.catalog.dropTempView("g_st11")
+      val q = joined.writeStream.format("memory").queryName("g_st11")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st11")
+    }),
+
     // §2.10 driver-gated streaming NEAR-DUP ingest: the continuous form
     // of the incremental MinHash store — per micro-batch, probe the
     // persisted store, canonicalize within the batch, append survivors
@@ -1615,6 +1647,24 @@ object SparkEntry {
     // The streamed gap events equal the batch operator's — one oracle,
     // two engines (see q_ext_gaps in ExtQueries for the SQL).
     "q_st9_stream_gaps" -> ExtQueries.oracleSql("q_ext_gaps"),
+
+    // Left-outer interval join: matched pairs = the batch join;
+    // null-padded rows only for clicks whose match window closed below
+    // the final watermark (max event ms − 1800500 ms delay).
+    "q_st11_stream_join_outer" ->
+      """WITH m AS (SELECT epoch_ms(max(ts)) AS mxms FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.click_id, p.purchase_id, c.click_ts
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 600 SECONDS)
+        |SELECT click_id, purchase_id FROM j, m
+        |WHERE purchase_id IS NOT NULL
+        |   OR epoch_us(click_ts) + 600000000 < (mxms - 1800500) * 1000""".stripMargin,
 
     // Stream-static broadcast enrichment == the batch join.
     "q_st4_stream_enrich" ->

@@ -53,13 +53,7 @@ object Pca {
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val shift = 16777216.0 // 2^24
-    def hi(c: Column): Column =
-      floor(round(c * 1e15).cast("double") / shift).cast("long")
-    def lo(c: Column): Column =
-      round(c * 1e15).cast("long") - hi(c) * 16777216L
-    def rebuild(hiSum: Column, loSum: Column): Column =
-      (hiSum.cast("double") * shift + loSum.cast("double")) / 1e15
+    import FixedPoint.{hi, lo, rebuild}
     df.select(posexplode(v).as(Seq("i", "vi")), v.as("__v"))
       .select(col("i"), col("vi"), posexplode(col("__v")).as(Seq("j", "vj")))
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))

@@ -39,4 +39,28 @@ object StreamJoin {
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLagSec SECONDS")
     l.join(r, equi && range, "inner")
   }
+
+  /** LEFT OUTER variant of [[intervalJoin]] — the funnel question the
+    * inner join can't answer: which clicks NEVER converted? Matched
+    * rows emit as they match; an UNMATCHED left row emits null-padded
+    * only once the watermark proves no future right row can land in
+    * its interval (state eviction = emission, which is why the
+    * watermark is mandatory here, not hygiene: without it unmatched
+    * rows would be held forever and never emitted).
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      minLagSec: Long, maxLagSec: Long,
+      watermarkDelay: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equi-key")
+    require(minLagSec <= maxLagSec, "minLagSec must be <= maxLagSec")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val equi: Column = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range: Column =
+      r(rightTs) >= l(leftTs) + expr(s"INTERVAL $minLagSec SECONDS") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLagSec SECONDS")
+    l.join(r, equi && range, "left_outer")
+  }
 }
