@@ -1731,6 +1731,17 @@ object ExtQueries {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
         k = 50, salt = "ws")),
 
+    // Leakage-safe TEMPORAL split (train past / eval future) at an
+    // exact integer day boundary — no interpolated-quantile cutoffs,
+    // no timestamp ulp at the comparison. Gate reports the per-split
+    // profile.
+    "q_ext_temporal_split" -> ((s, dir) =>
+      TemporalSplit.temporalSplit(Tables.events(s, dir), "ts", 4L, 5L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(to_date(col("ts"))).cast("string").as("first_day"),
+          max(to_date(col("ts"))).cast("string").as("last_day"))),
+
     // Embedding drift monitor: per-dimension moment comparison between
     // the base snapshot and the ingested batch (same split as the
     // incremental IVF gate) — the retrain trigger for every frozen
@@ -2328,23 +2339,21 @@ object ExtQueries {
         |b AS (
         |  SELECT i, vi, unnest(v) AS vj, unnest(range(len(v))) AS j FROM a),
         |f AS (SELECT i, j,
-        |        CAST(floor(round(vi*vj*1e15)/16777216.0) AS BIGINT) AS hij,
-        |        CAST(round(vi*vj*1e15) AS BIGINT)
-        |          - CAST(floor(round(vi*vj*1e15)/16777216.0) AS BIGINT)*16777216 AS lij,
-        |        CAST(floor(round(vi*1e15)/16777216.0) AS BIGINT) AS hi_,
-        |        CAST(round(vi*1e15) AS BIGINT)
-        |          - CAST(floor(round(vi*1e15)/16777216.0) AS BIGINT)*16777216 AS li_,
-        |        CAST(floor(round(vj*1e15)/16777216.0) AS BIGINT) AS hj_,
-        |        CAST(round(vj*1e15) AS BIGINT)
-        |          - CAST(floor(round(vj*1e15)/16777216.0) AS BIGINT)*16777216 AS lj_
+        |        CASE WHEN vi*vj >= 0 THEN CAST(floor(vi*vj*1e15 + 0.5) AS BIGINT)
+        |             ELSE CAST(-floor(-(vi*vj*1e15) + 0.5) AS BIGINT) END AS pij,
+        |        CASE WHEN vi >= 0 THEN CAST(floor(vi*1e15 + 0.5) AS BIGINT)
+        |             ELSE CAST(-floor(-(vi*1e15) + 0.5) AS BIGINT) END AS pi_,
+        |        CASE WHEN vj >= 0 THEN CAST(floor(vj*1e15 + 0.5) AS BIGINT)
+        |             ELSE CAST(-floor(-(vj*1e15) + 0.5) AS BIGINT) END AS pj_
         |      FROM b)
         |SELECT i, j,
-        |  round((CAST(sum(hij) AS DOUBLE)*16777216.0 + CAST(sum(lij) AS DOUBLE))
-        |          /1e15/count(*)
-        |    - ((CAST(sum(hi_) AS DOUBLE)*16777216.0 + CAST(sum(li_) AS DOUBLE))
-        |          /1e15/count(*))
-        |    * ((CAST(sum(hj_) AS DOUBLE)*16777216.0 + CAST(sum(lj_) AS DOUBLE))
-        |          /1e15/count(*)), 6) AS cov
+        |  round((CAST(sum(pij >> 24) AS DOUBLE)*16777216.0
+        |         + CAST(sum(pij - ((pij >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)
+        |    - ((CAST(sum(pi_ >> 24) AS DOUBLE)*16777216.0
+        |         + CAST(sum(pi_ - ((pi_ >> 24) * 16777216)) AS DOUBLE))/1e15/count(*))
+        |    * ((CAST(sum(pj_ >> 24) AS DOUBLE)*16777216.0
+        |         + CAST(sum(pj_ - ((pj_ >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)),
+        |    6) AS cov
         |FROM f GROUP BY 1, 2""".stripMargin,
 
     "q_ext_pca_contract" ->
@@ -3640,6 +3649,19 @@ object ExtQueries {
         |       doc_id, n_chars
         |FROM s ORDER BY es, doc_id LIMIT 50""".stripMargin,
 
+    "q_ext_temporal_split" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day FROM events),
+        |pd AS (SELECT day, count(*) AS c FROM d GROUP BY 1),
+        |cm AS (SELECT day, sum(c) OVER (ORDER BY day) AS cum FROM pd),
+        |n AS (SELECT count(*) AS n FROM d),
+        |cut AS (SELECT min(day) AS cut FROM cm, n WHERE cum * 5 >= n.n * 4)
+        |SELECT CASE WHEN CAST(ts AS DATE) <= cut THEN 'train' ELSE 'eval' END
+        |         AS split,
+        |       count(*) AS n_rows,
+        |       CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+        |       CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS last_day
+        |FROM events, cut GROUP BY 1""".stripMargin,
+
     "q_ext_embedding_drift" ->
       """WITH eb AS (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -3650,32 +3672,34 @@ object ExtQueries {
         |         unnest(range(len(embedding))) AS dim
         |  FROM embeddings WHERE vec_id % 3 = 0),
         |fb AS (SELECT dim,
-        |    CAST(floor(round(x*1e15)/16777216.0) AS BIGINT) AS h1,
-        |    CAST(round(x*1e15) AS BIGINT)
-        |      - CAST(floor(round(x*1e15)/16777216.0) AS BIGINT)*16777216 AS l1,
-        |    CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT) AS h2,
-        |    CAST(round(x*x*1e15) AS BIGINT)
-        |      - CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT)*16777216 AS l2
+        |    CASE WHEN x >= 0 THEN CAST(floor(x*1e15 + 0.5) AS BIGINT)
+        |         ELSE CAST(-floor(-(x*1e15) + 0.5) AS BIGINT) END AS p1,
+        |    CAST(floor(x*x*1e15 + 0.5) AS BIGINT) AS p2
         |  FROM eb),
         |fc AS (SELECT dim,
-        |    CAST(floor(round(x*1e15)/16777216.0) AS BIGINT) AS h1,
-        |    CAST(round(x*1e15) AS BIGINT)
-        |      - CAST(floor(round(x*1e15)/16777216.0) AS BIGINT)*16777216 AS l1,
-        |    CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT) AS h2,
-        |    CAST(round(x*x*1e15) AS BIGINT)
-        |      - CAST(floor(round(x*x*1e15)/16777216.0) AS BIGINT)*16777216 AS l2
+        |    CASE WHEN x >= 0 THEN CAST(floor(x*1e15 + 0.5) AS BIGINT)
+        |         ELSE CAST(-floor(-(x*1e15) + 0.5) AS BIGINT) END AS p1,
+        |    CAST(floor(x*x*1e15 + 0.5) AS BIGINT) AS p2
         |  FROM ec),
         |sb AS (SELECT dim,
-        |    (CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*) AS m,
-        |    (CAST(sum(h2) AS DOUBLE)*16777216.0 + CAST(sum(l2) AS DOUBLE))/1e15/count(*)
-        |      - ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*))
-        |      * ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*)) AS va
+        |    (CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*) AS m,
+        |    (CAST(sum(p2 >> 24) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p2 - ((p2 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)
+        |      - ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*))
+        |      * ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)) AS va
         |  FROM fb GROUP BY 1),
         |sc AS (SELECT dim,
-        |    (CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*) AS m,
-        |    (CAST(sum(h2) AS DOUBLE)*16777216.0 + CAST(sum(l2) AS DOUBLE))/1e15/count(*)
-        |      - ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*))
-        |      * ((CAST(sum(h1) AS DOUBLE)*16777216.0 + CAST(sum(l1) AS DOUBLE))/1e15/count(*)) AS va
+        |    (CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*) AS m,
+        |    (CAST(sum(p2 >> 24) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p2 - ((p2 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)
+        |      - ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*))
+        |      * ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)) AS va
         |  FROM fc GROUP BY 1)
         |SELECT sb.dim,
         |       round(sb.m, 6) AS mean_base, round(sc.m, 6) AS mean_batch,

@@ -25,16 +25,18 @@ object Drift {
   def embeddingDrift(
       base: DataFrame, batch: DataFrame, vecCol: String,
       scale: Int = 6): DataFrame = {
-    import FixedPoint.{hi, lo, rebuild}
+    import FixedPoint.{fx, hi, lo, rebuild}
     def stats(df: DataFrame, tag: String): DataFrame = {
       val v = col(vecCol).cast("array<double>")
       df.select(posexplode(v).as(Seq("dim", "v")))
-        .groupBy(col("dim").cast("long").as("dim"))
+        .select(col("dim").cast("long").as("dim"),
+          fx(col("v")).as("__p1"), fx(col("v") * col("v")).as("__p2"))
+        .groupBy(col("dim"))
         .agg(
-          sum(hi(col("v"))).as("__h1"),
-          sum(lo(col("v"))).as("__l1"),
-          sum(hi(col("v") * col("v"))).as("__h2"),
-          sum(lo(col("v") * col("v"))).as("__l2"),
+          sum(hi(col("__p1"))).as("__h1"),
+          sum(lo(col("__p1"))).as("__l1"),
+          sum(hi(col("__p2"))).as("__h2"),
+          sum(lo(col("__p2"))).as("__l2"),
           count(lit(1)).as("__n"))
         .select(col("dim"),
           (rebuild(col("__h1"), col("__l1")) / col("__n")).as(s"__m_$tag"),

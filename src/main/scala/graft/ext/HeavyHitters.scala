@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -55,8 +55,11 @@ object HeavyHitters {
     }
 
     override def finish(b: Map[String, Long]): Map[String, Long] = b
+    // Native map encoders on BOTH sides: the buffer crosses the partial
+    // aggregate as a plain MapType row, not an opaque kryo blob —
+    // faster, and immune to JDK-17 module-opens reflection surprises.
     override def bufferEncoder: Encoder[Map[String, Long]] =
-      Encoders.kryo[Map[String, Long]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

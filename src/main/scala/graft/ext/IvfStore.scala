@@ -57,9 +57,17 @@ object IvfStore {
   def build(corpus: DataFrame, centroids: DataFrame, store: String,
       buckets: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `${store}_centroids`")
+    val cenTable = s"${store}_centroids"
+    // The in-memory catalog forgets tables across JVMs while the
+    // warehouse directory persists — drop BOTH, or the rebuild dies
+    // with LOCATION_ALREADY_EXISTS (same defense as Bucketing).
+    spark.sql(s"DROP TABLE IF EXISTS `$cenTable`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, cenTable.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     centroids.select(col("id"), Similarity.asDouble(col("vec")).as("vec"))
-      .write.mode("overwrite").saveAsTable(s"${store}_centroids")
+      .write.mode("overwrite").saveAsTable(cenTable)
     Bucketing.writeBucketed(
       assign(corpus, centroids), s"${store}_postings", Seq("cell"), buckets)
   }

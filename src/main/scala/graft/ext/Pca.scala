@@ -53,17 +53,23 @@ object Pca {
     */
   def covarianceMatrix(df: DataFrame, vecCol: String, scale: Int = 6): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    import FixedPoint.{hi, lo, rebuild}
+    import FixedPoint.{fx, hi, lo, rebuild}
     df.select(posexplode(v).as(Seq("i", "vi")), v.as("__v"))
       .select(col("i"), col("vi"), posexplode(col("__v")).as(Seq("j", "vj")))
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      // quantize each statistic ONCE in the projection; the aggregate
+      // below is pure long shifts and sums (all codegen fast paths)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        fx(col("vi") * col("vj")).as("__pij"),
+        fx(col("vi")).as("__pi"),
+        fx(col("vj")).as("__pj"))
+      .groupBy(col("i"), col("j"))
       .agg(
-        sum(hi(col("vi") * col("vj"))).as("__hij"),
-        sum(lo(col("vi") * col("vj"))).as("__lij"),
-        sum(hi(col("vi"))).as("__hi"),
-        sum(lo(col("vi"))).as("__li"),
-        sum(hi(col("vj"))).as("__hj"),
-        sum(lo(col("vj"))).as("__lj"),
+        sum(hi(col("__pij"))).as("__hij"),
+        sum(lo(col("__pij"))).as("__lij"),
+        sum(hi(col("__pi"))).as("__hi"),
+        sum(lo(col("__pi"))).as("__li"),
+        sum(hi(col("__pj"))).as("__hj"),
+        sum(lo(col("__pj"))).as("__lj"),
         count(lit(1)).as("__n"))
       .select(col("i"), col("j"),
         round(
