@@ -1731,6 +1731,24 @@ object ExtQueries {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
         k = 50, salt = "ws")),
 
+    // Point-in-time join: each purchase picks the 'view' dimension
+    // version valid at its own time from the SCD2 history — the
+    // backfill-correct dimension lookup (facts before a key's first
+    // version survive null-padded). Changes pre-deduped per (key, seq)
+    // so interval boundaries are deterministic at any scale.
+    "q_ext_pit_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val changes = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("seq"))
+        .agg(max(col("value")).as("value"))
+      val hist = graft.ops.Cdc.scd2History(changes, Seq("user_id"), "seq")
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      graft.ops.Cdc.pitJoin(facts, hist, Seq("user_id"), "t")
+        .select(col("event_id"), col("user_id"), col("t"),
+          round(col("value"), 6).as("dim_value"), col("valid_from"))
+    }),
+
     // Leakage-safe TEMPORAL split (train past / eval future) at an
     // exact integer day boundary — no interpolated-quantile cutoffs,
     // no timestamp ulp at the comparison. Gate reports the per-split
@@ -3648,6 +3666,23 @@ object ExtQueries {
         |SELECT CAST(row_number() OVER (ORDER BY es, doc_id) AS BIGINT) AS rank,
         |       doc_id, n_chars
         |FROM s ORDER BY es, doc_id LIMIT 50""".stripMargin,
+
+    "q_ext_pit_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, epoch_us(ts) AS seq, max(value) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |h AS (
+        |  SELECT user_id, seq AS valid_from,
+        |         lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to,
+        |         value
+        |  FROM ch),
+        |f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.t,
+        |       round(h.value, 6) AS dim_value, h.valid_from
+        |FROM f LEFT JOIN h ON h.user_id = f.user_id
+        |  AND f.t >= h.valid_from AND (h.valid_to IS NULL OR f.t < h.valid_to)""".stripMargin,
 
     "q_ext_temporal_split" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day FROM events),

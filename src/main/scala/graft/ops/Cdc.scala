@@ -73,4 +73,31 @@ object Cdc {
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time (as-of) join of facts onto [[scd2History]]: each fact
+    * row picks the dimension version valid at its own time —
+    * `valid_from <= t < valid_to` (open-ended current version matches
+    * everything after its start). LEFT join: facts before the key's
+    * first version (or with no history at all) survive null-padded,
+    * which is what a backfill over a younger dimension actually sees.
+    *
+    * Scale shape: an equi-join on the entity key with the validity
+    * range as a join residual — one co-shuffle of facts and history on
+    * the key; per-key fan-in is the key's VERSION COUNT, so the match
+    * work is facts × versions-per-key, not facts × history. For
+    * pathological per-key version counts (millions of versions of one
+    * dimension row) the union+window [[AsOfJoin]] spelling bounds the
+    * memory instead; at warehouse-normal version counts the residual
+    * join is the cheaper plan (no union re-sort of the fact table).
+    */
+  def pitJoin(facts: DataFrame, history: DataFrame, keys: Seq[String],
+      timeCol: String): DataFrame = {
+    require(keys.nonEmpty, "pitJoin needs at least one key column")
+    val h = keys.foldLeft(history)((d, k) => d.withColumnRenamed(k, s"__h_$k"))
+    val equi = keys.map(k => col(k) === col(s"__h_$k")).reduce(_ && _)
+    val range = col(timeCol) >= col("valid_from") &&
+      (col("valid_to").isNull || col(timeCol) < col("valid_to"))
+    facts.join(h, equi && range, "left")
+      .drop(keys.map(k => s"__h_$k"): _*)
+  }
 }

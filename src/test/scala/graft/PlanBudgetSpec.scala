@@ -86,7 +86,40 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_rrf", 12,
       "two full scorer subtrees (bm25: postings agg + df window + score " +
         "agg; overlap: distinct + agg) + fusion agg + fused ranking — " +
-        "each input list is already top-k-bounded"))
+        "each input list is already top-k-bounded"),
+    ("q_ext_covariance", 1,
+      "ONE (i,j)-keyed partial aggregate of fixed-point long sums — dim² " +
+        "groups, never vectors; a second exchange means the sufficient " +
+        "stats stopped folding map-side"),
+    ("q_ext_embedding_drift", 2,
+      "one dim-keyed moment aggregate per side; the dim-sized join " +
+        "reuses both partitionings"),
+    ("q_ext_calibrate", 2,
+      "per-source + pooled percentile aggregates; pooled side broadcasts " +
+        "onto the grid join"),
+    ("q_ext_calibrate_apply", 2,
+      "the same two table aggregates; map collapse and application are " +
+        "broadcast joins — the DATA never shuffles"),
+    ("q_ext_weighted_sample", 0,
+      "TakeOrderedAndProject (per-partition heaps + k-row gather) + the " +
+        "k-row rank window — no exchange at all"),
+    ("q_ext_weighted_sample_grouped", 1,
+      "TopKPerKey partial/final pair on the group key — one exchange of " +
+        "k-per-key survivors"),
+    ("q_ext_heavy_hitters", 3,
+      "MG summary agg (single row), exact token counts, corpus total — " +
+        "all partial-aggregated; summary and total broadcast back"),
+    ("q_ext_bpe_compress", 2,
+      "word-dictionary aggregate + the one-row compression fold; merge " +
+        "application is a per-row expression"),
+    ("q_ext_schema_merge", 0,
+      "mergeSchema scan-union straight to output (generation writes are " +
+        "separate jobs)"),
+    ("q_ext_temporal_split", 11,
+      "data-bearing: the per-day count aggregate + the gate report agg; " +
+        "the other exchanges move the |days|-sized directory through " +
+        "PrefixSum's chunk/block machinery — bounded by the date range, " +
+        "not the data"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

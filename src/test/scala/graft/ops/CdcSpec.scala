@@ -68,4 +68,26 @@ class CdcSpec extends SparkTestBase {
       ("u1", "v3", 300L, None, true),
       ("u2", "w1", 150L, None, true)))
   }
+
+  test("pitJoin: each fact picks the version valid at its time; " +
+      "pre-history and unknown keys survive null-padded") {
+    val hist = Cdc.scd2History(Seq(
+      ("u1", 100L, "v1"), ("u1", 200L, "v2"), ("u1", 300L, "v3"),
+      ("u2", 150L, "w1")
+    ).toDF("k", "seq", "attr"), Seq("k"), "seq")
+    val facts = Seq(
+      (1L, "u1", 100L),  // exactly at v1 start -> v1
+      (2L, "u1", 199L),  // inside v1
+      (3L, "u1", 200L),  // boundary: v1 closes at 200, v2 opens -> v2
+      (4L, "u1", 999L),  // open-ended current -> v3
+      (5L, "u1", 50L),   // before first version -> null
+      (6L, "u3", 500L)   // no history at all -> null
+    ).toDF("fid", "k", "t")
+    val got = Cdc.pitJoin(facts, hist, Seq("k"), "t")
+      .select("fid", "attr").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set(
+      (1L, Some("v1")), (2L, Some("v1")), (3L, Some("v2")),
+      (4L, Some("v3")), (5L, None), (6L, None)))
+  }
 }
