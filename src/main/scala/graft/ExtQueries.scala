@@ -1731,6 +1731,20 @@ object ExtQueries {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
         k = 50, salt = "ws")),
 
+    // Per-(user, day) admission quota — the crawl-politeness /
+    // per-domain ingest cap: first 3 events per key-day in arrival
+    // order, lowered to TopKPerKey bounded heaps. (Day buckets: the
+    // fixture's per-user-hour density never reaches the cap, so an
+    // hourly gate would admit everything and prove nothing.)
+    "q_ext_crawl_quota" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day_start", graft.ops.TimeOps.bucketStartEpoch(col("ts"), 86400))
+      Sampling.admitQuota(e,
+          keys = Seq(col("user_id"), col("day_start")),
+          orderBy = Seq(col("ts"), col("event_id")), quota = 3)
+        .select(col("event_id"), col("user_id"), col("day_start"), col("rank"))
+    }),
+
     // Point-in-time join: each purchase picks the 'view' dimension
     // version valid at its own time from the SCD2 history — the
     // backfill-correct dimension lookup (facts before a key's first
@@ -3666,6 +3680,18 @@ object ExtQueries {
         |SELECT CAST(row_number() OVER (ORDER BY es, doc_id) AS BIGINT) AS rank,
         |       doc_id, n_chars
         |FROM s ORDER BY es, doc_id LIMIT 50""".stripMargin,
+
+    "q_ext_crawl_quota" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_start,
+        |         epoch_us(ts) AS us
+        |  FROM events),
+        |r AS (SELECT event_id, user_id, day_start,
+        |        CAST(row_number() OVER (PARTITION BY user_id, day_start
+        |               ORDER BY us, event_id) AS BIGINT) AS rank
+        |      FROM b)
+        |SELECT event_id, user_id, day_start, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q_ext_pit_join" ->
       """WITH ch AS (

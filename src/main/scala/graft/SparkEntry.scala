@@ -1017,6 +1017,43 @@ object SparkEntry {
         expr("gap_us div 1000000").as("gap_seconds"))
     }),
 
+    // §2.10 driver-gated STREAMING heavy hitters: the Misra–Gries
+    // summary as streaming state — the same mergeable buffer the batch
+    // aggregate uses, accumulated by the streaming engine in complete
+    // mode. The contract (presence + undercount bound above N/k) holds
+    // for ANY merge order, so the gate is robust to micro-batch
+    // boundaries; with the fixture's single AvailableNow batch it
+    // shares q_ext_heavy_hitters' oracle outright.
+    "q_st12_stream_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val k = 40
+      val words = streamTable(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+      val mg = udaf(graft.ext.HeavyHitters.MisraGries(k))
+      val agg = words.agg(mg(col("w")).as("summary"))
+      s.catalog.dropTempView("g_st12")
+      val q = agg.writeStream.format("memory").queryName("g_st12")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val summary = s.table("g_st12")
+      val batchWords = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+      val exact = batchWords.groupBy(col("w").as("item"))
+        .agg(count(lit(1)).as("exact_n"))
+      val total = batchWords.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(broadcast(total))
+        .filter(col("exact_n") * k > col("n_total"))
+        .crossJoin(broadcast(summary))
+        .select(col("item"), col("exact_n"),
+          col("summary").getItem(col("item")).isNotNull.as("present"),
+          (coalesce(col("summary").getItem(col("item")), lit(0L)).cast("double")
+            .between(
+              col("exact_n").cast("double") - col("n_total").cast("double") / k,
+              col("exact_n").cast("double"))).as("within_bound"))
+    }),
+
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
@@ -1647,6 +1684,10 @@ object SparkEntry {
     // The streamed gap events equal the batch operator's — one oracle,
     // two engines (see q_ext_gaps in ExtQueries for the SQL).
     "q_st9_stream_gaps" -> ExtQueries.oracleSql("q_ext_gaps"),
+
+    // The streamed MG summary satisfies the same order-independent
+    // contract as the batch aggregate — one oracle, two engines.
+    "q_st12_stream_heavy_hitters" -> ExtQueries.oracleSql("q_ext_heavy_hitters"),
 
     // Left-outer interval join: matched pairs = the batch join;
     // null-padded rows only for clicks whose match window closed below

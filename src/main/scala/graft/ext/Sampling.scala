@@ -335,6 +335,24 @@ object Sampling {
     * group) heaps of k rows, one shuffle on the group key, no full
     * per-group sort materialized.
     */
+  /** Per-(key, window) admission quota: keep the first `quota` rows of
+    * every key × time-bucket in (orderCol, tieBreak) arrival order —
+    * crawl politeness caps, per-domain ingest budgets, API quota
+    * enforcement. The `row_number <= quota` spelling lowers to the
+    * bounded-heap TopKPerKey operator: one shuffle on (key, bucket),
+    * per-group heaps of `quota` rows, no per-group sort.
+    */
+  def admitQuota(
+      df: DataFrame, keys: Seq[Column], orderBy: Seq[Column],
+      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    require(keys.nonEmpty, "admitQuota needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= quota)
+  }
+
   def weightedSamplePerKey(
       df: DataFrame, groupCol: String, keyCol: String, weightCol: String,
       k: Int, salt: String): DataFrame = {
