@@ -35,6 +35,33 @@ class TemporalSplitSpec extends SparkTestBase {
     assert(n === 8L)
   }
 
+  test("property: floor guarantee and causality for random day distributions") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val rowsGen = Gen.listOfN(200, Gen.zip(
+      Gen.choose(1, 20), Gen.choose(0, 86399))) // (day-of-month, sec-of-day)
+    (1 to 3).foreach { i =>
+      val rows = sample(rowsGen, 500L + i).zipWithIndex.map { case ((d, s), j) =>
+        (j.toLong, java.sql.Timestamp.valueOf(
+          f"2024-03-$d%02d ${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d"))
+      }
+      val out = TemporalSplit.temporalSplit(rows.toDF("id", "ts"), "ts", 7L, 10L)
+      val n = rows.size.toLong
+      val train = out.filter($"split" === "train")
+      assert(train.count() * 10L >= n * 7L, "train fraction below target")
+      // causality: train owns the whole boundary day, eval starts on a
+      // strictly later day, so every eval row follows every train row
+      val maxTrain = train.agg(max($"ts")).head().getTimestamp(0)
+      val evalRows = out.filter($"split" === "eval")
+      if (evalRows.count() > 0) {
+        val minEval = evalRows.agg(min($"ts")).head().getTimestamp(0)
+        assert(minEval.after(maxTrain), "eval row precedes last train row")
+      }
+    }
+  }
+
   test("fraction preconditions fail fast") {
     intercept[IllegalArgumentException](
       TemporalSplit.temporalSplit(fixture, "ts", 6L, 5L))
