@@ -1847,7 +1847,50 @@ object ExtQueries {
         .select(col("event_id"), col("event_type"),
           round(col("value"), 6).as("value_r"), col("value_cal"))
     }),
+
+    // Batch-admission data-quality gate: the whole five-constraint
+    // suite is ONE scan + one single-row partial-agg shuffle, whatever
+    // the constraint count (see Expectations object doc). Every
+    // observed metric is an integer-count ratio — the same long/long
+    // double division in both engines.
+    "q_ext_expectations" -> ((s, dir) =>
+      Expectations.suite(Tables.documents(s, dir), Seq(
+        Expectations.NotNull("text", 1.0),
+        Expectations.Unique("doc_id"),
+        Expectations.InSet("lang", Seq("en", "de", "fr", "es"), 0.8),
+        Expectations.Between("n_chars", 1.0, 500.0, 0.95),
+        Expectations.Matches("source", "^src[0-9]+$", 1.0)))),
+
+    // HLL distinct-count sketch per group: constant-register summary
+    // vs the exact Expand+shuffle distinct — the open-vocabulary
+    // cardinality path. Exact count hash-checked; ±5% (≈3σ at lgK=12)
+    // accuracy contract oracle-asserted.
+    "q_ext_hll_distinct" -> ((s, dir) =>
+      Cardinality.hllDistinctContract(docWords(s, dir), "source", "w")),
+
+    // ... and the MERGEABILITY theorem: union of per-shard sketches
+    // estimates exactly what the direct sketch over everything does —
+    // the property that lets per-day sketch stores answer range
+    // distinct queries without rescans.
+    "q_ext_hll_union" -> ((s, dir) =>
+      Cardinality.hllUnionContract(docWords(s, dir), "w", "doc_id")),
+
+    // Count-min frequency bounds for the exact top-20 tokens: a CMS
+    // never undercounts, and overcounts by at most eps*N — the
+    // one-sided guarantee that makes it safe for threshold admission.
+    "q_ext_cms_bounds" -> ((s, dir) =>
+      Cardinality.cmsBoundsContract(docWords(s, dir), "w", k = 20)),
   )
+
+  /** Lower-cased word stream over `documents` with provenance columns —
+    * the shared input of the sketch gates (same split spelling as the
+    * heavy-hitters / BPE oracles: `[^a-z]+`, empties dropped).
+    */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
 
   /** Script-profile fixture tails, shared verbatim by query and oracle
     * (\u escapes so composed/decomposed status is explicit in source).
@@ -3873,5 +3916,71 @@ object ExtQueries {
         |                       / (up_src - lo_src)
         |             END, 6) AS value_cal
         |FROM b""".stripMargin,
+
+    "q_ext_hll_distinct" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents)
+        |SELECT source, count(DISTINCT w) AS n_exact, TRUE AS est_ok
+        |FROM w WHERE w <> '' GROUP BY 1""".stripMargin,
+
+    "q_ext_hll_union" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents)
+        |SELECT count(DISTINCT w) AS n_exact,
+        |       TRUE AS union_eq_direct, TRUE AS est_ok
+        |FROM w WHERE w <> ''""".stripMargin,
+
+    "q_ext_cms_bounds" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w AS item, count(*) AS n_exact
+        |      FROM w WHERE w <> '' GROUP BY 1)
+        |SELECT item, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM c ORDER BY n_exact DESC, item LIMIT 20""".stripMargin,
+
+    "q_ext_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |         count(text) AS nn_text,
+        |         count(doc_id) AS nn_doc,
+        |         count(DISTINCT doc_id) AS nd_doc,
+        |         count(lang) AS nn_lang,
+        |         sum(CASE WHEN lang IN ('en','de','fr','es')
+        |             THEN 1 ELSE 0 END) AS in_lang,
+        |         count(n_chars) AS nn_chars,
+        |         sum(CASE WHEN n_chars IS NOT NULL
+        |                   AND n_chars >= 1.0 AND n_chars <= 500.0
+        |             THEN 1 ELSE 0 END) AS in_chars,
+        |         count(source) AS nn_src,
+        |         sum(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+        |             THEN 1 ELSE 0 END) AS m_src
+        |  FROM documents)
+        |SELECT 'not_null' AS "constraint", 'text' AS col_name,
+        |       round(nn_text / greatest(n, 1), 6) AS observed,
+        |       CAST(1.0 AS DOUBLE) AS threshold,
+        |       nn_text / greatest(n, 1) >= 1.0 AS passed FROM a
+        |UNION ALL
+        |SELECT 'unique', 'doc_id',
+        |       round(nd_doc / greatest(nn_doc, 1), 6),
+        |       CAST(1.0 AS DOUBLE),
+        |       nd_doc / greatest(nn_doc, 1) >= 1.0 FROM a
+        |UNION ALL
+        |SELECT 'in_set', 'lang',
+        |       round(in_lang / greatest(nn_lang, 1), 6),
+        |       CAST(0.8 AS DOUBLE),
+        |       in_lang / greatest(nn_lang, 1) >= 0.8 FROM a
+        |UNION ALL
+        |SELECT 'between', 'n_chars',
+        |       round(in_chars / greatest(nn_chars, 1), 6),
+        |       CAST(0.95 AS DOUBLE),
+        |       in_chars / greatest(nn_chars, 1) >= 0.95 FROM a
+        |UNION ALL
+        |SELECT 'matches', 'source',
+        |       round(m_src / greatest(nn_src, 1), 6),
+        |       CAST(1.0 AS DOUBLE),
+        |       m_src / greatest(nn_src, 1) >= 1.0 FROM a""".stripMargin,
   )
 }

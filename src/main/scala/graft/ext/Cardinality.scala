@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Cardinality / frequency SKETCHES — the constant-memory summaries
+  * that replace exact `count(DISTINCT ...)` and exact per-item counts
+  * once the domain is an open vocabulary at corpus scale.
+  *
+  * Why they exist next to the exact paths: `count(DISTINCT x)` plans an
+  * Expand + a shuffle of one row per distinct value — fine for enum
+  * domains, catastrophic for token/URL/user domains at 100 TB. An HLL
+  * sketch is a fixed 2^lgK-register buffer that rides the normal
+  * partial-aggregation path (map-side combine of registers, one
+  * constant-size row per group crosses the wire). A count-min sketch is
+  * a fixed eps×confidence grid with the same shape. Both are MERGEABLE:
+  * sketch(A ∪ B) = merge(sketch(A), sketch(B)) — which is what makes
+  * per-day/per-shard sketch STORES work: persist the daily sketch,
+  * answer any date-range distinct query by unioning stored sketches,
+  * never rescanning the raw data.
+  *
+  * Gate design (the q_ext_minhash_est pattern): sketch register values
+  * are engine-specific, so the gates hash-check the EXACT counts both
+  * engines can compute and pin the sketch's statistical contract as
+  * booleans the oracle asserts TRUE — relative error for HLL (Spark's
+  * Datasketches HLL at lgK=12: 1.04/sqrt(4096) ≈ 1.6% rel std err, so
+  * ±5% is a ≈3σ bound), and the one-sided Cormode-Muthukrishnan bounds
+  * for CMS (never undercounts; overcount ≤ eps·N with prob ≥ conf).
+  */
+object Cardinality {
+
+  /** Per-group distinct-count contract: exact distinct (hash-checkable
+    * by any engine) beside the HLL estimate's ±`relTol` contract.
+    * One pass: the exact distinct and the sketch ride the same
+    * Aggregate (Expand handles the distinct), so the contract row
+    * costs what the exact query alone would.
+    */
+  def hllDistinctContract(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12, relTol: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(valueCol)).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("_est"))
+      .select(col(groupCol), col("n_exact"),
+        (abs(col("_est") - col("n_exact")) <=
+          lit(relTol) * col("n_exact")).as("est_ok"))
+
+  /** The MERGEABILITY contract: split the input on `splitExpr` parity,
+    * sketch each split independently, union the partial sketches, and
+    * compare against the sketch built directly over everything. For
+    * register-wise-max HLL the two are the SAME summary, so the
+    * estimates must agree exactly — this is the theorem that makes
+    * per-shard sketch stores answer global questions without rescans.
+    * Output is one row: exact distinct (hash-checked), exact equality
+    * of the two estimates, and the ±relTol accuracy contract.
+    */
+  def hllUnionContract(df: DataFrame, valueCol: String, splitCol: String,
+      lgK: Int = 12, relTol: Double = 0.05): DataFrame = {
+    val parts = df.groupBy((col(splitCol) % 4).as("_shard"))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("_sk"))
+    val unioned = parts.agg(
+      hll_sketch_estimate(hll_union_agg(col("_sk"), lit(false))).as("_est_u"))
+    val direct = df.agg(
+      hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("_est_d"),
+      countDistinct(col(valueCol)).as("n_exact"))
+    direct.crossJoin(unioned)
+      .select(col("n_exact"),
+        (col("_est_u") === col("_est_d")).as("union_eq_direct"),
+        (abs(col("_est_u") - col("n_exact")) <=
+          lit(relTol) * col("n_exact")).as("est_ok"))
+  }
+
+  /** Count-min-sketch frequency bounds for the `k` heaviest items of
+    * `valueCol`: never an undercount, and an overcount of at most
+    * eps·N. The exact top-k (counts hash-checked by the oracle) comes
+    * from the distributed aggregate; the sketch is ONE constant-size
+    * blob (width = ceil(2/eps), depth = ceil(ln(1/(1-conf)))) whose
+    * driver-side probe touches exactly k bounded rows — the same
+    * manifest-sized driver exception as the PCA eigensolve, never a
+    * per-row path.
+    */
+  def cmsBoundsContract(df: DataFrame, valueCol: String, k: Int,
+      eps: Double = 0.0005, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    val counted = df.groupBy(col(valueCol).as("item"))
+      .agg(count(lit(1)).as("n_exact"))
+    // Deterministic top-k: count desc, item asc tie-break. The domain
+    // is already aggregated (one row per distinct item), so the global
+    // sort is the standard TakeOrderedAndProject, not a full sort.
+    val top = counted
+      .orderBy(col("n_exact").desc, col("item").asc)
+      .limit(k)
+      .collect()
+    val total = df.count()
+    val blob = df
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(blob))
+    val margin = (eps * total).ceil.toLong
+    val rows = top.map { r =>
+      val item = r.getString(0)
+      val exact = r.getLong(1)
+      val est = cms.estimateCount(item)
+      Row(item, exact, est >= exact, est <= exact + margin)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("item", StringType),
+        StructField("n_exact", LongType),
+        StructField("lower_ok", BooleanType),
+        StructField("upper_ok", BooleanType))))
+  }
+}

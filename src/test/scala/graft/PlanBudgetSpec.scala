@@ -115,6 +115,18 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_schema_merge", 0,
       "mergeSchema scan-union straight to output (generation writes are " +
         "separate jobs)"),
+    ("q_ext_expectations", 2,
+      "the WHOLE five-constraint suite is one Aggregate: the Expand-planned " +
+        "distinct rewrite's keyed exchange + the single-row final gather — a " +
+        "third exchange means a constraint stopped sharing the pass"),
+    ("q_ext_hll_distinct", 2,
+      "exact distinct (Expand rewrite) and the HLL register buffer ride ONE " +
+        "grouped aggregate: keyed partial + final — constant-size sketch rows " +
+        "cross the wire, never values"),
+    ("q_ext_hll_union", 4,
+      "per-shard sketch agg + the union's single-row gather + the direct " +
+        "side's distinct pair; both one-row sides meet in a broadcast " +
+        "cross join, no data-bearing join exchange"),
     ("q_ext_temporal_split", 11,
       "data-bearing: the per-day count aggregate + the gate report agg; " +
         "the other exchanges move the |days|-sized directory through " +

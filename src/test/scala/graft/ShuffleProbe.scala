@@ -11,10 +11,7 @@ object ShuffleProbe {
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")
     val sfDir = "/root/testdata/sf0.001"
-    Seq("q_ext_calibrate", "q_ext_calibrate_apply", "q_ext_weighted_sample",
-      "q_ext_weighted_sample_grouped", "q_ext_temporal_split",
-      "q_ext_embedding_drift", "q_ext_heavy_hitters", "q_ext_covariance",
-      "q_ext_bpe_compress", "q_ext_schema_merge").foreach { name =>
+    Seq("q_ext_expectations", "q_ext_hll_distinct", "q_ext_hll_union").foreach { name =>
       val plan = SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan
       val n = plan.collect { case s: ShuffleExchangeLike => s }.size
       println(s"SHUFFLES $name = $n")

@@ -1,0 +1,45 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class CardinalitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 60 rows, skewed: "a" x30, "b" x15, c0..c14 x1 each -> 17 distinct.
+  private lazy val items =
+    (Seq.fill(30)("a") ++ Seq.fill(15)("b") ++ (0 until 15).map(i => s"c$i"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, if (i % 2 == 0) "g1" else "g2", w) }
+      .toDF("id", "g", "w")
+
+  test("hllDistinctContract: exact distinct per group, estimate inside tolerance") {
+    val rows = Cardinality.hllDistinctContract(items, "g", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val exactByG = items.select("g", "w").distinct().groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("g1", "g2"))
+    rows.foreach { case (g, (n, ok)) =>
+      assert(n === exactByG(g))
+      assert(ok, s"HLL estimate out of tolerance for group $g")
+    }
+  }
+
+  test("hllUnionContract: merged shards estimate exactly what the direct sketch does") {
+    val r = Cardinality.hllUnionContract(items, "w", "id").collect().head
+    assert(r.getLong(0) === 17)
+    assert(r.getBoolean(1), "union-of-sketches must equal direct sketch")
+    assert(r.getBoolean(2))
+  }
+
+  test("cmsBoundsContract: top-k exact counts with CMS one-sided bounds") {
+    val got = Cardinality.cmsBoundsContract(items, "w", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // count desc, item asc: a(30), b(15), then the lexicographically
+    // first singleton c0.
+    assert(got.map(_._1).toSeq === Seq("a", "b", "c0"))
+    assert(got.map(_._2).toSeq === Seq(30L, 15L, 1L))
+    got.foreach { case (w, _, lo, hi) =>
+      assert(lo, s"CMS undercounted $w")
+      assert(hi, s"CMS overcount bound violated for $w")
+    }
+  }
+}

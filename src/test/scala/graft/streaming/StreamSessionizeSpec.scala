@@ -15,12 +15,16 @@ class StreamSessionizeSpec extends SparkTestBase {
     val schema = StructType(Seq(
       StructField("user", StringType), StructField("time", TimestampType)))
 
-    // batch 1: u1 has two close events; u2 one event
+    // batch 1: u1 has two close events; u2 one event. ONE part file per
+    // batch dir: with local[4] the default write splits rows across
+    // part files, and the continuously-triggering file source can list
+    // them across separate micro-batches in commit order — which
+    // reorders events across the intra-batch sort and flakes the test.
     Seq(
       ("u1", Timestamp.valueOf("2024-01-01 00:00:00")),
       ("u1", Timestamp.valueOf("2024-01-01 00:05:00")),
       ("u2", Timestamp.valueOf("2024-01-01 00:00:00"))
-    ).toDF("user", "time").write.parquet(s"$dir/b1")
+    ).toDF("user", "time").repartition(1).write.parquet(s"$dir/b1")
 
     val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
       .as[StreamSessionize.Event]
@@ -39,7 +43,7 @@ class StreamSessionizeSpec extends SparkTestBase {
       Seq(
         ("u1", Timestamp.valueOf("2024-01-01 00:20:00")),
         ("u1", Timestamp.valueOf("2024-01-01 02:00:00"))
-      ).toDF("user", "time").write.parquet(s"$dir/b2")
+      ).toDF("user", "time").repartition(1).write.parquet(s"$dir/b2")
       q.processAllAvailable()
 
       val rows = spark.sql(
