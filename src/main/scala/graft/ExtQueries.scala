@@ -1880,6 +1880,34 @@ object ExtQueries {
     // one-sided guarantee that makes it safe for threshold admission.
     "q_ext_cms_bounds" -> ((s, dir) =>
       Cardinality.cmsBoundsContract(docWords(s, dir), "w", k = 20)),
+
+    // Trailing-window z-score anomaly flags: one keyed window shuffle;
+    // decimal window sums make the moments engine-exact, then both
+    // engines run the identical double algebra (Anomaly doc).
+    "q_ext_zscore_roll" -> ((s, dir) =>
+      graft.ops.Anomaly.rollingZScore(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value", nPrev = 20)),
+
+    // Robust per-key outlier fence: median ± 3·1.4826·MAD — the
+    // contamination-immune alternative to plain z (outliers cannot
+    // inflate their own threshold). Exact percentiles at gate scale;
+    // approx_percentile is the documented corpus-scale swap.
+    "q_ext_mad_outliers" -> ((s, dir) =>
+      graft.ops.Anomaly.madOutliers(Tables.events(s, dir),
+        "event_type", "value")),
+
+    // Diurnal climatology profile: (key, hour) means from decimal-exact
+    // sums — one partial-agg shuffle of 24·|keys| rows.
+    "q_ext_climatology" -> ((s, dir) =>
+      graft.ops.Climatology.profile(Tables.events(s, dir),
+        "event_type", "ts", "value")),
+
+    // ... and its application: broadcast profile onto the scan, anomaly
+    // and guarded seasonal ratio per row — the data never shuffles.
+    "q_ext_seasonal_anomaly" -> ((s, dir) =>
+      graft.ops.Climatology.anomaly(Tables.events(s, dir),
+          "event_type", "ts", "event_id", "value")
+        .filter(col("event_id") % 9 === 0)),
   )
 
   /** Lower-cased word stream over `documents` with provenance columns —
@@ -3940,6 +3968,79 @@ object ExtQueries {
         |      FROM w WHERE w <> '' GROUP BY 1)
         |SELECT item, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
         |FROM c ORDER BY n_exact DESC, item LIMIT 20""".stripMargin,
+
+    "q_ext_zscore_roll" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |         CAST(value AS DOUBLE) AS v,
+        |         CAST(round(value, 6) AS DECIMAL(18,6)) AS vr
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id, v,
+        |         count(vr) OVER win AS n_prev,
+        |         CAST(sum(vr) OVER win AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(vr * vr AS DECIMAL(38,12))) OVER win AS DOUBLE)
+        |           AS s2
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, n_prev,
+        |       round(v, 6) AS value_r,
+        |       CASE WHEN n_prev = 20 THEN round(s1 / n_prev, 6) END AS win_mean,
+        |       CASE WHEN n_prev = 20
+        |             AND (s2 - s1 * s1 / n_prev) / (n_prev - 1) > 0
+        |            THEN round((v - s1 / n_prev)
+        |              / sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)), 6)
+        |       END AS z,
+        |       CASE WHEN n_prev = 20
+        |             AND (s2 - s1 * s1 / n_prev) / (n_prev - 1) > 0
+        |            THEN abs((v - s1 / n_prev)
+        |              / sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)))
+        |              > CAST(3.0 AS DOUBLE)
+        |       END AS is_anomaly
+        |FROM w""".stripMargin,
+
+    "q_ext_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |md AS (
+        |  SELECT e.event_type,
+        |         quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1),
+        |f AS (
+        |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, m.med, md.mad
+        |  FROM events e JOIN m USING (event_type) JOIN md USING (event_type))
+        |SELECT event_type,
+        |       round(any_value(med), 6) AS med_r,
+        |       round(any_value(mad), 6) AS mad_r,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN abs(v - med) >
+        |             CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q_ext_climatology" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hour, count(*) AS n,
+        |       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |               AS DOUBLE) / count(*), 6) AS clim_mean
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_ext_seasonal_anomaly" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hour, count(*) AS n,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                 AS DOUBLE) / count(*), 6) AS clim_mean
+        |  FROM events GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_type, event_id, CAST(hour(ts) AS INT) AS hour,
+        |         round(CAST(value AS DOUBLE), 6) AS value_r
+        |  FROM events WHERE event_id % 9 = 0)
+        |SELECT e.event_type, e.event_id, e.hour, e.value_r, p.clim_mean,
+        |       round(e.value_r - p.clim_mean, 6) AS anomaly,
+        |       CASE WHEN p.clim_mean <> 0
+        |            THEN round(e.value_r / p.clim_mean, 6) END AS seasonal_ratio
+        |FROM e JOIN p USING (event_type, hour)""".stripMargin,
 
     "q_ext_expectations" ->
       """WITH a AS (

@@ -127,6 +127,17 @@ class PlanBudgetSpec extends SparkTestBase {
       "per-shard sketch agg + the union's single-row gather + the direct " +
         "side's distinct pair; both one-row sides meet in a broadcast " +
         "cross join, no data-bearing join exchange"),
+    ("q_ext_zscore_roll", 1,
+      "one keyed window shuffle; sums, counts and both moments share the " +
+        "single trailing-frame sort"),
+    ("q_ext_mad_outliers", 3,
+      "median agg + deviation-median agg + the fenced count — the per-key " +
+        "medians travel back by broadcast, the data never joins key-to-key"),
+    ("q_ext_climatology", 1,
+      "one (key, hour) partial-agg shuffle — 24·|keys| output rows"),
+    ("q_ext_seasonal_anomaly", 1,
+      "the profile's single aggregate; application is a broadcast join " +
+        "onto the scan, the data never shuffles to be scored"),
     ("q_ext_temporal_split", 11,
       "data-bearing: the per-day count aggregate + the gate report agg; " +
         "the other exchanges move the |days|-sized directory through " +
