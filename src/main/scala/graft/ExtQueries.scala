@@ -1908,6 +1908,27 @@ object ExtQueries {
       graft.ops.Climatology.anomaly(Tables.events(s, dir),
           "event_type", "ts", "event_id", "value")
         .filter(col("event_id") % 9 === 0)),
+
+    // Triangle census via degree-ordered orientation: wedge fan-out is
+    // bounded by out-degree ≤ O(√m), so the hub that kills the naive
+    // pair join contributes √m wedges, not degree² (Graph doc).
+    "q_ext_triangles" -> ((s, dir) =>
+      Graph.triangleStats(Tables.events(s, dir)
+        .selectExpr("user_id % 200 AS src", "event_id % 200 AS dst"))),
+
+    // Inter-annotator agreement over two deterministic synthetic raters
+    // (same three-way threshold, one rater perturbed): the labeling-QA
+    // gate upstream of Bradley-Terry. One confusion-cell shuffle,
+    // bounded by categories², then exact-integer κ algebra.
+    "q_ext_cohen_kappa" -> ((s, dir) => {
+      val cat = (v: org.apache.spark.sql.Column) =>
+        when(v > 50.0, "pos").when(v > 20.0, "neu").otherwise("neg")
+      val labeled = Tables.events(s, dir).select(
+        cat(col("value")).as("rater_a"),
+        cat(col("value") + (col("event_id") % 11).cast("double") - lit(5.0))
+          .as("rater_b"))
+      Agreement.cohenKappa(labeled, "rater_a", "rater_b")
+    }),
   )
 
   /** Lower-cased word stream over `documents` with provenance columns —
@@ -4041,6 +4062,64 @@ object ExtQueries {
         |       CASE WHEN p.clim_mean <> 0
         |            THEN round(e.value_r / p.clim_mean, 6) END AS seasonal_ratio
         |FROM e JOIN p USING (event_type, hour)""".stripMargin,
+
+    "q_ext_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(user_id % 200, event_id % 200) AS a,
+        |                  greatest(user_id % 200, event_id % 200) AS b
+        |  FROM events WHERE user_id % 200 <> event_id % 200),
+        |deg AS (
+        |  SELECT v, count(*) AS d
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |s AS (
+        |  SELECT (SELECT count(*) FROM e) AS n_edges,
+        |         (SELECT count(*) FROM deg) AS n_vertices,
+        |         (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+        |           AS n_wedges)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |       CASE WHEN n_wedges > 0
+        |            THEN round(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6)
+        |       END AS clustering
+        |FROM s, t""".stripMargin,
+
+    "q_ext_cohen_kappa" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN value > 50.0 THEN 'pos'
+        |              WHEN value > 20.0 THEN 'neu' ELSE 'neg' END AS la,
+        |         CASE WHEN vb > 50.0 THEN 'pos'
+        |              WHEN vb > 20.0 THEN 'neu' ELSE 'neg' END AS lb
+        |  FROM (SELECT value,
+        |               CAST(value AS DOUBLE) + CAST(event_id % 11 AS DOUBLE)
+        |                 - CAST(5.0 AS DOUBLE) AS vb
+        |        FROM events)),
+        |cells AS (SELECT la, lb, count(*) AS c FROM l GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_agree
+        |  FROM cells),
+        |ma AS (SELECT la, sum(c) AS ca FROM cells GROUP BY 1),
+        |mb AS (SELECT lb, sum(c) AS cb FROM cells GROUP BY 1),
+        |p AS (SELECT sum(ca * cb) AS pe_num FROM ma JOIN mb ON mb.lb = ma.la)
+        |SELECT n, n_agree,
+        |       round(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+        |       round(CAST(pe_num AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |       CASE WHEN CAST(pe_num AS DOUBLE)
+        |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+        |            THEN round((CAST(n_agree AS DOUBLE) / n
+        |                   - CAST(pe_num AS DOUBLE)
+        |                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |              / (CAST(1.0 AS DOUBLE) - CAST(pe_num AS DOUBLE)
+        |                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |       END AS kappa
+        |FROM t, p""".stripMargin,
 
     "q_ext_expectations" ->
       """WITH a AS (

@@ -1054,6 +1054,37 @@ object SparkEntry {
               col("exact_n").cast("double"))).as("within_bound"))
     }),
 
+    // §2.10 driver-gated streaming approx-distinct per window: the
+    // HLL++ sketch is the streaming-legal distinct (constant-size
+    // register state per open window; exact DISTINCT would hoard every
+    // id). The per-window estimate is arrival-order- and
+    // batch-boundary-independent, so the gate hash-checks the batch
+    // exact counts and pins the ±10% (≫3σ at rsd=0.02) contract.
+    "q_st13_stream_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = streamTable(s, dir, "events")
+      val agg = graft.streaming.StreamDistinct.windowedApproxDistinct(
+        events, "ts", "user_id", Seq("event_type"), windowMinutes = 60)
+      s.catalog.dropTempView("g_st13")
+      val q = agg.writeStream.format("memory").queryName("g_st13")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val est = s.table("g_st13").select(
+        TimeOps.epochSeconds(col("window.start")).as("bucket_start"),
+        col("event_type"), col("approx_distinct"))
+      val exact = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "60 minutes"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(TimeOps.epochSeconds(col("window.start")).as("bucket_start"),
+          col("event_type"), col("n_exact"))
+      // Inner join: a window the stream dropped would shrink the row
+      // count vs the oracle's full batch window set — a loud diff.
+      exact.join(est, Seq("bucket_start", "event_type"))
+        .select(col("bucket_start"), col("event_type"), col("n_exact"),
+          (abs(col("approx_distinct") - col("n_exact")).cast("double") <=
+            greatest(lit(0.1) * col("n_exact"), lit(4.0))).as("est_ok"))
+    }),
+
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
@@ -1688,6 +1719,14 @@ object SparkEntry {
     // The streamed MG summary satisfies the same order-independent
     // contract as the batch aggregate — one oracle, two engines.
     "q_st12_stream_heavy_hitters" -> ExtQueries.oracleSql("q_ext_heavy_hitters"),
+
+    // Streaming approx-distinct: exact per-window counts hash-checked;
+    // the sketch's accuracy contract asserted TRUE.
+    "q_st13_stream_distinct" ->
+      """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_start,
+        |       event_type, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS est_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Left-outer interval join: matched pairs = the batch join;
     // null-padded rows only for clicks whose match window closed below

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the QA gate for human-labeled
+  * preference/reward data (the upstream of [[Ranking.bradleyTerry]]):
+  * before fitting strengths to pairwise votes, measure whether the
+  * raters agree ABOVE CHANCE at all. Cohen's kappa (Cohen 1960)
+  * corrects raw agreement for the agreement two independent raters
+  * with the same marginals would produce:
+  *
+  *   κ = (p_o − p_e) / (1 − p_e),
+  *   p_o = Σ_c n_cc / n,   p_e = Σ_c (rowMarg_c · colMarg_c) / n².
+  *
+  * Scale shape: ONE data-bearing shuffle — the (label_a, label_b)
+  * confusion-cell count, bounded by categories², not rows. Marginals,
+  * agreement and the κ algebra all fold over that bounded cell table.
+  *
+  * Exactness: every input to the algebra is an exact integer count
+  * (the marginal product is summed in DECIMAL so 10¹²-row marginals
+  * cannot overflow a long); the three double divisions are spelled
+  * identically in the oracle, so κ is bit-equal cross-engine.
+  */
+object Agreement {
+
+  /** One row: (n, n_agree, po, pe, kappa), 6-dp rounded ratios; κ is
+    * null when p_e = 1 (both raters constant — agreement is vacuous,
+    * not perfect).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("la") === col("lb"), col("c")).otherwise(0L)).as("n_agree"))
+    val margA = cells.groupBy("la").agg(sum(col("c")).as("ca"))
+    val margB = cells.groupBy("lb").agg(sum(col("c")).as("cb"))
+    val peNum = margA
+      .join(margB, col("la") === col("lb"))
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("pe_num"))
+    val po = col("n_agree").cast("double") / col("n")
+    val pe = col("pe_num").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    totals.crossJoin(peNum)
+      .select(col("n"), col("n_agree"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+}

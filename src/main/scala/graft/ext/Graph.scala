@@ -126,4 +126,59 @@ object Graph {
       .select(col("v"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Triangle census + global clustering coefficient over the
+    * UNDIRECTED simplification of `edges` (src/dst direction, self
+    * loops, and duplicates are erased first) — the local-density signal
+    * link-spam and community detectors key on.
+    *
+    * The wedge join uses degree-ordered ORIENTATION (the MapReduce
+    * classic — Suri & Vassilvitskii WWW'11 / Cohen '09): each
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher. Every triangle then has exactly one wedge at its
+    * lowest-ordered vertex, and the closing edge is oriented exactly
+    * low→high, so each triangle is generated ONCE and wedge fan-out at
+    * vertex v is C(d⁺(v), 2) with d⁺ ≤ O(√m) — a celebrity hub with
+    * degree 10⁷ contributes its √m out-wedges, not the 10¹⁴ raw pairs
+    * that kill the naive spelling at crawl scale.
+    *
+    * Exactness: triangle/wedge/edge/vertex counts are integers; the
+    * clustering coefficient 3T / wedges is the one double division,
+    * identical in any engine.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("w"))
+    // Wedge at u: two out-neighbours (v, w); ONLY the orientation-
+    // consistent pair finds its closing edge, so no /2 correction.
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") =!= col("e2.w"))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val scalars = e.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_vertices"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+    scalars.crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3).cast("double") * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering"))
+  }
 }

@@ -138,6 +138,17 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_seasonal_anomaly", 1,
       "the profile's single aggregate; application is a broadcast join " +
         "onto the scan, the data never shuffles to be scored"),
+    ("q_ext_triangles", 5,
+      "edge dedup + one degree agg + the wedge self-join and closing join " +
+        "keyed on the low-ordered vertex; the one-row scalar folds meet by " +
+        "broadcast — degree-ordered orientation bounds wedge fan-out at √m"),
+    ("q_ext_cohen_kappa", 5,
+      "ONE data-bearing shuffle (the confusion-cell count); totals, both " +
+        "marginals and the pe product all fold over the bounded cell table"),
+    ("q_st13_stream_distinct", 4,
+      "batch exact side: windowed distinct (Expand pair); stream estimate " +
+        "is read back from the memory sink; the window-key join of two " +
+        "aggregated sides reuses their partitionings"),
     ("q_ext_temporal_split", 11,
       "data-bearing: the per-day count aggregate + the gate report agg; " +
         "the other exchanges move the |days|-sized directory through " +

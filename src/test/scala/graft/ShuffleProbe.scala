@@ -11,7 +11,7 @@ object ShuffleProbe {
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")
     val sfDir = "/root/testdata/sf0.001"
-    Seq("q_ext_zscore_roll", "q_ext_mad_outliers", "q_ext_climatology", "q_ext_seasonal_anomaly").foreach { name =>
+    Seq("q_ext_triangles", "q_ext_cohen_kappa").foreach { name =>
       val plan = SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan
       val n = plan.collect { case s: ShuffleExchangeLike => s }.size
       println(s"SHUFFLES $name = $n")

@@ -51,4 +51,30 @@ class GraphSpec extends SparkTestBase {
       Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), 0)
     }
   }
+
+  test("triangleStats: hand graph — triangle plus a tail") {
+    // 1-2-3 triangle, 3-4 tail. Direction/duplicates/self-loops erased.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L), (4L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getLong(0) === 4)   // vertices
+    assert(r.getLong(1) === 4)   // edges (dedup'd, no self-loop)
+    assert(r.getLong(2) === 5)   // wedges: C(2,2)+C(2,2)+C(3,2)+C(1,2)
+    assert(r.getLong(3) === 1)   // the one triangle
+    assert(r.getDouble(4) === 0.6) // 3*1/5
+  }
+
+  test("triangleStats: two triangles sharing an edge count exactly twice") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getLong(3) === 2)
+  }
+
+  test("triangleStats: triangle-free star has zero triangles, null-safe clustering") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getLong(3) === 0)
+    assert(r.getDouble(4) === 0.0)
+  }
 }
