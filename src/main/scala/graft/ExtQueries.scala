@@ -1916,6 +1916,87 @@ object ExtQueries {
       Graph.triangleStats(Tables.events(s, dir)
         .selectExpr("user_id % 200 AS src", "event_id % 200 AS dst"))),
 
+    // Persisted per-day HLL sketch STORE: ingest reduces each day to
+    // one register blob; a date-range distinct query unions |days|
+    // blobs and never rescans raw data. Gate: build 20 days, ingest 10
+    // more O(batch), then a 15-day range estimate must AGREE with the
+    // direct sketch over the raw range within the sketch's own error
+    // (exact in the sparse regime — see Cardinality.hllUnionContract
+    // doc for the measured dense-mode divergence) and sit within ±5%
+    // of the exact distinct.
+    "q_ext_hll_store" -> ((s, dir) => {
+      val store = scratchTable(s, "g_hll_daily", dir)
+      s.sql(s"DROP TABLE IF EXISTS `$store`")
+      val e = Tables.events(s, dir)
+      SketchStore.build(
+        e.filter(to_date(col("ts")) <= lit("2024-01-20")), "ts", "user_id", store)
+      SketchStore.ingest(
+        e.filter(to_date(col("ts")) > lit("2024-01-20")), "ts", "user_id", store)
+      val range = SketchStore.rangeDistinct(s, store, "2024-01-08", "2024-01-22")
+      val raw = e.filter(to_date(col("ts")).between("2024-01-08", "2024-01-22"))
+      val direct = raw.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+      direct.crossJoin(range).select(
+        col("n_exact"), col("n_store_rows").as("n_days"),
+        (abs(col("est_distinct") - col("est_direct")).cast("double") <=
+          greatest(lit(0.07) * col("n_exact"), lit(2.0)))
+          .as("union_agrees"),
+        (abs(col("est_distinct") - col("n_exact")) <=
+          lit(0.05) * col("n_exact")).as("est_ok"))
+    }),
+
+    // Entity resolution over deterministically-corrupted nation-name
+    // records: normalize → block on prefix (pair work Σ|block|², never
+    // n²) → levenshtein verify → transitive closure. The 'The X'
+    // variants deliberately land in a different block — the blocking
+    // recall trade, visible in the gate output.
+    "q_ext_entity_resolution" -> ((s, dir) => {
+      // md5-derived base names: distinctive (the flat NATION_k fixture
+      // names would all share one block and one edit ball), suffix
+      // variant stays in its base's block, prefix variant leaves it.
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"))
+        .withColumn("base", substring(md5(col("k").cast("string")), 1, 8))
+      val recs = nat.select((col("k") * 3).as("id"), col("base").as("name"))
+        .unionByName(nat.select((col("k") * 3 + 1).as("id"),
+          concat(col("base"), lit("s")).as("name")))
+        .unionByName(nat.select((col("k") * 3 + 2).as("id"),
+          concat(lit("Xq "), col("base")).as("name")))
+      EntityResolution.resolve(recs, "id", "name")
+    }),
+
+    // Reliability curve for the learned quality filter: score deciles
+    // vs realized outcome rate — Drift watches the model's inputs,
+    // this watches its outputs stay calibrated (Reliability doc).
+    "q_ext_reliability" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = QualityModel.hashedLinearScore(
+        docs, "doc_id", "text", dim = 256, salt = "qm")
+      val labeled = scored.join(
+        docs.select(col("doc_id"), (length(col("text")) >= 200).as("good")),
+        "doc_id")
+      Reliability.curve(labeled, "score", "good", bins = 10)
+    }),
+
+    // Theil–Sen robust trend per key: median of pairwise slopes over a
+    // bounded hash-ordered sample (all-pairs is quadratic in ANY
+    // engine); ≤29% arbitrary corruption cannot move the estimate —
+    // the degradation-trend answer on dirty sensor series.
+    "q_ext_theil_sen" -> ((s, dir) =>
+      graft.ops.TheilSen.slope(
+        Tables.events(s, dir).select(col("event_type"), col("event_id"),
+          graft.ops.TimeOps.epochSeconds(col("ts")).as("xs"), col("value")),
+        "event_type", "event_id", "xs", "value", maxPoints = 60)),
+
+    // KMV bottom-k sketch set algebra: the distinct sketch HLL can't
+    // be — exact bottom-k merge identity + union AND intersection
+    // estimates, for audience-overlap / contamination questions from
+    // two stored sketches instead of a distinct-join (Kmv doc).
+    "q_ext_kmv_set_algebra" -> ((s, dir) =>
+      Kmv.setAlgebraContract(docWords(s, dir), "w", "doc_id")),
+
     // Inter-annotator agreement over two deterministic synthetic raters
     // (same three-way threshold, one rater perturbed): the labeling-QA
     // gate upstream of Bradley-Terry. One confusion-cell shuffle,
@@ -3978,7 +4059,7 @@ object ExtQueries {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |  FROM documents)
         |SELECT count(DISTINCT w) AS n_exact,
-        |       TRUE AS union_eq_direct, TRUE AS est_ok
+        |       TRUE AS union_agrees, TRUE AS est_ok
         |FROM w WHERE w <> ''""".stripMargin,
 
     "q_ext_cms_bounds" ->
@@ -4087,6 +4168,114 @@ object ExtQueries {
         |            THEN round(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6)
         |       END AS clustering
         |FROM s, t""".stripMargin,
+
+    "q_ext_hll_store" ->
+      """SELECT (SELECT count(DISTINCT user_id) FROM events
+        |        WHERE CAST(ts AS DATE)
+        |              BETWEEN DATE '2024-01-08' AND DATE '2024-01-22')
+        |         AS n_exact,
+        |       (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events
+        |        WHERE CAST(ts AS DATE)
+        |              BETWEEN DATE '2024-01-08' AND DATE '2024-01-22')
+        |         AS n_days,
+        |       TRUE AS union_agrees,
+        |       TRUE AS est_ok""".stripMargin,
+
+    "q_ext_entity_resolution" ->
+      """WITH RECURSIVE nat AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         substring(md5(CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR)), 1, 8)
+        |           AS base
+        |  FROM nation),
+        |recs AS (
+        |  SELECT k * 3 AS id, base AS name FROM nat
+        |  UNION ALL SELECT k * 3 + 1, base || 's' FROM nat
+        |  UNION ALL SELECT k * 3 + 2, 'Xq ' || base FROM nat),
+        |r AS (
+        |  SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+        |  FROM recs),
+        |rb AS (SELECT id, norm, substring(norm, 1, 3) AS blk FROM r),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM rb a JOIN rb b ON b.blk = a.blk AND a.id < b.id
+        |  WHERE levenshtein(a.norm, b.norm) <= 2),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r2) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r2 = e.a),
+        |c AS (SELECT node, min(r2) AS cluster FROM reach GROUP BY node)
+        |SELECT cluster AS entity_id, count(*) AS n_members,
+        |       CAST(sum(node) AS BIGINT) AS id_sum
+        |FROM c GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_ext_reliability" -> {
+      val w = QualityModel.weightSql("bucket")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |         ((strpos('0123456789abcdef', substring(md5('qm' || t), 1, 1)) - 1) * 16
+         |          + strpos('0123456789abcdef', substring(md5('qm' || t), 2, 1)) - 1)
+         |           % 256 AS bucket
+         |  FROM toks),
+         |z AS (SELECT doc_id, avg($w) AS z FROM b GROUP BY 1),
+         |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM z),
+         |lab AS (SELECT doc_id, length(text) >= 200 AS good FROM documents),
+         |j AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT) AS bin,
+         |         CAST(round(score, 6) AS DECIMAL(18,6)) AS s,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM sc JOIN lab USING (doc_id))
+         |SELECT bin, count(*) AS n,
+         |       round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score,
+         |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
+    "q_ext_theil_sen" ->
+      """WITH pts AS (
+        |  SELECT event_type, event_id,
+        |         CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS x,
+        |         CAST(value AS DOUBLE) AS y,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events),
+        |s AS (SELECT event_type, x, y FROM pts WHERE rn <= 60),
+        |p AS (
+        |  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM s a JOIN s b ON b.event_type = a.event_type AND a.x < b.x),
+        |sl AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |         round(quantile_cont(slope, 0.5), 6) AS slope_med
+        |  FROM p GROUP BY 1),
+        |c AS (SELECT event_type, count(*) AS n_points FROM s GROUP BY 1)
+        |SELECT c.event_type, c.n_points,
+        |       COALESCE(sl.n_pairs, 0) AS n_pairs, sl.slope_med
+        |FROM c LEFT JOIN sl USING (event_type)""".stripMargin,
+
+    "q_ext_kmv_set_algebra" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 = 0 AS even,
+        |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |t AS (SELECT DISTINCT w, even FROM w WHERE w <> ''),
+        |g AS (
+        |  SELECT w,
+        |         max(CASE WHEN even THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN NOT even THEN 1 ELSE 0 END) AS in_b
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+        |       CAST(sum(in_b) AS BIGINT) AS n_b,
+        |       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+        |       count(*) AS n_union,
+        |       TRUE AS merge_eq_direct,
+        |       TRUE AS union_est_ok,
+        |       TRUE AS inter_est_ok
+        |FROM g""".stripMargin,
 
     "q_ext_cohen_kappa" ->
       """WITH l AS (

@@ -47,14 +47,21 @@ object Cardinality {
         (abs(col("_est") - col("n_exact")) <=
           lit(relTol) * col("n_exact")).as("est_ok"))
 
-  /** The MERGEABILITY contract: split the input on `splitExpr` parity,
+  /** The MERGEABILITY contract: split the input on `splitCol` parity,
     * sketch each split independently, union the partial sketches, and
-    * compare against the sketch built directly over everything. For
-    * register-wise-max HLL the two are the SAME summary, so the
-    * estimates must agree exactly — this is the theorem that makes
-    * per-shard sketch stores answer global questions without rescans.
-    * Output is one row: exact distinct (hash-checked), exact equality
-    * of the two estimates, and the ±relTol accuracy contract.
+    * compare against the sketch built directly over everything.
+    *
+    * What is actually guaranteed (measured, not assumed): in the
+    * sparse/set regime the union result IS the direct summary, so the
+    * estimates agree EXACTLY (CardinalitySpec pins that, and the gate
+    * fixtures sit in it); once sketches promote to dense estimation
+    * mode, the Datasketches union gadget may land in a different
+    * internal representation than a directly-built sketch (measured:
+    * 1488 vs 1506 on 1500 true distincts at sf0.1 events), so the
+    * honest cross-regime contract is agreement WITHIN the sketch's own
+    * error — both estimates answer the union question, neither is
+    * privileged. Output: exact distinct (hash-checked), the agreement
+    * contract, and the ±relTol accuracy contract.
     */
   def hllUnionContract(df: DataFrame, valueCol: String, splitCol: String,
       lgK: Int = 12, relTol: Double = 0.05): DataFrame = {
@@ -67,7 +74,9 @@ object Cardinality {
       countDistinct(col(valueCol)).as("n_exact"))
     direct.crossJoin(unioned)
       .select(col("n_exact"),
-        (col("_est_u") === col("_est_d")).as("union_eq_direct"),
+        (abs(col("_est_u") - col("_est_d")).cast("double") <=
+          greatest(lit(2.0 * relTol) * col("n_exact"), lit(2.0)))
+          .as("union_agrees"),
         (abs(col("_est_u") - col("n_exact")) <=
           lit(relTol) * col("n_exact")).as("est_ok"))
   }

@@ -149,6 +149,22 @@ class PlanBudgetSpec extends SparkTestBase {
       "batch exact side: windowed distinct (Expand pair); stream estimate " +
         "is read back from the memory sink; the window-key join of two " +
         "aggregated sides reuses their partitionings"),
+    ("q_ext_hll_store", 3,
+      "direct-sketch + exact-distinct aggregate (Expand pair) over the raw " +
+        "range + the |days|-row store union's single-row gather; store " +
+        "build/ingest are separate write jobs, the range QUERY never " +
+        "touches raw data"),
+    ("q_ext_theil_sen", 4,
+      "TopKPerKey bounded-heap sample (one keyed exchange) + the k-row " +
+        "self-join pair sides + the per-key percentile agg — pair work " +
+        "capped at C(k,2) per key by construction"),
+    ("q_ext_reliability", 2,
+      "the scorer's one doc-keyed agg + the bins-sized calibration agg; " +
+        "the label join is doc-keyed and reuses the score partitioning"),
+    ("q_ext_entity_resolution", 2,
+      "block-keyed candidate join + the entity rollup in the FINAL plan; " +
+        "closure rounds run as separate localCheckpoint jobs, each one " +
+        "star-join (ClustersSpec pins the round shape)"),
     ("q_ext_temporal_split", 11,
       "data-bearing: the per-day count aggregate + the gate report agg; " +
         "the other exchanges move the |days|-sized directory through " +

@@ -23,11 +23,25 @@ class CardinalitySpec extends SparkTestBase {
     }
   }
 
-  test("hllUnionContract: merged shards estimate exactly what the direct sketch does") {
+  test("hllUnionContract: merged shards agree with the direct sketch") {
     val r = Cardinality.hllUnionContract(items, "w", "id").collect().head
     assert(r.getLong(0) === 17)
-    assert(r.getBoolean(1), "union-of-sketches must equal direct sketch")
+    assert(r.getBoolean(1), "union-of-sketches must agree with direct sketch")
     assert(r.getBoolean(2))
+  }
+
+  test("sparse regime: union estimate is EXACTLY the direct estimate") {
+    import org.apache.spark.sql.functions._
+    // Below promotion thresholds the union result IS the direct summary
+    // (see hllUnionContract doc for the measured dense-mode divergence).
+    val parts = items.groupBy((col("id") % 4).as("s"))
+      .agg(hll_sketch_agg(col("w"), lit(12)).as("sk"))
+    val u = parts
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+      .head.getLong(0)
+    val d = items.agg(hll_sketch_estimate(hll_sketch_agg(col("w"), lit(12))))
+      .head.getLong(0)
+    assert(u === d && u === 17)
   }
 
   test("cmsBoundsContract: top-k exact counts with CMS one-sided bounds") {
