@@ -1947,6 +1947,26 @@ object ExtQueries {
           lit(0.05) * col("n_exact")).as("est_ok"))
     }),
 
+    // Lower weighted median per key: the importance-weighted robust
+    // location (integer-weight qualifying test 2·cum ≥ total — pure
+    // long arithmetic, the result is a value FROM the data).
+    "q_ext_weighted_median" -> ((s, dir) =>
+      graft.ops.WeightedStats.weightedMedian(
+        Tables.events(s, dir).select(col("event_type"), col("value"),
+          (col("event_id") % 7 + 1).as("wt")),
+        "event_type", "value", "wt")),
+
+    // Jensen–Shannon divergence between the English and non-English
+    // token distributions — the corpus-mix distance that drives
+    // mixture reweighting and text-drift alarms (Divergence doc).
+    "q_ext_jsd" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select((col("lang") === "en").as("is_en"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+      Divergence.jensenShannonTokens(words, "w", "is_en")
+    }),
+
     // Entity resolution over deterministically-corrupted nation-name
     // records: normalize → block on prefix (pair work Σ|block|², never
     // n²) → levenshtein verify → transitive closure. The 'The X'
@@ -4180,6 +4200,46 @@ object ExtQueries {
         |         AS n_days,
         |       TRUE AS union_agrees,
         |       TRUE AS est_ok""".stripMargin,
+
+    "q_ext_weighted_median" ->
+      """WITH e AS (
+        |  SELECT event_type AS k, CAST(value AS DOUBLE) AS v,
+        |         CAST(event_id % 7 + 1 AS BIGINT) AS wt
+        |  FROM events),
+        |c AS (
+        |  SELECT k, v, wt,
+        |         sum(wt) OVER (PARTITION BY k ORDER BY v
+        |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(wt) OVER (PARTITION BY k) AS tot
+        |  FROM e)
+        |SELECT k AS event_type, CAST(max(tot) AS BIGINT) AS total_w,
+        |       round(min(v), 6) AS w_median
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+
+    "q_ext_jsd" ->
+      """WITH w AS (
+        |  SELECT lang = 'en' AS is_en,
+        |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT w, sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS ca,
+        |         sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS cb
+        |  FROM w WHERE w <> '' GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |x AS (SELECT CAST(ca AS DOUBLE) / na AS p,
+        |             CAST(cb AS DOUBLE) / nb AS q FROM c, t),
+        |y AS (
+        |  SELECT CAST(round((
+        |      CASE WHEN p > 0 THEN p * (ln(p / ((p + q) / 2.0)) / ln(2.0))
+        |           ELSE 0.0 END
+        |    + CASE WHEN q > 0 THEN q * (ln(q / ((p + q) / 2.0)) / ln(2.0))
+        |           ELSE 0.0 END) / 2.0, 9) AS DECIMAL(28,9)) AS c2
+        |  FROM x)
+        |SELECT t.na AS n_tokens_a, t.nb AS n_tokens_b,
+        |       (SELECT count(*) FROM c) AS n_vocab,
+        |       (SELECT round(CAST(sum(c2) AS DOUBLE), 6) FROM y) AS jsd_bits
+        |FROM t""".stripMargin,
 
     "q_ext_entity_resolution" ->
       """WITH RECURSIVE nat AS (

@@ -165,6 +165,13 @@ class PlanBudgetSpec extends SparkTestBase {
       "block-keyed candidate join + the entity rollup in the FINAL plan; " +
         "closure rounds run as separate localCheckpoint jobs, each one " +
         "star-join (ClustersSpec pins the round shape)"),
+    ("q_ext_weighted_median", 1,
+      "one keyed exchange: cumulative-weight and total-weight windows share " +
+        "the single sort, the qualifying-row aggregate reuses the partitioning"),
+    ("q_ext_jsd", 3,
+      "one token-keyed paired-count aggregate (data-bearing) + the one-row " +
+        "totals gather + the one-row divergence reduce; totals broadcast " +
+        "back onto the vocab table"),
     ("q_ext_temporal_split", 11,
       "data-bearing: the per-day count aggregate + the gate report agg; " +
         "the other exchanges move the |days|-sized directory through " +
