@@ -1947,6 +1947,22 @@ object ExtQueries {
           lit(0.05) * col("n_exact")).as("est_ok"))
     }),
 
+    // A-priori frequent token pairs: monotonicity prunes candidates to
+    // frequent singletons BEFORE the pair join, so fan-out per doc is
+    // C(frequent tokens, 2), not C(length, 2) (Itemsets doc).
+    "q_ext_frequent_pairs" -> ((s, dir) =>
+      Itemsets.frequentPairs(Tables.documents(s, dir), "doc_id", "text",
+        minSupport = 100L)),
+
+    // EXACT median per key WITHOUT value buffering: iterative bucket
+    // refinement (counting passes + one bounded resolve sort) — the
+    // order-statistic path that still works when a key holds 10^10
+    // rows and `percentile`'s buffer cannot. resolveCap forced low so
+    // the gate actually exercises the refinement rounds.
+    "q_ext_exact_median" -> ((s, dir) =>
+      graft.ops.ExactSelect.medianExact(Tables.events(s, dir),
+        "event_type", "value", buckets = 16, resolveCap = 64L)),
+
     // Lower weighted median per key: the importance-weighted robust
     // location (integer-weight qualifying test 2·cum ≥ total — pure
     // long arithmetic, the result is a value FROM the data).
@@ -4200,6 +4216,30 @@ object ExtQueries {
         |         AS n_days,
         |       TRUE AS union_agrees,
         |       TRUE AS est_ok""".stripMargin,
+
+    "q_ext_frequent_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |  FROM documents),
+        |tt AS (SELECT id, t FROM toks WHERE t <> ''),
+        |freq AS (SELECT t FROM tt GROUP BY t HAVING count(*) >= 100),
+        |ft AS (SELECT tt.id, tt.t FROM tt JOIN freq ON freq.t = tt.t),
+        |p AS (
+        |  SELECT x.t AS t1, y.t AS t2, count(*) AS pair_df
+        |  FROM ft x JOIN ft y ON y.id = x.id AND x.t < y.t
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, pair_df FROM p WHERE pair_df >= 100""".stripMargin,
+
+    "q_ext_exact_median" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, n AS n_rows, round(v, 6) AS median
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
 
     "q_ext_weighted_median" ->
       """WITH e AS (

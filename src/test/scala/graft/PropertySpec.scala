@@ -116,4 +116,78 @@ class PropertySpec extends SparkTestBase {
         whole.as[(Long, Long)].collect().toSet, s"cut=$cut log=$log")
     }
   }
+
+  // ---- round-5 additions --------------------------------------------
+
+  test("Cohen's kappa is bounded above by observed agreement and by 1") {
+    val labelGen = Gen.oneOf("x", "y", "z")
+    val pairsGen = Gen.listOfN(60, Gen.zip(labelGen, labelGen))
+    samples(pairsGen, 8).foreach { pairs =>
+      val r = graft.ext.Agreement
+        .cohenKappa(pairs.toDF("a", "b"), "a", "b").collect().head
+      val po = r.getDouble(2)
+      if (!r.isNullAt(4)) {
+        val k = r.getDouble(4)
+        assert(k <= po + 1e-9, s"kappa $k above po $po")
+        assert(k <= 1.0 + 1e-9 && k >= -1.0 - 1e-9)
+      }
+    }
+  }
+
+  test("weighted median with unit weights == exact lower median; mass halves qualify") {
+    val valsGen = Gen.listOfN(25, Gen.choose(-100.0, 100.0))
+    samples(valsGen, 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", v, 1L) }
+        .toDF("k", "v", "w")
+      val got = graft.ops.WeightedStats.weightedMedian(df, "k", "v", "w")
+        .collect().head.getDouble(2)
+      val sorted = vs.sorted
+      // lower median: first v with 2*rank >= n
+      val expect = sorted((vs.size - 1) / 2)
+      assert(got === math.rint(expect * 1e6) / 1e6, s"vs=$vs")
+    }
+  }
+
+  test("KMV merge identity holds for arbitrary hash multisets") {
+    val hashGen = Gen.listOfN(300, Gen.choose(Long.MinValue, Long.MaxValue))
+    val agg = graft.ext.Kmv.KmvAgg(32)
+    samples(Gen.zip(hashGen, hashGen), 6).foreach { case (a, b) =>
+      val sa = a.foldLeft(agg.zero)(agg.reduce)
+      val sb = b.foldLeft(agg.zero)(agg.reduce)
+      val direct = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(sa, sb).toSeq === direct.toSeq)
+      assert(graft.ext.Kmv.mergeSketches(sa, sb, 32).toSeq === direct.toSeq)
+    }
+  }
+
+  test("triangle census matches the naive closed-wedge count on random graphs") {
+    val edgeGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    samples(edgeGen, 5).foreach { raw =>
+      val undirected = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val naive = undirected.combinations(3).count { tri =>
+        val vs = tri.flatMap { case (a, b) => Seq(a, b) }.distinct
+        vs.size == 3
+      }
+      val got = graft.ext.Graph.triangleStats(raw.toDF("src", "dst"))
+        .collect().head.getLong(3)
+      assert(got === naive.toLong, s"edges=$undirected")
+    }
+  }
+
+  test("JSD is symmetric and bounded in [0, 1] bits on random token splits") {
+    val rowsGen = Gen.listOfN(80,
+      Gen.zip(Gen.oneOf("a", "b", "c", "d", "e"), Gen.oneOf(true, false)))
+    samples(rowsGen, 6).foreach { rows =>
+      val hasBoth = rows.exists(_._2) && rows.exists(!_._2)
+      if (hasBoth) {
+        def run(rs: Seq[(String, Boolean)]) = graft.ext.Divergence
+          .jensenShannonTokens(rs.toDF("t", "s"), "t", "s")
+          .collect().head.getDouble(3)
+        val d = run(rows)
+        assert(d >= -1e-9 && d <= 1.0 + 1e-9, s"jsd=$d")
+        assert(d === run(rows.map { case (t, s) => (t, !s) }))
+      }
+    }
+  }
 }
