@@ -70,9 +70,13 @@ object SparkEntry {
       .withColumn("bias", round(Compare.bias(col("avg_click"), col("avg_view")), 6))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtQueries.queries ++ StatQueries.queries ++
+      EvalQueries.queries
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ExtQueries.oracleSql ++ StatQueries.oracleSql ++
+      EvalQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: tumbling 10-min mean resample, keyed by series id.
@@ -1102,6 +1106,59 @@ object SparkEntry {
       q.awaitTermination()
       s.table("g_st4")
     }),
+
+    // §2.10 ext: stream-static anomaly scoring — each live row joins
+    // the frozen batch climatology (broadcast per micro-batch; the
+    // stream side never shuffles) and carries its deviation. The
+    // monitoring loop the reference's batch compare feeds, made
+    // continuous; equals the batch join row-for-row.
+    "q_st14_stream_climatology" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val profile = graft.ops.Climatology.profile(
+        Tables.events(s, dir), "event_type", "ts", "value")
+        .select(col("event_type"), col("hour"), col("clim_mean"))
+      val stream = streamTable(s, dir, "events")
+        .filter(col("event_id") % 13 === 0)
+        .select(col("event_type"), col("event_id"),
+          hour(col("ts")).as("hour"), round(col("value"), 6).as("value_r"))
+      val scored = graft.streaming.StreamEnrich
+        .enrich(stream, profile, Seq("event_type", "hour"))
+        .select(col("event_type"), col("event_id"), col("hour"),
+          col("value_r"), col("clim_mean"),
+          round(col("value_r") - col("clim_mean"), 6).as("anomaly"))
+      s.catalog.dropTempView("g_st14")
+      val q = scored.writeStream.format("memory").queryName("g_st14")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st14")
+    }),
+
+    // §2.10 ext: STREAMING geo radius join — each live event (coords
+    // integer-derived from its user) emits every station within
+    // 150 km via the same grid-prefilter + exact-haversine pipeline as
+    // the batch operator ([[graft.ops.Spatial.radiusJoinGrid]]); fully
+    // stateless (map-side cell expand + stream-static join), so
+    // append mode needs no watermark. Equals the batch join
+    // row-for-row.
+    "q_st15_stream_radius" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val probes = streamTable(s, dir, "events")
+        .filter(col("event_id") % 29 === 0)
+        .select(col("event_id").as("id"),
+          (lit(-11.0) + (col("user_id") * 43 % 2200) / lit(100.0)).as("lat"),
+          (lit(95.0) + (col("user_id") * 61 % 4600) / lit(100.0)).as("lon"))
+      val stations = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("station_id"),
+          (lit(-11.0) + (col("s_suppkey") * 37 % 2200) / lit(100.0)).as("lat"),
+          (lit(95.0) + (col("s_suppkey") * 53 % 4600) / lit(100.0)).as("lon"))
+      val within = graft.ops.Spatial.radiusJoinGrid(
+        probes, "id", stations, "station_id", radiusKm = 150.0, cellDeg = 2.0)
+      s.catalog.dropTempView("g_st15")
+      val q = within.writeStream.format("memory").queryName("g_st15")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st15")
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1719,6 +1776,45 @@ object SparkEntry {
     // The streamed MG summary satisfies the same order-independent
     // contract as the batch aggregate — one oracle, two engines.
     "q_st12_stream_heavy_hitters" -> ExtQueries.oracleSql("q_ext_heavy_hitters"),
+
+    // Stream-static anomaly scoring: live rows against the frozen batch
+    // climatology — must equal the batch join row-for-row.
+    "q_st14_stream_climatology" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                 AS DOUBLE) / count(*), 6) AS clim_mean
+        |  FROM events GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_type, event_id, CAST(hour(ts) AS INT) AS hour,
+        |         round(CAST(value AS DOUBLE), 6) AS value_r
+        |  FROM events WHERE event_id % 13 = 0)
+        |SELECT e.event_type, e.event_id, e.hour, e.value_r, p.clim_mean,
+        |       round(e.value_r - p.clim_mean, 6) AS anomaly
+        |FROM e JOIN p USING (event_type, hour)""".stripMargin,
+
+    // The streamed radius join equals the batch brute-force join: the
+    // grid only prefilters, the rounded haversine decides.
+    "q_st15_stream_radius" ->
+      """WITH pr AS (
+        |  SELECT event_id AS id,
+        |         -11.0 + (user_id * 43 % 2200) / 100.0 AS lat,
+        |         95.0 + (user_id * 61 % 4600) / 100.0 AS lon
+        |  FROM events WHERE event_id % 29 = 0),
+        |st AS (
+        |  SELECT s_suppkey AS station_id,
+        |         -11.0 + (s_suppkey * 37 % 2200) / 100.0 AS s_lat,
+        |         95.0 + (s_suppkey * 53 % 4600) / 100.0 AS s_lon
+        |  FROM supplier),
+        |d AS (
+        |  SELECT id, station_id,
+        |         round(12742.0176 * asin(sqrt(
+        |           sin(radians(s_lat - lat) / 2.0) * sin(radians(s_lat - lat) / 2.0)
+        |           + cos(radians(lat)) * cos(radians(s_lat))
+        |             * sin(radians(s_lon - lon) / 2.0)
+        |             * sin(radians(s_lon - lon) / 2.0))), 6) AS dist_km
+        |  FROM pr, st)
+        |SELECT id, station_id, dist_km FROM d WHERE dist_km <= 150.0""".stripMargin,
 
     // Streaming approx-distinct: exact per-window counts hash-checked;
     // the sketch's accuracy contract asserted TRUE.

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis estimators beyond the raw two-sample tests:
+  * CUPED variance reduction and stratified treatment-effect
+  * estimation — the standard toolkit once an A/B platform outgrows
+  * naive difference-in-means.
+  *
+  * Everything reduces to decimal-exact sufficient statistics per
+  * (stratum, arm) — one partial-aggregate shuffle bounded by the
+  * stratum domain — followed by identical IEEE algebra in both
+  * engines.
+  */
+object Causal {
+
+  private def d6(c: Column): Column = round(c, 6)
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    * al. WSDM'13): variance-reduce metric `yCol` with pre-period
+    * covariate `xCol` via θ = cov(x,y)/var(x) computed on the POOLED
+    * data, then compare adjusted means per arm. One row:
+    * (n_t, n_c, theta, delta_raw, delta_cuped, var_reduction) where
+    * var_reduction = 1 − (1−ρ²) is the theoretical variance shrink
+    * factor ρ² reported from the same moments.
+    */
+  def cuped(df: DataFrame, treatCol: Column, yCol: String, xCol: String): DataFrame = {
+    val in = df.select(treatCol.as("t"),
+      d6(col(yCol)).cast("decimal(18,6)").as("y"),
+      d6(col(xCol)).cast("decimal(18,6)").as("x"))
+    val pooled = in.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,12)").as("sx"),
+        sum(col("y")).cast("decimal(38,12)").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,12)")).as("syy"))
+      .select(col("n"),
+        ((col("sxy").cast("double") - col("sx").cast("double") *
+          col("sy").cast("double") / col("n")) /
+          (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n"))).as("theta"),
+        (col("sx").cast("double") / col("n")).as("mx"),
+        (((col("sxy").cast("double") - col("sx").cast("double") *
+          col("sy").cast("double") / col("n")) *
+          (col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy").cast("double") / col("n"))) /
+          ((col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n")) *
+            (col("syy").cast("double") - col("sy").cast("double") *
+              col("sy").cast("double") / col("n")))).as("rho2"))
+    val arms = in.groupBy("t").agg(
+        count(lit(1)).as("na"),
+        sum(col("y")).cast("double").as("sya"),
+        sum(col("x")).cast("double").as("sxa"))
+      .select(col("t"), col("na"),
+        (col("sya") / col("na")).as("my"), (col("sxa") / col("na")).as("mxa"))
+    val t = arms.filter(col("t")).select(col("na").as("n_t"),
+      col("my").as("my_t"), col("mxa").as("mx_t"))
+    val c = arms.filter(!col("t")).select(col("na").as("n_c"),
+      col("my").as("my_c"), col("mxa").as("mx_c"))
+    t.crossJoin(c).crossJoin(broadcast(pooled))
+      .select(col("n_t"), col("n_c"), d6(col("theta")).as("theta"),
+        d6(col("my_t") - col("my_c")).as("delta_raw"),
+        d6((col("my_t") - col("theta") * (col("mx_t") - col("mx"))) -
+          (col("my_c") - col("theta") * (col("mx_c") - col("mx"))))
+          .as("delta_cuped"),
+        d6(col("rho2")).as("var_reduction"))
+  }
+
+  /** Stratified difference-in-means: within each stratum the raw
+    * treated/control means; the overall estimate weights stratum
+    * effects by stratum share. Output one row per stratum plus the
+    * weights, ready for the oracle to fold; all means from decimal
+    * sums. (stratum, n_t, n_c, mean_t, mean_c, effect, weight)
+    */
+  def stratifiedEffect(df: DataFrame, stratumCol: String, treatCol: Column,
+      yCol: String): DataFrame = {
+    val in = df.select(col(stratumCol).as("s"), treatCol.as("t"),
+      d6(col(yCol)).cast("decimal(18,6)").as("y"))
+    val cells = in.groupBy("s", "t").agg(
+      count(lit(1)).as("n"), sum(col("y")).cast("double").as("sy"))
+    val tc = cells.filter(col("t")).select(col("s"), col("n").as("n_t"),
+      (col("sy") / col("n")).as("mean_t"))
+    val cc = cells.filter(!col("t")).select(col("s"), col("n").as("n_c"),
+      (col("sy") / col("n")).as("mean_c"))
+    val total = in.agg(count(lit(1)).as("n_all"))
+    tc.join(cc, "s")
+      .crossJoin(broadcast(total))
+      .select(col("s"), col("n_t"), col("n_c"),
+        d6(col("mean_t")).as("mean_t"), d6(col("mean_c")).as("mean_c"),
+        d6(col("mean_t") - col("mean_c")).as("effect"),
+        d6((col("n_t") + col("n_c")).cast("double") / col("n_all")).as("weight"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation / multiple-testing operators.
+  *
+  * A pipeline that computes thousands of per-segment test statistics
+  * ([[StatTests]]) needs an error-rate discipline before anyone acts
+  * on them; Benjamini-Hochberg is the standard step-up procedure. The
+  * scan shape mirrors the repo's other order statistics: a chunked
+  * [[PrefixSum]] rank (never a single-partition window), one scalar
+  * aggregate for the cut, and a broadcast of the one-row threshold.
+  */
+object Experiments {
+
+  /** Benjamini-Hochberg FDR control at level `alphaNum/alphaDen`.
+    * The threshold compare is spelled `p·den·m ≤ num·i` — one double
+    * product against an exact integer — so any IEEE engine evaluates
+    * it identically (a p sitting EXACTLY on the boundary still follows
+    * its binary representation, e.g. 0.05·60 > 3; deterministic, just
+    * not rational arithmetic).
+    *
+    * Input: (idCol, pCol) rows, p ∈ [0,1], (p, id) unique per row.
+    * Output: every input row with its ascending p-rank `i`, the
+    * step-up candidate flag `ok = p ≤ α·i/m`, and `rejected` = rank ≤
+    * the LARGEST ok rank (the step-up cut) — null-free, full table, so
+    * downstream joins can filter either way.
+    */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
+    // p ∈ [0,1] is too narrow for integer chunking — scale by 2¹² (an
+    // EXACT power-of-two multiply, so order and ties are untouched) to
+    // spread the chunked scan across ~64 chunk keys.
+    val ranked = PrefixSum.runningTotal(
+        df.select(col(idCol), col(pCol).as("p"))
+          .withColumn("one", lit(1L))
+          .withColumn("ps", col("p") * lit(4096.0)),
+        "ps", "one", "pfx", chunkSpan = 64L, tieBreak = Seq(idCol))
+      .withColumn("i", col("pfx") + lit(1L))
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val flagged = ranked.crossJoin(broadcast(m))
+      // p ≤ (num/den)·(i/m) ⇔ p·den·m ≤ num·i, exact on both sides
+      .withColumn("ok",
+        col("p") * col("m").cast("double") * alphaDen.toDouble <=
+          (lit(alphaNum) * col("i")).cast("double"))
+    val cut = flagged.agg(
+      coalesce(max(when(col("ok"), col("i"))), lit(0L)).as("i_cut"))
+    flagged.crossJoin(broadcast(cut))
+      .select(col(idCol), round(col("p"), 6).as("p"), col("i"), col("ok"),
+        (col("i") <= col("i_cut")).as("rejected"))
+  }
+}

@@ -39,4 +39,25 @@ class AgreementSpec extends SparkTestBase {
     // no shared category -> pe_num empty sum -> null pe and kappa
     assert(r.isNullAt(3) || r.getDouble(3) === 0.0)
   }
+
+  test("krippendorffAlpha: hand coincidence-matrix case") {
+    // units (a,a),(a,b),(b,b): Do_num=2, marginals n_a=n_b=3,
+    // De_num = 2·3·3 = 18, n = 6 -> alpha = 1 − 5·2/18 = 4/9
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("ra", "rb")
+    val r = Agreement.krippendorffAlpha(df, "ra", "rb").collect().head
+    assert(r.getAs[Long]("n_units") === 3L)
+    assert(r.getAs[Long]("n_categories") === 2L)
+    assert(r.getAs[Long]("do_num") === 2L)
+    assert(r.getAs[Long]("de_num") === 18L)
+    assert(math.abs(r.getAs[Double]("alpha") - 4.0 / 9.0) < 1e-6)
+  }
+
+  test("krippendorffAlpha: perfect agreement gives 1, constant raters null") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("ra", "rb")
+    assert(Agreement.krippendorffAlpha(perfect, "ra", "rb")
+      .collect().head.getAs[Double]("alpha") === 1.0)
+    val constant = Seq(("x", "x"), ("x", "x")).toDF("ra", "rb")
+    val r = Agreement.krippendorffAlpha(constant, "ra", "rb").collect().head
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+  }
 }
