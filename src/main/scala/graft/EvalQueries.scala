@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.Encode
+import graft.ext.{Calibrate, Encode, QualityModel, RankEval, Search, TextStats}
 import graft.ops.{Causal, ForecastEval, TimeOps}
 
 /** Evaluation / experimentation / feature-engineering queries:
@@ -68,7 +68,92 @@ object EvalQueries {
     "q_ext_conformal" -> ((s, dir) =>
       ForecastEval.conformalSeasonalNaive(Tables.events(s, dir), "event_type",
         "ts", "value", seasonSeconds = 86400L, alphaPct = 90)),
+
+    // ROC AUC of the learned quality score vs the length label —
+    // discrimination beside q_ext_reliability's calibration; exact
+    // under ties via doubled-rank integers on the micro-score scan.
+    "q_ext_auc" -> ((s, dir) =>
+      RankEval.auc(scoredLabeled(s, dir), "score", "good")),
+
+    // Decile lift / cumulative gains over a full-spread score (the
+    // hashed quality score clusters in 2 deciles — this fixture
+    // occupies all 10): "filter the top 20% of the corpus, keep
+    // cum_gain of the good docs".
+    "q_ext_lift" -> ((s, dir) =>
+      RankEval.liftTable(calScored(s, dir), "score", "good", bins = 10)),
+
+    // Isotonic calibration on the same full-spread score — PAV with
+    // no sequential pass (minimax identity over the 10-row bin table);
+    // the monotone fix Reliability's curve decides to apply. The
+    // overlap band's hash noise makes raw rates non-monotone, so the
+    // gate exercises actual pooling.
+    "q_ext_isotonic" -> ((s, dir) =>
+      Calibrate.isotonicBinned(calScored(s, dir), "score", "good",
+        bins = 10)),
+
+    // NDCG@10 / MRR / P@10 / R@10 of the BM25 run against ≥2-term
+    // match relevance — the list-metric gate for the retrieval stack.
+    "q_ext_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qt = retrievalQueryTerms(s)
+      val ranked = Search.bm25TopK(docs, "doc_id", "text", qt, 10)
+      RankEval.retrievalMetrics(ranked, retrievalRelevant(docs, qt), 10)
+    }),
   )
+
+  /** A deterministic full-spread score for the lift / isotonic gates:
+    * uniform md5 noise u ∈ [0,1) stretched over [0, 0.7) for bad docs
+    * and [0.3, 1.0) for good ones — every decile occupied, classes
+    * overlapping in [0.3, 0.7) so bin rates carry hash noise. Both
+    * engines derive u from the same 3 hex digits.
+    */
+  private def calScored(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("cal"),
+      col("doc_id").cast("string"))), 1, 3), 16, 10)
+      .cast("long").cast("double") / 4096.0
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (length(col("text")) >= 200).as("good"))
+      .withColumn("score",
+        round(u * 0.7 + when(col("good"), 0.3).otherwise(0.0), 6))
+  }
+
+  /** The learned quality score joined with its binary label — the
+    * shared input of the AUC / lift / reliability evaluation gates.
+    */
+  private def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    QualityModel.hashedLinearScore(docs, "doc_id", "text", dim = 256,
+        salt = "qm")
+      .join(docs.select(col("doc_id"),
+        (length(col("text")) >= 200).as("good")), "doc_id")
+  }
+
+  /** The fixed keyword queries of the retrieval-eval gate (a superset
+    * shape of the q_ext_bm25 fixture — three multi-term queries).
+    */
+  private def retrievalQueryTerms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      "q1" -> "spark", "q1" -> "join", "q1" -> "window",
+      "q2" -> "customer", "q2" -> "order", "q2" -> "value",
+      "q3" -> "fast", "q3" -> "slow", "q3" -> "filter", "q3" -> "scan")
+      .toDF("query_id", "term")
+  }
+
+  /** Binary relevance judgments: a doc is relevant to a query iff it
+    * contains ≥ 2 DISTINCT terms of it. Tokens are restricted to the
+    * broadcast query vocabulary map-side (the BM25 postings shape), so
+    * only matched (query, doc, term) rows reach the distinct shuffle.
+    */
+  private def retrievalRelevant(docs: DataFrame, qt: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextStats.tokens(col("text"))).as("term"))
+      .join(broadcast(qt), "term")
+      .select("query_id", "doc_id", "term").distinct()
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") >= 2)
+      .select("query_id", "doc_id")
 
   private val UserPrePostSql =
     """e AS (
@@ -86,7 +171,204 @@ object EvalQueries {
       |  HAVING sum(CASE WHEN pre THEN 1 ELSE 0 END) > 0
       |     AND sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) > 0)""".stripMargin
 
+  /** The hashed-linear quality score + length label as shared oracle
+    * CTEs (mirrors q_ext_reliability's replay of
+    * [[QualityModel.hashedLinearScore]]).
+    */
+  private def scoredLabeledSql: String = {
+    val w = QualityModel.weightSql("bucket")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |         ((strpos('0123456789abcdef', substring(md5('qm' || t), 1, 1)) - 1) * 16
+       |          + strpos('0123456789abcdef', substring(md5('qm' || t), 2, 1)) - 1)
+       |           % 256 AS bucket
+       |  FROM toks),
+       |z AS (SELECT doc_id, avg($w) AS z FROM b GROUP BY 1),
+       |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM z),
+       |lab AS (SELECT doc_id, length(text) >= 200 AS good FROM documents)""".stripMargin
+  }
+
+  /** DuckDB replay of [[calScored]] — the same 3-hex-digit u and
+    * stretch formula, spelled with the identical expression tree.
+    */
+  private def calScoredSql: String = {
+    def hx(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5('cal' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""cal AS (
+       |  SELECT doc_id, length(text) >= 200 AS good,
+       |         round(CAST(${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)}
+       |             AS DOUBLE) / 4096.0 * 0.7
+       |           + CASE WHEN length(text) >= 200 THEN 0.3 ELSE 0.0 END,
+       |           6) AS score
+       |  FROM documents)""".stripMargin
+  }
+
+  /** The BM25 ranked-run + relevance CTEs shared by the retrieval-eval
+    * oracle (replays [[Search.bm25TopK]] exactly as q_ext_bm25 does,
+    * then derives ≥2-distinct-term relevance from the same postings).
+    */
+  private def retrievalRunSql: String =
+    """docs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) * 1.0 AS n_docs, avg(len(words) * 1.0) AS avgdl
+      |  FROM docs),
+      |qt AS (SELECT * FROM (VALUES
+      |  ('q1', 'spark'), ('q1', 'join'), ('q1', 'window'),
+      |  ('q2', 'customer'), ('q2', 'order'), ('q2', 'value'),
+      |  ('q3', 'fast'), ('q3', 'slow'), ('q3', 'filter'), ('q3', 'scan'))
+      |  AS t(query_id, term)),
+      |postings AS (
+      |  SELECT doc_id, len(words) * 1.0 AS dl, unnest(words) AS term
+      |  FROM docs),
+      |tf AS (
+      |  SELECT doc_id, term, dl, count(*) AS tf FROM postings
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT t.doc_id, t.term,
+      |         round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+      |               * (t.tf * (1.2 + 1.0))
+      |               / (t.tf + 1.2 * (0.25 + (t.dl / avgdl) * 0.75)),
+      |               7) AS c
+      |  FROM tf t JOIN dfreq USING (term), stats),
+      |scores AS (
+      |  SELECT q.query_id, c.doc_id, round(sum(c.c), 4) AS score
+      |  FROM contrib c JOIN qt q USING (term) GROUP BY 1, 2),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score DESC, doc_id) AS rank FROM scores),
+      |run AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+      |        FROM rr WHERE rank <= 10),
+      |rel AS (
+      |  SELECT query_id, doc_id FROM (
+      |    SELECT q.query_id, p.doc_id, count(DISTINCT p.term) AS nt
+      |    FROM tf p JOIN qt q USING (term) GROUP BY 1, 2)
+      |  WHERE nt >= 2),
+      |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_ext_auc" ->
+      s"""WITH $scoredLabeledSql,
+         |j AS (
+         |  SELECT CAST(round(score * 1000000) AS BIGINT) AS v,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM sc JOIN lab USING (doc_id)),
+         |pv AS (
+         |  SELECT v, CAST(sum(pos) AS BIGINT) AS cp,
+         |         CAST(count(*) - sum(pos) AS BIGINT) AS cn
+         |  FROM j GROUP BY 1),
+         |scan AS (
+         |  SELECT v, cp, cn, cp + cn AS t,
+         |         CAST(coalesce(sum(cp + cn) OVER (ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS p
+         |  FROM pv),
+         |agg AS (
+         |  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         |         CAST(sum(cn) AS BIGINT) AS n_neg,
+         |         sum(CAST(cp AS DECIMAL(38,0)) * (2 * p + t + 1)) AS r2p
+         |  FROM scan),
+         |fin AS (
+         |  SELECT n_pos, n_neg,
+         |         CAST(r2p - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)
+         |           AS DOUBLE) / 2.0 / (CAST(n_pos AS DOUBLE) * n_neg) AS a
+         |  FROM agg)
+         |SELECT n_pos, n_neg, round(a, 6) AS auc,
+         |       round(a * 2.0 - 1.0, 6) AS gini
+         |FROM fin""".stripMargin,
+
+    "q_ext_lift" ->
+      s"""WITH $calScoredSql,
+         |pb AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT)
+         |           AS bin,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM cal),
+         |agg AS (
+         |  SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS pos
+         |  FROM pb GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS t_n,
+         |         CAST(sum(pos) AS BIGINT) AS t_pos
+         |  FROM agg),
+         |cum AS (
+         |  SELECT a.bin, a.n, a.pos,
+         |         CAST(sum(b.n) AS BIGINT) AS cum_n,
+         |         CAST(sum(b.pos) AS BIGINT) AS cum_pos
+         |  FROM agg a JOIN agg b ON b.bin >= a.bin GROUP BY 1, 2, 3)
+         |SELECT bin, n, pos,
+         |       round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+         |       round((CAST(pos AS DOUBLE) / n)
+         |         / (CAST(t_pos AS DOUBLE) / t_n), 6) AS lift,
+         |       cum_n, cum_pos,
+         |       round(CAST(cum_pos AS DOUBLE) / t_pos, 6) AS cum_gain,
+         |       round((CAST(cum_pos AS DOUBLE) / cum_n)
+         |         / (CAST(t_pos AS DOUBLE) / t_n), 6) AS cum_lift
+         |FROM cum, tot""".stripMargin,
+
+    "q_ext_isotonic" ->
+      s"""WITH $calScoredSql,
+         |pb AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT)
+         |           AS bin,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM cal),
+         |agg AS (
+         |  SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS pos
+         |  FROM pb GROUP BY 1),
+         |rg AS (
+         |  SELECT a.bin AS j, b.bin AS k,
+         |         CAST(sum(m.pos) AS DOUBLE) / sum(m.n) AS mean
+         |  FROM agg a JOIN agg b ON b.bin >= a.bin
+         |  JOIN agg m ON m.bin BETWEEN a.bin AND b.bin
+         |  GROUP BY 1, 2),
+         |f1 AS (
+         |  SELECT i.bin AS i, r.j, min(r.mean) AS m1
+         |  FROM agg i JOIN rg r ON r.j <= i.bin AND r.k >= i.bin
+         |  GROUP BY 1, 2),
+         |f AS (SELECT i, max(m1) AS fit FROM f1 GROUP BY 1)
+         |SELECT a.bin, a.n, a.pos,
+         |       round(CAST(a.pos AS DOUBLE) / a.n, 6) AS raw_rate,
+         |       round(f.fit, 6) AS iso_rate
+         |FROM agg a JOIN f ON f.i = a.bin""".stripMargin,
+
+    "q_ext_ndcg" ->
+      s"""WITH $retrievalRunSql,
+         |dcgw AS (SELECT * FROM (VALUES ${RankEval.dcgWeightsSqlRows(10)})
+         |  AS t(i, w, p)),
+         |hits AS (
+         |  SELECT run.query_id,
+         |         CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS hits,
+         |         min(CASE WHEN rel.doc_id IS NOT NULL THEN rank END)
+         |           AS first_rel,
+         |         sum(CASE WHEN rel.doc_id IS NOT NULL
+         |           THEN CAST(dw.w AS DECIMAL(28,9))
+         |           ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg
+         |  FROM run
+         |  LEFT JOIN rel ON rel.query_id = run.query_id
+         |    AND rel.doc_id = run.doc_id
+         |  JOIN dcgw dw ON dw.i = run.rank
+         |  GROUP BY 1),
+         |m AS (
+         |  SELECT n.query_id, n.n_rel,
+         |         coalesce(h.hits, 0) AS hits, h.first_rel,
+         |         coalesce(h.dcg, CAST(0 AS DECIMAL(28,9))) AS dcg,
+         |         CAST(iw.p AS DECIMAL(28,9)) AS idcg
+         |  FROM nrel n
+         |  LEFT JOIN hits h USING (query_id)
+         |  JOIN dcgw iw ON iw.i = least(n.n_rel, 10))
+         |SELECT query_id, n_rel, hits,
+         |       round(CAST(hits AS DOUBLE) / 10, 6) AS p_at_k,
+         |       round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall_at_k,
+         |       round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+         |       round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+         |FROM m""".stripMargin,
     "q_ext_cuped" ->
       s"""WITH $UserPrePostSql,
          |pc AS (

@@ -1334,6 +1334,24 @@ object ExtQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // Right-to-erasure propagation over the snapshot store: v2 = v1
+    // minus the tombstoned keys, copy-on-write (time travel to v1
+    // keeps working until retention expires it). The audit row is
+    // computed from the two snapshots THEMSELVES: deleted_remaining
+    // must be 0 and the decimal key-sum identity pins that nothing
+    // except the tombstoned rows changed.
+    "q_ext_erasure" -> ((s, dir) => {
+      val out = scratchDir(s, "g_docs_erasure", dir)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      graft.io.SnapshotTable.writeSnapshot(docs, out, 1, "doc_id", 4)
+      val tomb = docs.filter(col("doc_id") % 37 === 0).select("doc_id")
+      Privacy.eraseKeys(s, out, 1, 2, "doc_id", tomb, 4)
+      Privacy.erasureAudit(s, out, 1, 2, "doc_id", tomb)
+    }),
+
     // File-level data skipping off the manifest's per-file min/max:
     // the range layout makes date stats tight, the pruned read opens
     // only intersecting FILES (above parquet row-group skipping). The
@@ -1945,6 +1963,47 @@ object ExtQueries {
           .as("union_agrees"),
         (abs(col("est_distinct") - col("n_exact")) <=
           lit(0.05) * col("n_exact")).as("est_ok"))
+    }),
+
+    // Persisted per-day histogram STORE — the quantile twin of the HLL
+    // store: ingest reduces each day to ≤bins count rows; a date-range
+    // p50/p90/p99 merges |days|·bins integers and never rescans raw
+    // data. Unlike a t-digest the merge is exact integer addition on a
+    // fixed grid, so the ESTIMATE itself replays bit-for-bit in the
+    // oracle (hash-exact gate), with the documented one-bin-width
+    // error bound pinned by `within_bin` against the exact order
+    // statistic (computed via the chunked PrefixSum scan, no window).
+    "q_ext_quantile_store" -> ((s, dir) => {
+      val store = scratchTable(s, "g_hist_daily", dir)
+      s.sql(s"DROP TABLE IF EXISTS `$store`")
+      val lo = 0.0; val hi = 500.0; val bins = 250
+      val e = Tables.events(s, dir)
+      HistogramStore.build(
+        e.filter(to_date(col("ts")) <= lit("2024-01-20")),
+        "ts", "value", store, lo, hi, bins)
+      HistogramStore.ingest(
+        e.filter(to_date(col("ts")) > lit("2024-01-20")),
+        "ts", "value", store, lo, hi, bins)
+      val est = HistogramStore.rangeQuantiles(s, store,
+        "2024-01-08", "2024-01-22", Seq(50, 90, 99), lo, hi, bins)
+      val raw = e
+        .filter(to_date(col("ts")).between("2024-01-08", "2024-01-22"))
+        .filter(col("value").isNotNull)
+      val pv = raw.groupBy(round(col("value"), 6).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val scanned = graft.ops.PrefixSum.runningTotal(pv, "v", "c", "p", 64L)
+        .withColumn("cum", col("p") + col("c"))
+      val targets = est.select(col("q_pct"), col("n"))
+        .withColumn("t",
+          floor((col("q_pct").cast("long") * col("n") + 99L) / 100L)
+            .cast("long"))
+      val exact = scanned
+        .join(broadcast(targets), col("cum") >= col("t") && col("p") < col("t"))
+        .select(col("q_pct"), round(col("v"), 6).as("exact"))
+      est.join(exact, "q_pct")
+        .select(col("q_pct"), col("n"), col("est"), col("exact"),
+          (abs(col("est") - col("exact")) <= lit((hi - lo) / bins))
+            .as("within_bin"))
     }),
 
     // A-priori frequent token pairs: monotonicity prunes candidates to
@@ -4216,6 +4275,49 @@ object ExtQueries {
         |         AS n_days,
         |       TRUE AS union_agrees,
         |       TRUE AS est_ok""".stripMargin,
+
+    "q_ext_quantile_store" ->
+      """WITH raw AS (
+        |  SELECT round(value, 6) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'),
+        |b AS (
+        |  SELECT CAST(least(greatest(floor((v - 0.0) / 2.0), 0), 249)
+        |    AS BIGINT) AS bin
+        |  FROM raw),
+        |agg AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT a.bin, a.cnt, CAST(sum(b2.cnt) AS BIGINT) AS cum
+        |  FROM agg a JOIN agg b2 ON b2.bin <= a.bin GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM agg),
+        |q AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS q_pct),
+        |tg AS (
+        |  SELECT q_pct, nn.n,
+        |         (CAST(q_pct AS BIGINT) * nn.n + 99) // 100 AS t
+        |  FROM q, nn),
+        |estv AS (
+        |  SELECT tg.q_pct, tg.n,
+        |         round(0.0 + 2.0 * c.bin
+        |           + 2.0 * CAST(tg.t - (c.cum - c.cnt) AS DOUBLE) / c.cnt,
+        |           6) AS est
+        |  FROM cum c JOIN tg ON c.cum >= tg.t AND c.cum - c.cnt < tg.t),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM raw),
+        |ex AS (
+        |  SELECT tg.q_pct, round(rk.v, 6) AS exact
+        |  FROM rk JOIN tg ON rk.rn = tg.t)
+        |SELECT e.q_pct, e.n, e.est, x.exact,
+        |       abs(e.est - x.exact) <= 2.0 AS within_bin
+        |FROM estv e JOIN ex x USING (q_pct)""".stripMargin,
+
+    "q_ext_erasure" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |t AS (SELECT doc_id FROM d WHERE doc_id % 37 = 0)
+        |SELECT (SELECT count(*) FROM d) AS n_before,
+        |       (SELECT count(*) FROM d) - (SELECT count(*) FROM t)
+        |         AS n_after,
+        |       (SELECT count(*) FROM t) AS n_tombstoned,
+        |       CAST(0 AS BIGINT) AS deleted_remaining,
+        |       TRUE AS survivors_intact""".stripMargin,
 
     "q_ext_frequent_pairs" ->
       """WITH toks AS (

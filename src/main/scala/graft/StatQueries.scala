@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Agreement, Collocations, Concentration, Privacy}
+import graft.ext.{Agreement, Collocations, Concentration, Privacy, TextStats}
 import graft.ops.{SeriesOps, Spatial, StatTests}
 
 /** Statistical-diagnostics queries: two-sample tests, series
@@ -104,6 +104,25 @@ object StatQueries {
     "q_ext_chi2_tokens" -> ((s, dir) =>
       Collocations.chi2TokenClass(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en", minDf = 50L)),
+
+    // Dunning G² collocations over the same pair counts as PMI — the
+    // low-count-robust ranking (PMI explodes for rare pairs, G²
+    // shrinks them toward 0).
+    "q_ext_llr" -> ((s, dir) =>
+      Collocations.llrBigrams(Tables.documents(s, dir), "doc_id", "text",
+        minPairCount = 25L)),
+
+    // Flesch reading-ease per doc (1-in-7 slice): exact integer word /
+    // sentence / vowel-group counts from codegen'd regex counting,
+    // then the one classic double formula.
+    "q_ext_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          TextStats.readabilityStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_sents").as("n_sents"), col("r.n_syll").as("n_syll"),
+          col("r.flesch").as("flesch"))),
 
     // Nearest-station assignment: broadcast dimension + per-probe argmin.
     "q_ext_nearest_station" -> ((s, dir) =>
@@ -494,6 +513,53 @@ object StatQueries {
         |         / (CAST(c_x AS DOUBLE) * c_y)), 6) AS pmi
         |FROM pc JOIN lft ON lft.x = pc.x JOIN rgt ON rgt.y = pc.y, n
         |WHERE c_xy >= 25""".stripMargin,
+
+    "q_ext_llr" -> {
+      def xlx(e: String) =
+        s"(CASE WHEN $e > 0 THEN CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE)) ELSE 0.0 END)"
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS ws
+         |  FROM documents),
+         |bg AS (SELECT unnest(list_zip(ws, ws[2:])) AS z FROM t),
+         |pairs AS (
+         |  SELECT z[1] AS x, z[2] AS y FROM bg WHERE z[2] IS NOT NULL),
+         |pc AS (SELECT x, y, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+         |lft AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM pc GROUP BY 1),
+         |rgt AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM pc GROUP BY 1),
+         |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM pc),
+         |f AS (
+         |  SELECT pc.x, pc.y, CAST(c_xy AS BIGINT) AS c_xy, c_x, c_y, n_bigrams
+         |  FROM pc JOIN lft ON lft.x = pc.x JOIN rgt ON rgt.y = pc.y, n
+         |  WHERE c_xy >= 25)
+         |SELECT x, y, c_xy, c_x, c_y,
+         |       round(2.0 * (${xlx("c_xy")} + ${xlx("c_x - c_xy")}
+         |         + ${xlx("c_y - c_xy")}
+         |         + ${xlx("n_bigrams - c_x - c_y + c_xy")}
+         |         - ${xlx("c_x")} - ${xlx("n_bigrams - c_x")}
+         |         - ${xlx("c_y")} - ${xlx("n_bigrams - c_y")}
+         |         + ${xlx("n_bigrams")}), 6) AS llr
+         |FROM f""".stripMargin
+    },
+
+    "q_ext_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |           AS BIGINT) AS n_words,
+        |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |           AS BIGINT) AS n_sents,
+        |         CAST(greatest(len(regexp_extract_all(lower(text),
+        |           '[aeiouy]+')), 1) AS BIGINT) AS n_syll
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |       round(206.835
+        |         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+        |         - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |         6) AS flesch
+        |FROM c""".stripMargin,
 
     "q_ext_chi2_tokens" ->
       """WITH d AS (SELECT doc_id, lang = 'en' AS pos, text FROM documents),

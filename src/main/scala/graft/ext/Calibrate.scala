@@ -99,4 +99,57 @@ object Calibrate {
       .withColumn(s"${valueCol}_cal", round(interp, 6))
       .drop("__map")
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of a score against
+    * a boolean outcome, on fixed-width score bins — pool-adjacent-
+    * violators without any sequential pass, via the minimax identity
+    * (Robertson/Wright/Dykstra, "Order Restricted Statistical
+    * Inference", Thm 1.4.4):
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} mean(pos over bins j..k)
+    *
+    * [[quantileTable]] aligns score SCALES across sources; this is the
+    * PROBABILITY-calibration step (Platt/isotonic family) that turns a
+    * monotone-but-miscalibrated score into an outcome rate — the fix
+    * [[Reliability]]'s curve decides to apply.
+    *
+    * Scale shape: the data contributes ONE `bins`-row partial-agg
+    * shuffle (the Reliability binning); the minimax runs on broadcast
+    * triangular self-joins of that `bins`-row table — O(bins³) pairs
+    * of INTEGER sums, never a driver-side loop, never a window over
+    * data. Determinism: every range mean is one IEEE division of
+    * exact long sums; min/max over identical operand sets pick
+    * identical values on both engines; rounding happens once at the
+    * output.
+    *
+    * Output per non-empty bin: (bin, n, pos, raw_rate, iso_rate),
+    * with iso_rate monotone non-decreasing in bin.
+    */
+  def isotonicBinned(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]: $bins")
+    val perBin = df
+      .select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long")
+          .as("bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("_pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_pos").as("pos"))
+    val members = perBin.select(col("bin").as("m"), col("n").as("nm"),
+      col("pos").as("pm"))
+    val ranges = perBin.select(col("bin").as("j"))
+      .join(broadcast(perBin.select(col("bin").as("k"))),
+        col("j") <= col("k"))
+      .join(broadcast(members), col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy("j", "k")
+      .agg((sum("pm").cast("double") / sum("nm")).as("mean"))
+    val fitted = perBin.select(col("bin").as("i"))
+      .join(broadcast(ranges), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("mean").as("m1"))
+      .groupBy("i").agg(max("m1").as("fit"))
+    perBin.join(broadcast(fitted), col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n"), 6).as("raw_rate"),
+        round(col("fit"), 6).as("iso_rate"))
+  }
 }

@@ -34,7 +34,13 @@ object Collocations {
     * (token) keys. All counts fit exact doubles (< 2⁵³) at any corpus
     * where a single token's count fits a long.
     */
-  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+  /** Thresholded adjacent-pair counts with positional marginals and
+    * the total: (x, y, c_xy, c_x, c_y, n_bigrams) — the shared input
+    * of [[pmiBigrams]] and [[llrBigrams]]. Adjacency comes from
+    * zipping the token array with its own tail (map-side explode);
+    * the only shuffles aggregate (pair) and (token) keys.
+    */
+  private def bigramCounts(docs: DataFrame, idCol: String, textCol: String,
       minPairCount: Long): DataFrame = {
     val toks = tokenArray(docs, idCol, textCol)
     val tail = greatest(size(col("ws")) - 1, lit(0))
@@ -52,9 +58,43 @@ object Collocations {
       .join(left, "x")
       .join(right, "y")
       .crossJoin(broadcast(n))
+  }
+
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minPairCount: Long): DataFrame =
+    bigramCounts(docs, idCol, textCol, minPairCount)
       .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
         d6(log(col("c_xy").cast("double") * col("n_bigrams") /
           (col("c_x").cast("double") * col("c_y")))).as("pmi"))
+
+  /** Dunning log-likelihood-ratio (G²) collocations over the same
+    * adjacent-pair counts as [[pmiBigrams]] — the low-count-robust
+    * scorer (Dunning 1993, "Accurate Methods for the Statistics of
+    * Surprise and Coincidence"): PMI explodes for rare pairs, G²
+    * shrinks toward 0, which is why vocabulary curation ranks by G²
+    * when pair counts are small.
+    *
+    * G² = 2·(Σ xlx(kᵢⱼ) − Σ xlx(rows) − Σ xlx(cols) + xlx(N)) over
+    * the 2×2 table [pair, x-without-y, y-without-x, neither], with
+    * xlx(c) = c·ln(c) and xlx(0) = 0. Counts are exact longs; the
+    * formula is ONE fixed expression tree per row (no float
+    * aggregate), so evaluation order is pinned on both engines.
+    * Output: (x, y, c_xy, c_x, c_y, llr).
+    */
+  def llrBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minPairCount: Long): DataFrame = {
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val k11 = col("c_xy")
+    val k12 = col("c_x") - col("c_xy")
+    val k21 = col("c_y") - col("c_xy")
+    val k22 = col("n_bigrams") - col("c_x") - col("c_y") + col("c_xy")
+    bigramCounts(docs, idCol, textCol, minPairCount)
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        d6(lit(2.0) * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+          - xlx(col("c_x")) - xlx(col("n_bigrams") - col("c_x"))
+          - xlx(col("c_y")) - xlx(col("n_bigrams") - col("c_y"))
+          + xlx(col("n_bigrams")))).as("llr"))
   }
 
   /** Chi-squared association between token presence (distinct per doc)

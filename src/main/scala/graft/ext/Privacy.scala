@@ -68,4 +68,62 @@ object Privacy {
         (abs(lit(2.0) * (col("nr").cast("double") / col("n")) - 0.5 -
           col("nb").cast("double") / col("n")) <= tolerance).as("est_ok"))
   }
+
+  /** Right-to-erasure propagation over a [[graft.io.SnapshotTable]]:
+    * commit a new snapshot of `dir` that is `fromVersion` minus every
+    * row whose `keyCol` appears in `tombstones` — copy-on-write, so
+    * time travel to the pre-erasure version keeps working until its
+    * files are expired by retention, and the erasure itself is one
+    * anti-join + write, never an in-place file mutation (the shape
+    * every lakehouse DELETE takes).
+    *
+    * Deletion requests are bounded (a human-initiated queue), so the
+    * tombstone side broadcasts and the data never shuffles for the
+    * join; the write's range layout by `keyCol` is the only exchange.
+    */
+  def eraseKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int, keyCol: String,
+      tombstones: DataFrame, numFiles: Int): Unit = {
+    val base = graft.io.SnapshotTable.readSnapshot(spark, dir, fromVersion)
+    val kept = base.join(
+      broadcast(tombstones.select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+    graft.io.SnapshotTable.writeSnapshot(kept, dir, toVersion, keyCol,
+      numFiles)
+  }
+
+  /** The erasure audit row a compliance log wants, computed from the
+    * two snapshots themselves (not from what the writer CLAIMED):
+    * (n_before, n_after, n_tombstoned, deleted_remaining,
+    * survivors_intact) — `deleted_remaining` must be 0 and
+    * `survivors_intact` pins that the new version's key-sum equals the
+    * old version's minus exactly the tombstoned rows' (erasure touched
+    * NOTHING else). Exact decimal sums; one aggregate per version.
+    */
+  def erasureAudit(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int, keyCol: String,
+      tombstones: DataFrame): DataFrame = {
+    val keys = broadcast(tombstones.select(col(keyCol)).distinct())
+    val before = graft.io.SnapshotTable.readSnapshot(spark, dir, fromVersion)
+    val after = graft.io.SnapshotTable.readSnapshot(spark, dir, toVersion)
+    def dsum(df: DataFrame) =
+      sum(col(keyCol).cast("decimal(38,0)")).as("s")
+    val b = before.agg(count(lit(1)).as("n_before"), dsum(before))
+      .withColumnRenamed("s", "s_before")
+    val t = before.join(keys, Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("n_tombstoned"), dsum(before))
+      .withColumnRenamed("s", "s_tomb")
+    val a = after.agg(count(lit(1)).as("n_after"), dsum(after))
+      .withColumnRenamed("s", "s_after")
+    val rem = after.join(keys, Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("deleted_remaining"))
+    b.crossJoin(t).crossJoin(a).crossJoin(rem)
+      .select(col("n_before"), col("n_after"), col("n_tombstoned"),
+        col("deleted_remaining"),
+        (col("n_after") === col("n_before") - col("n_tombstoned") &&
+          coalesce(col("s_after"), lit(0).cast("decimal(38,0)")) ===
+            col("s_before") -
+              coalesce(col("s_tomb"), lit(0).cast("decimal(38,0)")))
+          .as("survivors_intact"))
+  }
 }

@@ -397,6 +397,32 @@ object TextStats {
   /** Content fingerprint: first 16 hex chars of md5 — stable across
     * engines, enough bits (64) for dedup bucketing at trillions of docs.
     */
+  /** Flesch reading-ease statistics: (n_words, n_sents, n_syll,
+    * flesch) with the classic 206.835 − 1.015·(words/sentence) −
+    * 84.6·(syllables/word) formula. Sentences are terminal-punctuation
+    * runs `[.!?]+` (min 1); syllables use the standard cheap heuristic
+    * — vowel-group count (`[aeiouy]+` on lower-cased text; groups
+    * cannot span whitespace, so the whole-text count equals the
+    * per-word sum). All three counts are exact integers from codegen'd
+    * regex counting — no UDF — and the one double formula at the end
+    * is IEEE-deterministic. Readability is a standard quality-scoring
+    * axis beside [[c4Rules]]'s structural checks: very low scores
+    * flag boilerplate/gibberish, very high ones flag trivial text.
+    */
+  def readabilityStats(text: Column): Column = {
+    val words = tokenCount(text).cast("long")
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syll = greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1))
+      .cast("long")
+    struct(
+      words.as("n_words"), sents.as("n_sents"), syll.as("n_syll"),
+      round(lit(206.835)
+        - lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - lit(84.6) * (syll.cast("double") / words.cast("double")), 6)
+        .as("flesch"))
+  }
+
   def fingerprintMd5(text: Column): Column = substring(md5(text), 1, 16)
 
   /** Seed for the rolling fingerprint (FNV offset basis, non-zero). */

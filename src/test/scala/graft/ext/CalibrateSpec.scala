@@ -52,6 +52,45 @@ class CalibrateSpec extends SparkTestBase {
       ("c", 99.0, 99.0)))
   }
 
+  test("isotonicBinned: adjacent violators pool to their weighted mean") {
+    // bins 0/1/2 with rates 0.2 / 0.1 / 0.6 and equal weight: PAV
+    // pools the first two to 0.15, leaves the third alone.
+    def block(lo: Double, pos: Int, n: Int) =
+      (0 until n).map(i => (lo, i < pos))
+    val df = (block(0.1, 2, 10) ++ block(0.5, 1, 10) ++ block(0.9, 6, 10))
+      .toDF("score", "good")
+    val rows = Calibrate.isotonicBinned(df, "score", "good", bins = 3)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("raw_rate"), r.getAs[Double]("iso_rate"))).toMap
+    assert(rows(0L) === ((0.2, 0.15)))
+    assert(rows(1L) === ((0.1, 0.15)))
+    assert(rows(2L) === ((0.6, 0.6)))
+  }
+
+  test("isotonicBinned: already-monotone rates pass through unchanged") {
+    def block(lo: Double, pos: Int, n: Int) =
+      (0 until n).map(i => (lo, i < pos))
+    val df = (block(0.1, 1, 10) ++ block(0.5, 5, 10) ++ block(0.9, 9, 10))
+      .toDF("score", "good")
+    val rows = Calibrate.isotonicBinned(df, "score", "good", bins = 3)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("iso_rate") === r.getAs[Double]("raw_rate"))
+    }
+  }
+
+  test("isotonicBinned: output is monotone non-decreasing even when raw is chaos") {
+    val df = (1 to 400).map { i =>
+      (i % 20 / 20.0, (i * 2654435761L % 89) < (if (i % 3 == 0) 60 else 20))
+    }.toDF("score", "good")
+    val rows = Calibrate.isotonicBinned(df, "score", "good", bins = 10)
+      .collect().sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("iso_rate"))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
+
   test("grid preconditions fail fast") {
     val df = fixture
     intercept[IllegalArgumentException](

@@ -25,6 +25,36 @@ class PrivacySpec extends SparkTestBase {
     assert(r.getAs[Double]("suppression_rate") === 0.0)
   }
 
+  test("eraseKeys + erasureAudit: tombstoned rows vanish, survivors intact, v1 travels") {
+    val dir = java.nio.file.Files.createTempDirectory("erasure").toString
+    val base = (1L to 100L).map(i => (i, s"row$i")).toDF("k", "payload")
+    graft.io.SnapshotTable.writeSnapshot(base, dir, 1, "k", 2)
+    val tomb = Seq(3L, 30L, 77L).toDF("k")
+    Privacy.eraseKeys(spark, dir, 1, 2, "k", tomb, 2)
+    val audit = Privacy.erasureAudit(spark, dir, 1, 2, "k", tomb)
+      .collect().head
+    assert(audit.getAs[Long]("n_before") === 100L)
+    assert(audit.getAs[Long]("n_after") === 97L)
+    assert(audit.getAs[Long]("n_tombstoned") === 3L)
+    assert(audit.getAs[Long]("deleted_remaining") === 0L)
+    assert(audit.getAs[Boolean]("survivors_intact"))
+    // copy-on-write: time travel to the pre-erasure version still works
+    assert(graft.io.SnapshotTable.readSnapshot(spark, dir, 1).count() === 100L)
+  }
+
+  test("erasureAudit catches an erasure that deleted the wrong rows") {
+    val dir = java.nio.file.Files.createTempDirectory("erasure2").toString
+    val base = (1L to 50L).map(i => (i, i * 10)).toDF("k", "v")
+    graft.io.SnapshotTable.writeSnapshot(base, dir, 1, "k", 2)
+    // "buggy" erasure: drops key 7 instead of the tombstoned key 9
+    graft.io.SnapshotTable.writeSnapshot(
+      base.filter(col("k") =!= 7L), dir, 2, "k", 2)
+    val audit = Privacy.erasureAudit(spark, dir, 1, 2, "k",
+      Seq(9L).toDF("k")).collect().head
+    assert(audit.getAs[Long]("deleted_remaining") === 1L)
+    assert(!audit.getAs[Boolean]("survivors_intact"))
+  }
+
   test("randomizedResponse: hash-coin mechanism debiases within tolerance") {
     val df = (1L to 4000L).map(i => Tuple1(i)).toDF("seed")
     val r = Privacy.randomizedResponse(df, "seed", col("seed") % 4 === 0,

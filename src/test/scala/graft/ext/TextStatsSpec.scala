@@ -229,4 +229,30 @@ class TextStatsSpec extends SparkTestBase {
       .select(TextStats.scriptProfile($"text")("dominant_script")).collect().head
     assert(row.getString(0) === "none")
   }
+
+  test("readabilityStats: hand counts and the Flesch formula") {
+    // 6 words, 2 sentence marks, 6 vowel groups:
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    val row = Seq("The cat sat. The dog ran!")
+      .toDF("text")
+      .select(TextStats.readabilityStats($"text").as("r")).select($"r.*")
+      .collect().head
+    assert(row.getAs[Long]("n_words") === 6L)
+    assert(row.getAs[Long]("n_sents") === 2L)
+    assert(row.getAs[Long]("n_syll") === 6L)
+    assert(row.getAs[Double]("flesch") === 119.19)
+  }
+
+  test("readabilityStats: no terminal punctuation still counts 1 sentence") {
+    val row = Seq("polysyllabic vocabulary increases difficulty")
+      .toDF("text")
+      .select(TextStats.readabilityStats($"text").as("r")).select($"r.*")
+      .collect().head
+    assert(row.getAs[Long]("n_words") === 4L)
+    assert(row.getAs[Long]("n_sents") === 1L)
+    // vowel groups: o,y,y,a,i | o,a,u,a,y | i,ea,e | i,i,u,y = 17
+    assert(row.getAs[Long]("n_syll") === 17L)
+    // long words, one sentence: low readability
+    assert(row.getAs[Double]("flesch") < 0.0)
+  }
 }
