@@ -69,6 +69,16 @@ object EvalQueries {
       ForecastEval.conformalSeasonalNaive(Tables.events(s, dir), "event_type",
         "ts", "value", seasonSeconds = 86400L, alphaPct = 90)),
 
+    // Two-period difference-in-differences: treated = even users,
+    // post = the back half of the month — treatment effect net of the
+    // control group's trend, with the pre-period gap surfaced as the
+    // parallel-trends eyeball check.
+    "q_ext_did" -> ((s, dir) =>
+      Causal.diffInDiff(Tables.events(s, dir),
+        col("user_id") % 2 === 0,
+        to_date(col("ts")) >= lit("2024-01-16"),
+        "value")),
+
     // ROC AUC of the learned quality score vs the length label —
     // discrimination beside q_ext_reliability's calibration; exact
     // under ties via doubled-rank integers on the micro-score scan.
@@ -252,6 +262,25 @@ object EvalQueries {
       |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ext_did" ->
+      """WITH i AS (
+        |  SELECT user_id % 2 = 0 AS t,
+        |         CAST(ts AS DATE) >= DATE '2024-01-16' AS p,
+        |         CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT t, p, count(*) AS n, CAST(sum(y) AS DOUBLE) AS sy
+        |  FROM i GROUP BY 1, 2)
+        |SELECT tb.n AS n_t_pre, tp.n AS n_t_post,
+        |       cb.n AS n_c_pre, cp.n AS n_c_post,
+        |       round((tb.sy / tb.n) - (cb.sy / cb.n), 6) AS pre_gap,
+        |       round((tp.sy / tp.n) - (cp.sy / cp.n), 6) AS post_gap,
+        |       round(((tp.sy / tp.n) - (tb.sy / tb.n))
+        |         - ((cp.sy / cp.n) - (cb.sy / cb.n)), 6) AS did
+        |FROM cells tb, cells tp, cells cb, cells cp
+        |WHERE tb.t AND NOT tb.p AND tp.t AND tp.p
+        |  AND NOT cb.t AND NOT cb.p AND NOT cp.t AND cp.p""".stripMargin,
+
     "q_ext_auc" ->
       s"""WITH $scoredLabeledSql,
          |j AS (

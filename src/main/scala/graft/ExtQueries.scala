@@ -1352,6 +1352,50 @@ object ExtQueries {
       Privacy.erasureAudit(s, out, 1, 2, "doc_id", tomb)
     }),
 
+    // Retention expiry (VACUUM): physically delete versions below the
+    // retention floor — the second half of right-to-erasure (erase
+    // removed the rows; expiry removes the pre-erasure FILES). The
+    // gate checks the deleted version is really gone from disk and
+    // the survivor still reads exactly.
+    "q_ext_retention_expiry" -> ((s, dir) => {
+      val out = scratchDir(s, "g_docs_retention", dir)
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      graft.io.SnapshotTable.writeSnapshot(docs, out, 1, "doc_id", 4)
+      graft.io.SnapshotTable.writeSnapshot(
+        docs.filter(col("doc_id") % 3 =!= 0), out, 2, "doc_id", 4)
+      val nExpired = graft.io.SnapshotTable.expireVersions(s, out, keepFrom = 2)
+      val v1Gone =
+        !fsys.exists(new org.apache.hadoop.fs.Path(out, "v1")) &&
+          !fsys.exists(new org.apache.hadoop.fs.Path(out, "manifest-v00001.json"))
+      graft.io.SnapshotTable.readSnapshot(s, out, 2)
+        .agg(count(lit(1)).as("v2_rows"),
+          sum(col("doc_id").cast("decimal(38,0)")).as("v2_key_sum"))
+        .select(lit(nExpired).as("n_expired"), col("v2_rows"),
+          col("v2_key_sum"), lit(v1Gone).as("v1_gone"))
+    }),
+
+    // Cross-table referential integrity: lineitems pointing at orders
+    // deliberately removed from the parent side — the FK-orphan audit
+    // a corpus-metadata star schema runs on every ingest.
+    "q_ext_ref_integrity" -> ((s, dir) =>
+      Expectations.refIntegrity(
+        Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir).filter(col("o_orderkey") % 7 =!= 0),
+        "o_orderkey")),
+
+    // Goodness-of-fit of the hash split against its declared 80/10/10
+    // recipe — the χ² QA check run after assignment; terms are
+    // 9-dp-rounded decimal summands so the statistic is engine-exact.
+    "q_ext_split_gof" -> ((s, dir) =>
+      graft.ops.StatTests.gofChiSquare(
+        Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"),
+        "split",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
     // File-level data skipping off the manifest's per-file min/max:
     // the range layout makes date stats tight, the pruned read opens
     // only intersecting FILES (above parquet row-group skipping). The
@@ -1428,6 +1472,105 @@ object ExtQueries {
         .filter(col("src") =!= col("dst")).distinct()
       Graph.pageRank(e, iterations = 5)
     }),
+
+    // HITS hubs/authorities on the same link graph — the directed
+    // complement of PageRank (points-at-good vs pointed-at-by-good),
+    // in the same bounded-iteration integer fixed-point arithmetic;
+    // oracle unrolls the identical recurrence (Graph.hitsSql).
+    "q_ext_hits" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .selectExpr("user_id % 40 AS src", "event_id % 40 AS dst")
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.hits(e, iterations = 3)
+    }),
+
+    // Interval-interval overlap join: per-(user, day) activity spans,
+    // two bounded user slices, every overlapping cross-user pair via
+    // the binned equi-join (pair kept only in its overlap-start bin —
+    // no distinct pass). The oracle is the brute-force overlap join.
+    "q_ext_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        graft.ops.TimeOps.epochSeconds(col("ts")).as("es"))
+      val iv = e.groupBy(col("user_id"),
+          floor(col("es") / 86400L).as("day"))
+        .agg(min("es").as("lo"), max("es").as("hi"))
+      val a = iv.filter(col("user_id") % 97 === 0)
+        .select(col("user_id").as("user_a"), col("lo").as("lo_a"),
+          col("hi").as("hi_a"))
+      val b = iv.filter(col("user_id") % 89 === 0)
+        .select(col("user_id").as("user_b"), col("lo").as("lo_b"),
+          col("hi").as("hi_b"))
+      graft.ops.RangeJoin.intervalOverlapJoin(a, "lo_a", "hi_a",
+          b, "lo_b", "hi_b", binSeconds = 21600L)
+        .filter(col("user_a") =!= col("user_b"))
+        .select(col("user_a"), col("user_b"), col("lo_a"), col("hi_a"),
+          col("lo_b"), col("hi_b"),
+          greatest(col("lo_a"), col("lo_b")).as("ov_start"),
+          least(col("hi_a"), col("hi_b")).as("ov_end"),
+          (least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b"))).as("ov_secs"))
+    }),
+
+    // Winnowing (MOSS) fingerprint pairs: LOCAL substring overlap —
+    // the plagiarized-paragraph detector set-based MinHash can't be;
+    // guaranteed hit for shared runs of ≥ w+k−1 tokens, map-side
+    // array algebra per doc, hot-fingerprint cap before the join.
+    "q_ext_winnowing" -> ((s, dir) =>
+      Dedup.winnowingPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 3, window = 3, minShared = 2L, capDf = 80L)),
+
+    // Per-key time-weighted average over the irregular event series —
+    // what "average power" means off-grid (plain avg over-weights
+    // densely-sampled periods); integral and span ride ONE keyed
+    // window scan.
+    "q_ext_twa" -> ((s, dir) =>
+      graft.ops.Integrate.timeWeightedMean(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value")),
+
+    // k-core of a sparse link graph: bounded peel rounds (degree agg +
+    // two semi-joins per round, no driver frontier); oracle unrolls
+    // the identical rounds.
+    "q_ext_kcore" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 13 === 0)
+        .selectExpr("user_id % 200 AS src", "event_id % 200 AS dst")
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.kCore(e, k = 5, rounds = 8)
+    }),
+
+    // Embedding-geometry probe: pairwise-cosine histogram over an md5
+    // sample — the anisotropy/collapse check behind every ANN and
+    // SemDeDup threshold (Drift watches moments; this watches shape).
+    "q_ext_cos_histogram" -> ((s, dir) =>
+      Drift.cosineHistogram(Tables.embeddings(s, dir), "vec_id",
+        "embedding", sampleRate = 0.3, bins = 20)),
+
+    // Multi-source BFS hop levels on the link graph — reachability /
+    // blast-radius in bounded min-relaxation rounds (no driver-side
+    // frontier); oracle replays it as a bounded recursive CTE.
+    "q_ext_bfs" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.events(s, dir)
+        .selectExpr("user_id % 40 AS src", "event_id % 40 AS dst")
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.bfsLevels(e, Seq(0L, 7L).toDF("v"), maxHops = 4)
+    }),
+
+    // Vocabulary coverage curve: token mass covered by top-k vocabs —
+    // the tokenizer-budget report, one corpus pass + one chunked
+    // PrefixSum scan over the vocabulary (rank and cumulative mass
+    // from the same scan; no unpartitioned window, no per-size rescan).
+    "q_ext_vocab_coverage" -> ((s, dir) =>
+      Vocab.coverageCurve(Tables.documents(s, dir), "text",
+        Seq(100, 1000, 5000))),
+
+    // Directed association rules (confidence + lift over independence)
+    // from the a-priori frequent pairs — the actionable form of the
+    // co-occurrence counts; singleton-df table broadcast by the same
+    // support bound that makes the frequent set small.
+    "q_ext_assoc_rules" -> ((s, dir) =>
+      Itemsets.associationRules(Tables.documents(s, dir), "doc_id", "text",
+        minSupport = 100L)),
 
     // In/out degrees of the same link graph — the cheap companion
     // report (full outer merge keeps source-only and sink-only nodes).
@@ -3466,6 +3609,180 @@ object ExtQueries {
          |${Graph.pageRankSql(5)}
          |SELECT v, r AS rank_e12 FROM it5""".stripMargin,
 
+    "q_ext_hits" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+         |  FROM events WHERE user_id % 40 <> event_id % 40),
+         |${Graph.hitsSql(3)}
+         |SELECT a3.v, a3.s AS auth_e12, h3.s AS hub_e12
+         |FROM a3 JOIN h3 ON h3.v = a3.v""".stripMargin,
+
+    "q_ext_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |           x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(ws) - 3 + 2),
+        |           i -> substring(md5(array_to_string(ws[i:i+2], ' ')), 1, 8))
+        |           AS h
+        |  FROM d WHERE len(ws) >= 3),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(h) - 3 + 1, 1) + 1),
+        |           j -> list_min(h[j:j+2]))) AS fps
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        |cnt AS (SELECT fp, count(*) AS c FROM f GROUP BY 1),
+        |ok AS (SELECT f.doc_id, f.fp FROM f JOIN cnt USING (fp)
+        |       WHERE c <= 80),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
+
+    "q_ext_twa" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events),
+        |l AS (
+        |  SELECT event_type, value AS v,
+        |         lag(value) OVER (PARTITION BY event_type
+        |                          ORDER BY us, event_id) AS pv,
+        |         us,
+        |         lag(us) OVER (PARTITION BY event_type
+        |                       ORDER BY us, event_id) AS pus
+        |  FROM e),
+        |t AS (
+        |  SELECT event_type, us,
+        |         CASE WHEN pv IS NOT NULL
+        |              THEN CAST(((v + pv) / 2.0) * ((us - pus) / 1000000.0)
+        |                        AS DECIMAL(28,10)) END AS term
+        |  FROM l),
+        |g AS (
+        |  SELECT event_type,
+        |         CAST(coalesce(sum(term), 0) AS DOUBLE) AS integral,
+        |         count(*) AS n_samples,
+        |         min(us) AS us0, max(us) AS us1
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n_samples,
+        |       round((us1 - us0) / 1000000.0, 6) AS span_seconds,
+        |       CASE WHEN us1 > us0
+        |            THEN round(integral / ((us1 - us0) / 1000000.0), 6)
+        |       END AS twa
+        |FROM g""".stripMargin,
+
+    "q_ext_kcore" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+         |  FROM events
+         |  WHERE event_id % 13 = 0 AND user_id % 200 <> event_id % 200),
+         |${Graph.kCoreSql(5, 8)}
+         |SELECT a AS v, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e8 GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+    "q_ext_cos_histogram" -> {
+      val thr = Sampling.rateThreshold(0.3)
+      s"""WITH sm AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE substring(md5('geo' || CAST(vec_id AS VARCHAR)), 1, 8)
+         |        < '$thr'),
+         |p AS (
+         |  SELECT round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |  FROM sm a JOIN sm b ON a.id < b.id),
+         |bb AS (
+         |  SELECT CAST(least(greatest(floor((cos + 1.0) / 2.0 * 20), 0), 19)
+         |           AS BIGINT) AS bin,
+         |         CAST(cos AS DECIMAL(18,6)) AS c
+         |  FROM p)
+         |SELECT bin, count(*) AS n_pairs,
+         |       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_cos
+         |FROM bb GROUP BY 1""".stripMargin
+    },
+
+    "q_ext_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+        |  FROM events WHERE user_id % 40 <> event_id % 40),
+        |walk(v, level) AS (
+        |  SELECT CAST(v AS BIGINT), CAST(level AS BIGINT)
+        |  FROM (VALUES (0, 0), (7, 0)) t(v, level)
+        |  UNION
+        |  SELECT e.dst, w.level + 1
+        |  FROM walk w JOIN edges e ON e.src = w.v
+        |  WHERE w.level < 4)
+        |SELECT v, CAST(min(level) AS BIGINT) AS level
+        |FROM walk GROUP BY 1""".stripMargin,
+
+    "q_ext_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS n_occ FROM toks GROUP BY 1),
+        |r AS (
+        |  SELECT term, n_occ,
+        |         row_number() OVER (ORDER BY n_occ DESC, term) AS rank,
+        |         sum(n_occ) OVER (ORDER BY n_occ DESC, term
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total,
+        |             count(*) AS n_types
+        |      FROM c),
+        |s AS (SELECT CAST(unnest([100, 1000, 5000]) AS BIGINT)
+        |        AS vocab_size)
+        |SELECT s.vocab_size, CAST(r.rank AS BIGINT) AS k_actual,
+        |       t.n_types, CAST(r.cum AS BIGINT) AS covered, t.total,
+        |       round(CAST(r.cum AS DOUBLE) / t.total, 6) AS coverage
+        |FROM s, t, r WHERE r.rank = least(s.vocab_size, t.n_types)""".stripMargin,
+
+    "q_ext_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, es // 86400 AS day,
+        |         min(es) AS lo, max(es) AS hi
+        |  FROM e GROUP BY 1, 2),
+        |a AS (SELECT user_id AS user_a, lo AS lo_a, hi AS hi_a
+        |      FROM iv WHERE user_id % 97 = 0),
+        |b AS (SELECT user_id AS user_b, lo AS lo_b, hi AS hi_b
+        |      FROM iv WHERE user_id % 89 = 0)
+        |SELECT user_a, user_b, lo_a, hi_a, lo_b, hi_b,
+        |       greatest(lo_a, lo_b) AS ov_start,
+        |       least(hi_a, hi_b) AS ov_end,
+        |       least(hi_a, hi_b) - greatest(lo_a, lo_b) AS ov_secs
+        |FROM a JOIN b ON lo_a <= hi_b AND lo_b <= hi_a
+        |  AND user_a <> user_b""".stripMargin,
+
+    "q_ext_assoc_rules" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |  FROM documents),
+        |tt AS (SELECT id, t FROM toks WHERE t <> ''),
+        |dfs AS (SELECT t, count(*) AS df FROM tt GROUP BY 1
+        |        HAVING count(*) >= 100),
+        |ft AS (SELECT tt.id, tt.t FROM tt JOIN dfs ON dfs.t = tt.t),
+        |p AS (
+        |  SELECT x.t AS t1, y.t AS t2, count(*) AS pair_df
+        |  FROM ft x JOIN ft y ON y.id = x.id AND x.t < y.t
+        |  GROUP BY 1, 2 HAVING count(*) >= 100),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |d AS (SELECT t1 AS antecedent, t2 AS consequent, pair_df FROM p
+        |      UNION ALL
+        |      SELECT t2, t1, pair_df FROM p)
+        |SELECT antecedent, consequent, pair_df,
+        |       a.df AS df_a, c.df AS df_c,
+        |       round(CAST(pair_df AS DOUBLE) / a.df, 6) AS confidence,
+        |       round(CAST(pair_df AS DOUBLE) * n_docs
+        |         / (CAST(a.df AS DOUBLE) * c.df), 6) AS lift
+        |FROM d JOIN dfs a ON a.t = d.antecedent
+        |JOIN dfs c ON c.t = d.consequent, nd""".stripMargin,
+
     "q_ext_graph_degrees" ->
       """WITH edges AS (
         |  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
@@ -4308,6 +4625,56 @@ object ExtQueries {
         |SELECT e.q_pct, e.n, e.est, x.exact,
         |       abs(e.est - x.exact) <= 2.0 AS within_bin
         |FROM estv e JOIN ex x USING (q_pct)""".stripMargin,
+
+    "q_ext_retention_expiry" ->
+      """SELECT CAST(1 AS INT) AS n_expired,
+        |       (SELECT count(*) FROM documents WHERE doc_id % 3 <> 0)
+        |         AS v2_rows,
+        |       (SELECT CAST(sum(doc_id) AS DECIMAL(38,0)) FROM documents
+        |        WHERE doc_id % 3 <> 0) AS v2_key_sum,
+        |       TRUE AS v1_gone""".stripMargin,
+
+    "q_ext_ref_integrity" ->
+      """WITH par AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+        |ch AS (SELECT l_orderkey AS fk FROM lineitem),
+        |fkk AS (SELECT DISTINCT fk FROM ch),
+        |orr AS (
+        |  SELECT count(*) AS n_orphan_rows FROM ch
+        |  WHERE fk NOT IN (SELECT o_orderkey FROM par)),
+        |ork AS (
+        |  SELECT count(*) AS n_orphan_keys FROM fkk
+        |  WHERE fk NOT IN (SELECT o_orderkey FROM par))
+        |SELECT (SELECT count(*) FROM ch) AS n_child,
+        |       (SELECT count(*) FROM fkk) AS n_fk_keys,
+        |       orr.n_orphan_rows, ork.n_orphan_keys,
+        |       round(CAST(orr.n_orphan_rows AS DOUBLE)
+        |         / greatest((SELECT count(*) FROM ch), 1), 6) AS orphan_rate
+        |FROM orr, ork""".stripMargin,
+
+    "q_ext_split_gof" -> {
+      val (t80, t90) = (Sampling.rateThreshold(0.8), Sampling.rateThreshold(0.9))
+      s"""WITH sp AS (
+         |  SELECT CASE WHEN h < '$t80' THEN 'train'
+         |              WHEN h < '$t90' THEN 'val' ELSE 'test' END AS cat
+         |  FROM (SELECT substring(md5('sp' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |          AS h
+         |        FROM documents)),
+         |obs AS (SELECT cat, count(*) AS o FROM sp GROUP BY 1),
+         |ex AS (SELECT * FROM (VALUES ('train', 0.8), ('val', 0.1),
+         |        ('test', 0.1)) t(cat, p)),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+         |terms AS (
+         |  SELECT CAST(round(
+         |      (CAST(coalesce(o, 0) AS DOUBLE) - p * nn.n)
+         |      * (CAST(coalesce(o, 0) AS DOUBLE) - p * nn.n)
+         |      / (p * nn.n), 9) AS DECIMAL(28,9)) AS term
+         |  FROM ex LEFT JOIN obs USING (cat), nn)
+         |SELECT (SELECT n FROM nn) AS n, CAST(3 AS BIGINT) AS k,
+         |       round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+         |       CAST(2 AS BIGINT) AS df
+         |FROM terms""".stripMargin
+    },
 
     "q_ext_erasure" ->
       """WITH d AS (SELECT doc_id FROM documents),

@@ -1159,6 +1159,62 @@ object SparkEntry {
       q.awaitTermination()
       s.table("g_st15")
     }),
+
+    // §2.10 ext: STREAMING model-calibration monitoring — the batch
+    // Reliability.curve (bin counts + decimal score sums) running
+    // unchanged on a stream in complete mode: constant state (bins
+    // rows), no watermark needed, and the final table equals the
+    // batch curve bit-for-bit. Score is per-row md5 noise, label a
+    // value threshold, so the whole gate is oracle-replayable.
+    "q_st16_stream_reliability" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stream = streamTable(s, dir, "events")
+        .select(
+          (conv(substring(md5(concat(lit("rel"),
+            col("event_id").cast("string"))), 1, 3), 16, 10)
+            .cast("long").cast("double") / 4096.0).as("score"),
+          (col("value") >= 50.0).as("good"))
+      val curve = graft.ext.Reliability.curve(stream, "score", "good",
+        bins = 10)
+      s.catalog.dropTempView("g_st16")
+      val q = curve.writeStream.format("memory").queryName("g_st16")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st16")
+    }),
+
+    // §2.10 ext: STREAMING histogram-store ingest — each micro-batch
+    // reduces to ≤ bins (day, bin) count rows appended to the store
+    // (foreachBatch, O(batch) — the quantile twin of the streaming
+    // MinHash-store ingest); because the merge is exact integer
+    // addition, the stream-built store's range quantiles equal the
+    // batch-built store's bit-for-bit, and the oracle replays them
+    // from raw data.
+    "q_st17_stream_quantile_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val store = ExtQueries.scratchTable(s, "g_st17_hist", dir)
+      val ckpt = new java.io.File(s"target/${store}_ckpt").getAbsolutePath
+      val cp = new org.apache.hadoop.fs.Path(ckpt)
+      val fsys = cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(cp)) fsys.delete(cp, true)
+      s.sql(s"DROP TABLE IF EXISTS `$store`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), store.toLowerCase)
+      val wfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (wfs.exists(loc)) wfs.delete(loc, true)
+      val lo = 0.0; val hi = 500.0; val bins = 250
+      val q = streamTable(s, dir, "events").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ext.HistogramStore.ingest(batch, "ts", "value", store,
+            lo, hi, bins)
+        }
+        .start()
+      q.awaitTermination()
+      graft.ext.HistogramStore.rangeQuantiles(s, store,
+        "2024-01-08", "2024-01-22", Seq(50, 90, 99), lo, hi, bins)
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1815,6 +1871,55 @@ object SparkEntry {
         |             * sin(radians(s_lon - lon) / 2.0))), 6) AS dist_km
         |  FROM pr, st)
         |SELECT id, station_id, dist_km FROM d WHERE dist_km <= 150.0""".stripMargin,
+
+    // The streamed complete-mode reliability curve equals the batch
+    // curve: same md5-noise score, same bins, same decimal sums.
+    "q_st16_stream_reliability" -> {
+      def hx(i: Int) =
+        s"(strpos('0123456789abcdef', substring(md5('rel' || CAST(event_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH sc AS (
+         |  SELECT CAST(${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)}
+         |           AS DOUBLE) / 4096.0 AS score,
+         |         value >= 50.0 AS good
+         |  FROM events),
+         |j AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT)
+         |           AS bin,
+         |         CAST(round(score, 6) AS DECIMAL(18,6)) AS s,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM sc)
+         |SELECT bin, count(*) AS n,
+         |       round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score,
+         |       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
+    // The stream-ingested histogram store answers range quantiles
+    // identically to binning the raw rows in SQL (exact integer merge).
+    "q_st17_stream_quantile_ingest" ->
+      """WITH raw AS (
+        |  SELECT round(value, 6) AS v FROM events
+        |  WHERE value IS NOT NULL
+        |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'),
+        |b AS (
+        |  SELECT CAST(least(greatest(floor((v - 0.0) / 2.0), 0), 249)
+        |    AS BIGINT) AS bin
+        |  FROM raw),
+        |agg AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT a.bin, a.cnt, CAST(sum(b2.cnt) AS BIGINT) AS cum
+        |  FROM agg a JOIN agg b2 ON b2.bin <= a.bin GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM agg),
+        |q AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS q_pct),
+        |tg AS (
+        |  SELECT q_pct, nn.n,
+        |         (CAST(q_pct AS BIGINT) * nn.n + 99) // 100 AS t
+        |  FROM q, nn)
+        |SELECT tg.q_pct, tg.n,
+        |       round(0.0 + 2.0 * c.bin
+        |         + 2.0 * CAST(tg.t - (c.cum - c.cnt) AS DOUBLE) / c.cnt,
+        |         6) AS est
+        |FROM cum c JOIN tg ON c.cum >= tg.t AND c.cum - c.cnt < tg.t""".stripMargin,
 
     // Streaming approx-distinct: exact per-window counts hash-checked;
     // the sketch's accuracy contract asserted TRUE.

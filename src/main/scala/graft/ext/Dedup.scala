@@ -711,4 +711,59 @@ object Dedup {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): per document, hash every k-gram,
+    * then keep each window-of-w's MINIMUM hash. The winnowing theorem
+    * guarantees any shared substring of ≥ w+k−1 tokens produces at
+    * least one shared fingerprint, at a density of ~2/(w+1) — the
+    * local-substring-overlap detector that set-based MinHash (global
+    * resemblance) can't be: two documents sharing one plagiarized
+    * paragraph look dissimilar globally but collide here.
+    *
+    * Everything per-document is MAP-SIDE array algebra (codegen'd
+    * transform/slice/array_min — no UDF, text never shuffles);
+    * fingerprints are fixed-width md5-hex prefixes so both engines
+    * agree on every window minimum (lexicographic = numeric order on
+    * fixed-width hex). Output: (idCol, fp), distinct per doc.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k, window >= 1: $k, $window")
+    val ws = filter(split(lower(col(textCol)), "[^a-z]+"), w => w =!= "")
+    val grams = transform(
+      sequence(lit(1), greatest(size(col("__ws")) - (k - 1), lit(0))),
+      i => substring(md5(concat_ws(" ", slice(col("__ws"), i, lit(k)))), 1, 8))
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("__h")) - (window - 1), lit(1))),
+      j => array_min(slice(col("__h"), j, lit(window)))))
+    docs.select(col(idCol), ws.as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol), grams.as("__h"))
+      .select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Candidate local-overlap pairs from [[winnowingFingerprints]]:
+    * documents sharing ≥ `minShared` fingerprints, with hot
+    * fingerprints (boilerplate grams appearing in > `capDf` docs)
+    * dropped before the self-join — the same degrade-recall-not-
+    * wall-time cap as the LSH band join, and the reason the join's
+    * fan-out is bounded by capDf² per fingerprint instead of n².
+    * Output: (id_a, id_b, n_shared).
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, window: Int = 4, minShared: Long = 2L,
+      capDf: Long = 50L): DataFrame = {
+    val fps = winnowingFingerprints(docs, idCol, textCol, k, window)
+    val ok = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= capDf).select("fp"),
+      "fp")
+    ok.select(col("fp"), col(idCol).as("id_a"))
+      .join(ok.select(col("fp"), col(idCol).as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -53,4 +53,44 @@ object Drift {
         round(col("__v_batch"), scale).as("var_batch"),
         round(abs(col("__m_batch") - col("__m_base")), scale).as("mean_shift"))
   }
+
+  /** Embedding GEOMETRY probe: the histogram of pairwise cosines over
+    * a deterministic md5 sample — the anisotropy / collapse check
+    * ([[embeddingDrift]] watches per-dimension moments move; this
+    * watches the SHAPE: a healthy space has cosine mass spread below
+    * 1, a collapsing encoder piles pairs near 1, and every ANN /
+    * SemDeDup threshold silently degrades when that happens).
+    *
+    * Sample-pair work is (rate·n)² by construction — the same
+    * broadcast-bounded brute-force budget as the ANN cosine baseline,
+    * with the rate the documented knob. Cosines round to 6 dp before
+    * binning (engine parity), counts are exact, per-bin mean rides a
+    * decimal sum. Output per non-empty bin over [-1, 1]:
+    * (bin, n_pairs, mean_cos).
+    */
+  def cosineHistogram(df: DataFrame, idCol: String, vecCol: String,
+      sampleRate: Double, bins: Int = 20,
+      salt: String = "geo"): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]: $bins")
+    val thr = Sampling.rateThreshold(sampleRate)
+    val sample = df
+      .filter(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+        1, 8) < lit(thr))
+      .select(col(idCol).as("__id"),
+        Similarity.asDouble(col(vecCol)).as("__v"))
+    val pairs = sample.select(col("__id").as("__ida"), col("__v").as("__va"))
+      .join(broadcast(sample.select(col("__id").as("__idb"),
+        col("__v").as("__vb"))), col("__ida") < col("__idb"))
+      .select(round(Similarity.cosine(col("__va"), col("__vb")), 6)
+        .as("cos"))
+    pairs
+      .select(
+        least(greatest(floor((col("cos") + 1.0) / 2.0 * bins), lit(0)),
+          lit(bins - 1)).cast("long").as("bin"),
+        col("cos").cast("decimal(18,6)").as("__c"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("__c")).cast("double") / count(lit(1)), 6)
+          .as("mean_cos"))
+  }
 }

@@ -116,4 +116,40 @@ object Expectations {
     }
     one.select(explode(array(reports: _*)).as("r")).select("r.*")
   }
+
+  /** Referential-integrity audit — the cross-TABLE expectation the
+    * single-pass suite can't express: child rows whose `fkCol` has no
+    * match in `parent.pkCol`. One row: (n_child, n_fk_keys,
+    * n_orphan_rows, n_orphan_keys, orphan_rate).
+    *
+    * [[Profile.fkViolations]] reports the row-level orphan share (the
+    * admission decision); this adds the KEY-level view — how many
+    * distinct FK values dangle — which is what the remediation ticket
+    * sizes on (one hot missing parent vs a thousand scattered ones).
+    *
+    * Plan: the orphan decision is ONE left-anti shuffle join on the
+    * key (both sides partially aggregated to distinct keys first for
+    * the key-level counts, so the row-level anti-join is the only
+    * data-sized exchange). Exact integer counts; one rate division.
+    */
+  def refIntegrity(child: DataFrame, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame = {
+    val keys = parent.select(col(pkCol).as("__pk")).distinct()
+    val childTagged = child.select(col(fkCol).as("__fk"))
+    val orphanRows = childTagged
+      .join(keys, col("__fk") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"))
+    val fkKeys = childTagged.distinct()
+    val orphanKeys = fkKeys
+      .join(keys, col("__fk") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_keys"))
+    val totals = childTagged.agg(count(lit(1)).as("n_child"))
+      .crossJoin(broadcast(fkKeys.agg(count(lit(1)).as("n_fk_keys"))))
+    totals.crossJoin(broadcast(orphanRows))
+      .crossJoin(broadcast(orphanKeys))
+      .select(col("n_child"), col("n_fk_keys"), col("n_orphan_rows"),
+        col("n_orphan_keys"),
+        round(col("n_orphan_rows").cast("double") /
+          greatest(col("n_child"), lit(1L)), 6).as("orphan_rate"))
+  }
 }

@@ -181,4 +181,171 @@ object Graph {
           round(lit(3).cast("double") * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg JACM'99) in the same
+    * bounded-iteration fixed-point arithmetic as [[pageRank]] —
+    * PageRank answers "globally endorsed", HITS answers "points at
+    * good things / is pointed at by good pointers", the directed
+    * bipartite view link-quality filtering wants.
+    *
+    *   a0 = h0 = Scale per vertex;
+    *   a_k(v) = Σ over in-edges (u,v) of h_{k-1}(u), then L1-normalize
+    *            to total mass Scale (decimal-widened product, floor
+    *            division — exact and engine-portable);
+    *   h_k(u) = Σ over out-edges (u,v) of a_k(v), normalized the same.
+    *
+    * Each iteration is two edge-keyed shuffle joins of the score
+    * vectors plus two one-row L1 aggregates broadcast back — no
+    * driver-side state. L1 (not the textbook L2) keeps normalization
+    * in exact integer arithmetic; the ranking is identical since
+    * normalization is a positive scalar either way. Returns
+    * (v, auth_e12, hub_e12).
+    */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    // L1-normalize `c` to total mass Scale: decimal(38,0) widens the
+    // c·Scale product past Long range; DIV floors, matching DuckDB //.
+    def normalized(scored: DataFrame): DataFrame = {
+      val tot = scored.agg(sum(col("c")).as("tot"))
+      nodes.join(scored, Seq("v"), "left")
+        .crossJoin(broadcast(tot))
+        .selectExpr("v",
+          s"CAST((CAST(coalesce(c, CAST(0 AS BIGINT)) AS DECIMAL(38,0))" +
+            s" * $Scale) DIV tot AS BIGINT) AS s")
+    }
+    var auth = nodes.withColumn("s", lit(Scale))
+    var hub = nodes.withColumn("s", lit(Scale))
+    for (_ <- 1 to iterations) {
+      // localCheckpoint cuts the lineage each half-step: every
+      // normalization references its input twice (mass total + join),
+      // so an uncut chain doubles the plan per half-iteration — the
+      // classic iterative-algorithm blowup. The checkpointed vector is
+      // |V| rows distributed across executors, not driver state.
+      auth = normalized(e
+        .join(hub.select(col("v").as("src"), col("s")), "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("s")).as("c")))
+        .localCheckpoint()
+      hub = normalized(e
+        .join(auth.select(col("v").as("dst"), col("s")), "dst")
+        .groupBy(col("src").as("v")).agg(sum(col("s")).as("c")))
+        .localCheckpoint()
+    }
+    auth.select(col("v"), col("s").as("auth_e12"))
+      .join(hub.select(col("v"), col("s").as("hub_e12")), "v")
+  }
+
+  /** k-core decomposition (bounded peeling): the maximal subgraph
+    * where every vertex keeps ≥ k neighbours — the standard "dense
+    * part of the web graph / spam farm / community scaffold" filter.
+    * Treats the graph as undirected (symmetrize + dedup). Returns
+    * (v, core_deg) for vertices surviving `rounds` peel rounds with
+    * their within-core degree.
+    *
+    * Each round is one degree aggregate + two semi-join restrictions —
+    * no driver-side frontier; `rounds` bounds the iteration exactly
+    * like [[pageRank]]'s power steps (peeling converges in ≤ |V|
+    * rounds, in practice a handful). Pure integer counts, so the
+    * result is engine-exact; the oracle unrolls the identical rounds
+    * via [[kCoreSql]].
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k, rounds >= 1: $k, $rounds")
+    val e0 = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    var e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("a").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("a")
+      // each round references `keep` twice (both endpoints) — cut the
+      // lineage per round or the plan doubles per peel (same blowup
+      // as [[hits]]); the checkpointed edge set is distributed state.
+      e = e.join(keep, "a").join(keep.select(col("a").as("b")), "b")
+        .localCheckpoint()
+    }
+    e.groupBy(col("a").as("v")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
+
+  /** The identical peel rounds as DuckDB CTEs over `edges` (src, dst),
+    * unrolled — one source of truth with [[kCore]]. The final core is
+    * CTE `e<rounds>`.
+    */
+  def kCoreSql(k: Int, rounds: Int): String = {
+    require(k >= 1 && rounds >= 1)
+    val sym =
+      """e0 AS (
+        |  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+        |  UNION
+        |  SELECT dst, src FROM edges WHERE src <> dst)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= $k),
+         |e$i AS (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON x.a = e.a JOIN k$i y ON y.a = e.b)""".stripMargin
+    }.mkString(",\n")
+    s"$sym,\n$iters"
+  }
+
+  /** Multi-source BFS levels: the hop distance from the nearest
+    * `sources` vertex, up to `maxHops` — reachability / blast-radius /
+    * crawl-frontier questions over the link graph. Returns
+    * (v, level) for every REACHED vertex (level 0 = a source).
+    *
+    * Iterative min-relaxation in the [[pageRank]] mold: each round is
+    * one edge-keyed shuffle join of the current level vector and a
+    * min-aggregate — no driver-side frontier, no recursion depth tied
+    * to data (maxHops bounds rounds). Levels only ever decrease and
+    * are exact integers, so the result is engine-portable; the oracle
+    * replays it as a bounded recursive CTE.
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    var levels = sources.select(col("v").cast("long").as("v"))
+      .distinct().withColumn("level", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = e
+        .join(levels.select(col("v").as("src"), col("level")), "src")
+        .select(col("dst").as("v"), (col("level") + 1L).as("level"))
+      levels = levels.unionByName(next)
+        .groupBy("v").agg(min("level").as("level"))
+    }
+    levels
+  }
+
+  /** The identical HITS recurrence as DuckDB SQL over a CTE named
+    * `edges` (columns src, dst), unrolled `iterations` times — one
+    * source of truth with [[hits]]. HUGEINT keeps the c·Scale product
+    * exact; `//` floors like Spark's DIV on positives.
+    */
+  def hitsSql(iterations: Int): String = {
+    require(iterations >= 1)
+    def norm(scoresFrom: String, out: String) =
+      s"""$out AS (
+         |  SELECT nodes.v,
+         |    CAST((CAST(coalesce(c.c, 0) AS HUGEINT) * $Scale)
+         |      // (SELECT sum(c) FROM ($scoresFrom) z) AS BIGINT) AS s
+         |  FROM nodes LEFT JOIN ($scoresFrom) c ON c.v = nodes.v)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      val ph = if (k == 1) "h0" else s"h${k - 1}"
+      val aGather =
+        s"SELECT e.dst AS v, CAST(sum(p.s) AS BIGINT) AS c FROM edges e JOIN $ph p ON p.v = e.src GROUP BY 1"
+      val hGather =
+        s"SELECT e.src AS v, CAST(sum(p.s) AS BIGINT) AS c FROM edges e JOIN a$k p ON p.v = e.dst GROUP BY 1"
+      norm(aGather, s"a$k") + ",\n" + norm(hGather, s"h$k")
+    }.mkString(",\n")
+    s"""nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT v, CAST($Scale AS BIGINT) AS s FROM nodes),
+       |$iters""".stripMargin
+  }
 }

@@ -53,6 +53,49 @@ object Vocab {
           round(lit(2.0) * col("n_dis") / col("n_hapax"), 6))
           .otherwise(lit(0.0)))
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size in
+    * `sizes`, the fraction of all token OCCURRENCES a top-k-by-
+    * frequency vocabulary would cover — the tokenizer-budget question
+    * ("does 32k vocab cover 95% or 99% of this corpus") answered in
+    * one pass. Output per size: (vocab_size, k_actual, n_types,
+    * covered, total, coverage), k_actual = min(size, n_types).
+    *
+    * ONE token-keyed aggregate, then frequency-rank and cumulative
+    * occurrence mass ride a single chunked [[graft.ops.PrefixSum]]
+    * scan over the (negated-count, term) order — no unpartitioned
+    * window, no per-size rescan of the corpus. Ranks and sums are
+    * exact longs; ties break lexicographically so the curve is
+    * engine-deterministic. (Frequency spectra are Zipf-skewed, so the
+    * low-count chunks hold most TYPES — acceptable because the scan
+    * runs over the vocabulary, which is orders of magnitude smaller
+    * than the corpus.)
+    */
+  def coverageCurve(docs: DataFrame, textCol: String,
+      sizes: Seq[Int], chunkSpan: Long = 16L): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"sizes must be positive: $sizes")
+    val counts = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+      .withColumn("neg", -col("n_occ"))
+      .withColumn("one", lit(1L))
+    val scanned = graft.ops.PrefixSum.runningTotals(counts, "neg",
+        Seq("n_occ" -> "cum_before", "one" -> "rank_before"), chunkSpan,
+        tieBreak = Seq("term"))
+      .withColumn("rank", col("rank_before") + 1L)
+      .withColumn("cum", col("cum_before") + col("n_occ"))
+    val totals = counts.agg(sum("n_occ").as("total"),
+      count(lit(1)).as("n_types"))
+    val sizesDf = docs.sparkSession
+      .createDataFrame(sizes.map(s => Tuple1(s.toLong))).toDF("vocab_size")
+    scanned.crossJoin(broadcast(totals))
+      .join(broadcast(sizesDf),
+        col("rank") === least(col("vocab_size"), col("n_types")))
+      .select(col("vocab_size"), col("rank").as("k_actual"),
+        col("n_types"), col("cum").as("covered"), col("total"),
+        round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+  }
+
   /** Per-document coverage against `vocab` (a (term, ...) frame):
     * (idCol, n_tokens, n_oov, oov_rate).
     */

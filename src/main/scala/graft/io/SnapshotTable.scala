@@ -109,6 +109,35 @@ object SnapshotTable {
     spark.read.parquet(m.files.map(_.path): _*)
   }
 
+  /** Retention expiry: physically delete every snapshot version below
+    * `keepFrom` — its data directory AND its manifest. This is the
+    * second half of right-to-erasure ([[graft.ext.Privacy.eraseKeys]]
+    * removes rows from the CURRENT version copy-on-write; compliance
+    * additionally requires the pre-erasure files to stop existing once
+    * the retention window closes) and the standard VACUUM every
+    * copy-on-write table needs to bound storage.
+    *
+    * Versions don't share files (each writes `dir/v<N>/`), so expiry
+    * is a pure delete — no reference counting. Driver-side filesystem
+    * metadata operations only, like every table format's vacuum.
+    * Returns the number of versions deleted.
+    */
+  def expireVersions(spark: SparkSession, dir: String, keepFrom: Int): Int = {
+    require(keepFrom >= 1, "keepFrom must be >= 1")
+    val f = fs(spark, dir)
+    val manifestRe = """manifest-v(\d+)\.json""".r
+    val versions = f.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case manifestRe(v) => v.toInt }
+    val expired = versions.filter(_ < keepFrom).sorted
+    expired.foreach { v =>
+      val dataDir = new Path(dir, s"v$v")
+      if (f.exists(dataDir)) f.delete(dataDir, true)
+      f.delete(manifestPath(dir, v), false)
+    }
+    expired.size
+  }
+
   /** Stats-pruned read: only files whose [min, max] can intersect
     * [lo, hi] on the stats column are opened. String comparison on the
     * stringified stats is correct for string columns and for

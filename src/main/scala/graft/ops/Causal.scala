@@ -93,4 +93,37 @@ object Causal {
         d6(col("mean_t") - col("mean_c")).as("effect"),
         d6((col("n_t") + col("n_c")).cast("double") / col("n_all")).as("weight"))
   }
+
+  /** Two-period difference-in-differences: the quasi-experimental
+    * estimator when assignment isn't randomized but a pre-period
+    * exists — did = (ȳ_treated,post − ȳ_treated,pre) −
+    * (ȳ_control,post − ȳ_control,pre), the treated group's change net
+    * of the control group's trend (parallel-trends assumption; the
+    * pre_gap column is the eyeball check — a large pre-period gap
+    * warns the assumption is doing heavy lifting).
+    *
+    * ONE four-cell partial-aggregate shuffle of decimal sums; all four
+    * means divide once to doubles in a fixed expression tree. Output:
+    * (n_t_pre, n_t_post, n_c_pre, n_c_post, pre_gap, post_gap, did).
+    */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+      yCol: String): DataFrame = {
+    val in = df.select(treatCol.as("t"), postCol.as("p"),
+      d6(col(yCol)).cast("decimal(18,6)").as("y"))
+    val cells = in.groupBy("t", "p").agg(
+      count(lit(1)).as("n"), sum(col("y")).cast("double").as("sy"))
+    def cell(t: Boolean, p: Boolean, nName: String, mName: String) =
+      cells.filter(col("t") === t && col("p") === p)
+        .select(col("n").as(nName), (col("sy") / col("n")).as(mName))
+    cell(true, false, "n_t_pre", "m_t_pre")
+      .crossJoin(broadcast(cell(true, true, "n_t_post", "m_t_post")))
+      .crossJoin(broadcast(cell(false, false, "n_c_pre", "m_c_pre")))
+      .crossJoin(broadcast(cell(false, true, "n_c_post", "m_c_post")))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"),
+        d6(col("m_t_pre") - col("m_c_pre")).as("pre_gap"),
+        d6(col("m_t_post") - col("m_c_post")).as("post_gap"),
+        d6((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre"))).as("did"))
+  }
 }

@@ -41,4 +41,43 @@ object Integrate {
           lit(0).cast("decimal(28,10)")).cast("double").as("integral"),
         count(col("__term")).as("n_intervals"))
   }
+
+  /** Per-key TIME-WEIGHTED average over irregular samples: the
+    * trapezoid integral divided by the observed span — what "average
+    * power" actually means when samples aren't equally spaced (a plain
+    * `avg` over-weights whichever periods sample densest; TWA is the
+    * gap-robust mean the resample-then-average pipeline approximates).
+    *
+    * Same single keyed-window scan as [[trapezoid]] (the span's
+    * min/max ride the same aggregate — no second pass). Keys with
+    * zero span (one sample, or all samples coincident) report null
+    * rather than a division blow-up. Output:
+    * (key, n_samples, span_seconds, twa).
+    */
+  def timeWeightedMean(df: DataFrame, key: String, ts: String,
+      tieBreak: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    df.select(col(key), col(ts), col(tieBreak),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__us", unix_micros(col(ts)))
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .withColumn("__pus", lag(col("__us"), 1).over(w))
+      .withColumn("__term",
+        when(col("__pv").isNotNull,
+          ((col("__v") + col("__pv")) / lit(2.0)) *
+            ((col("__us") - col("__pus")) / lit(1000000.0))))
+      .groupBy(col(key))
+      .agg(
+        coalesce(sum(col("__term").cast("decimal(28,10)")),
+          lit(0).cast("decimal(28,10)")).cast("double").as("__int"),
+        count(lit(1)).as("n_samples"),
+        min(col("__us")).as("__us0"), max(col("__us")).as("__us1"))
+      .select(col(key), col("n_samples"),
+        round((col("__us1") - col("__us0")) / lit(1000000.0), 6)
+          .as("span_seconds"),
+        when(col("__us1") > col("__us0"),
+          round(col("__int") /
+            ((col("__us1") - col("__us0")) / lit(1000000.0)), 6))
+          .as("twa"))
+  }
 }

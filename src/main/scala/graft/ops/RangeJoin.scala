@@ -41,4 +41,37 @@ object RangeJoin {
       .filter(col(pointTime) >= col(loCol) && col(pointTime) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-interval OVERLAP join: every (left, right) pair with
+    * `l.lo ≤ r.hi && r.lo ≤ l.hi` (closed intervals), optionally under
+    * equi-keys — co-presence / concurrent-session / availability-
+    * window questions that [[pointInInterval]]'s point probe can't
+    * ask.
+    *
+    * Same binning trick, plus a dedup invariant replacing the "point
+    * has one bin" argument: both sides replicate to their covered
+    * bins, the hash join meets a candidate pair in EVERY shared bin,
+    * and the pair is kept only in the bin of max(l.lo, r.lo) — the
+    * overlap's start, which any overlapping pair has exactly one of.
+    * No distinct step, so nothing reshuffles after the join.
+    *
+    * Both time columns are numeric (epoch seconds); `maxBins` caps
+    * axis-spanning intervals exactly as in [[pointInInterval]].
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      keys: Seq[String] = Nil,
+      binSeconds: Long = 3600L,
+      maxBins: Int = 1024): DataFrame = {
+    def bin(c: Column): Column = floor(c / binSeconds)
+    def expand(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) >= col(lo))
+      .filter(bin(col(hi)) - bin(col(lo)) < maxBins)
+      .withColumn("__bin", explode(sequence(bin(col(lo)), bin(col(hi)))))
+    expand(left, lLo, lHi).join(expand(right, rLo, rHi), "__bin" +: keys)
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === bin(greatest(col(lLo), col(rLo))))
+      .drop("__bin")
+  }
 }

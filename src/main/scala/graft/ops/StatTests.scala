@@ -192,4 +192,45 @@ object StatTests {
             col("v_b") * col("v_b") / (col("n_b") * col("n_b") * (col("n_b") - lit(1)))))
           .as("df"))
   }
+
+  /** Chi-squared goodness-of-fit of a categorical column against
+    * expected shares — the "is my hash split actually 80/10/10" QA
+    * check for [[graft.ext.Sampling]]'s assignments. `expected` maps
+    * category → share (shares must sum to 1; categories observed but
+    * not expected fail loudly rather than skewing the statistic).
+    *
+    * One category-bounded partial-agg shuffle; observed counts are
+    * exact longs, expected counts one multiply each, and the χ² sum
+    * runs over 9-dp-rounded decimal terms so accumulation order can't
+    * move the 6-dp result. Output: (n, k, chi2, df).
+    */
+  def gofChiSquare(df: DataFrame, catCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "expected shares must be non-empty")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"expected shares must sum to 1: $expected")
+    val shares = expected.map { case (c, p) =>
+      struct(lit(c).as("cat"), lit(p).as("p"))
+    }
+    val sharesDf = df.sparkSession.range(1)
+      .select(explode(array(shares: _*)).as("s"))
+      .select(col("s.cat").as("cat"), col("s.p").as("p"))
+    val obs = df.select(col(catCol).cast("string").as("cat"))
+      .groupBy("cat").agg(count(lit(1)).as("o"))
+    val n = obs.agg(sum("o").as("n"))
+    val joined = obs.join(broadcast(sharesDf), Seq("cat"), "full_outer")
+      .crossJoin(broadcast(n))
+    joined.agg(
+        max(when(col("p").isNull, col("cat"))).as("_unexpected"),
+        sum(
+          round((coalesce(col("o"), lit(0L)).cast("double") -
+            col("p") * col("n")) *
+            (coalesce(col("o"), lit(0L)).cast("double") - col("p") * col("n")) /
+            (col("p") * col("n")), 9).cast("decimal(28,9)")).as("_chi2"),
+        max(col("n")).as("n"), count(when(col("p").isNotNull, 1)).as("k"))
+      .select(col("n"), col("k"),
+        when(col("_unexpected").isNotNull, lit(null).cast("double"))
+          .otherwise(d6(col("_chi2").cast("double"))).as("chi2"),
+        (col("k") - lit(1)).as("df"))
+  }
 }

@@ -265,4 +265,41 @@ class DedupSpec extends SparkTestBase {
     assert((got.getLong(1), got.getLong(2), got.getDouble(3))
       === ((2L, 1L, 0.5)))
   }
+
+  test("winnowing theorem: a shared run of >= w+k-1 tokens must collide") {
+    // k=3, w=3: any shared substring of >= 5 tokens guarantees a
+    // shared fingerprint. The two docs share a 7-token run embedded in
+    // otherwise-disjoint text.
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red blue $shared green yellow purple"),
+      (3L, "completely different words everywhere honestly"))
+      .toDF("id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "id", "text", k = 3, window = 3)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getString(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "guaranteed collision for the shared run")
+    val pairs = Dedup.winnowingPairs(docs, "id", "text", k = 3, window = 3,
+        minShared = 1L, capDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc pairs with nothing")
+  }
+
+  test("winnowing: hot-fingerprint cap drops boilerplate grams from the join") {
+    // every doc shares the same 5-token boilerplate: with capDf below
+    // the doc count the boilerplate fingerprints are excluded and no
+    // pairs survive.
+    val docs = (1L to 10L).map(i =>
+      (i, s"standard legal disclaimer text here unique$i")).toDF("id", "text")
+    val none = Dedup.winnowingPairs(docs, "id", "text", k = 3, window = 3,
+      minShared = 1L, capDf = 5L)
+    assert(none.count() === 0L)
+    val some = Dedup.winnowingPairs(docs, "id", "text", k = 3, window = 3,
+      minShared = 1L, capDf = 10L)
+    assert(some.count() === 10L * 9L / 2L)
+  }
 }

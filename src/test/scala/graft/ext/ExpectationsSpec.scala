@@ -51,4 +51,26 @@ class ExpectationsSpec extends SparkTestBase {
       .collect().head
     assert(rep.getDouble(2) === 0.0 && !rep.getBoolean(4))
   }
+
+  test("refIntegrity: orphan rows and keys counted separately") {
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"),
+      (8L, "f")).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Expectations.refIntegrity(child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getAs[Long]("n_child") === 6L)
+    assert(r.getAs[Long]("n_fk_keys") === 4L)
+    assert(r.getAs[Long]("n_orphan_rows") === 3L) // 9,9,8
+    assert(r.getAs[Long]("n_orphan_keys") === 2L) // {9, 8}
+    assert(r.getAs[Double]("orphan_rate") === 0.5)
+  }
+
+  test("refIntegrity: fully consistent tables report zero orphans") {
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Expectations.refIntegrity(child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getAs[Long]("n_orphan_rows") === 0L)
+    assert(r.getAs[Double]("orphan_rate") === 0.0)
+  }
 }

@@ -77,4 +77,71 @@ class GraphSpec extends SparkTestBase {
     assert(r.getLong(3) === 0)
     assert(r.getDouble(4) === 0.0)
   }
+
+  test("hits: the big hub out-scores, the popular target out-scores") {
+    // 1 points at 2,3,4; 5 points only at 2 -> 1 is the better hub;
+    // 2 is the only multiply-cited authority.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+      .toDF("src", "dst")
+    val rows = Graph.hits(edges, iterations = 3)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("auth_e12"), r.getAs[Long]("hub_e12"))).toMap
+    assert(rows(1L)._2 > rows(5L)._2, "bigger hub wins")
+    assert(rows(2L)._1 > rows(3L)._1, "cited-by-both authority wins")
+    assert(rows(3L)._1 === rows(4L)._1, "symmetric targets tie")
+    // sources have no in-edges, sinks have no out-edges
+    assert(rows(1L)._1 === 0L && rows(5L)._1 === 0L)
+    assert(rows(2L)._2 === 0L && rows(3L)._2 === 0L)
+    // L1 mass is conserved up to one floor-division unit per vertex
+    val totalAuth = rows.values.map(_._1).sum
+    assert(totalAuth <= Graph.Scale &&
+      totalAuth >= Graph.Scale - rows.size)
+  }
+
+  test("bfsLevels: chain takes shortest path, unreachable stays absent, hops bound") {
+    // 1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 4; 9 isolated.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 9L)).toDF("src", "dst")
+    val levels = Graph.bfsLevels(edges, Seq(1L).toDF("v"), maxHops = 2)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("level")).toMap
+    assert(levels === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // 5 reached at hop 2 ONLY via the shortcut; without it hop 4
+    val far = Graph.bfsLevels(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst"),
+      Seq(1L).toDF("v"), maxHops = 2)
+      .collect().map(_.getAs[Long]("v")).toSet
+    assert(!far.contains(5L), "hop bound must cut the frontier")
+  }
+
+  test("kCore: peeling cascades — removing leaves strips the chain") {
+    // triangle 1-2-3 plus a pendant path 3-4-5: the 2-core is exactly
+    // the triangle (4 dies, then 5's support is gone transitively).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, rounds = 5)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("core_deg"))
+      .toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above max degree empties the graph") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.kCore(edges, k = 3, rounds = 3).count() === 0L)
+  }
+
+  test("bfsLevels: multi-source takes the nearer source") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 3L)).toDF("src", "dst")
+    val levels = Graph.bfsLevels(edges, Seq(1L, 7L).toDF("v"), maxHops = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("level")).toMap
+    assert(levels(3L) === 1L, "7 -> 3 beats 1 -> 2 -> 3")
+  }
+
+  test("hits: a directed 2-cycle is fully symmetric") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rows = Graph.hits(edges, iterations = 4)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("auth_e12"), r.getAs[Long]("hub_e12"))).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L)._1 === Graph.Scale / 2)
+  }
 }

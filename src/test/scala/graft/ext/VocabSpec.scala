@@ -53,4 +53,31 @@ class VocabSpec extends SparkTestBase {
     assert(r.getDouble(4) === 0.0)
     assert(r.getDouble(5) === 0.0)
   }
+
+  test("coverageCurve: hand frequencies, clamped sizes, exact masses") {
+    // freqs: a=5, b=3, c=1, d=1 (ties break lexicographically).
+    val df = Seq((1L, "a a a b c"), (2L, "a a b b d")).toDF("id", "text")
+    val rows = Vocab.coverageCurve(df, "text", Seq(1, 2, 10))
+      .collect().map(r => r.getAs[Long]("vocab_size") -> r).toMap
+    val s1 = rows(1L)
+    assert(s1.getAs[Long]("k_actual") === 1L)
+    assert(s1.getAs[Long]("covered") === 5L && s1.getAs[Long]("total") === 10L)
+    assert(s1.getAs[Double]("coverage") === 0.5)
+    assert(rows(2L).getAs[Long]("covered") === 8L)
+    // size past the vocabulary clamps to n_types with full coverage
+    val s10 = rows(10L)
+    assert(s10.getAs[Long]("k_actual") === 4L)
+    assert(s10.getAs[Long]("n_types") === 4L)
+    assert(s10.getAs[Double]("coverage") === 1.0)
+  }
+
+  test("coverageCurve is chunk-span invariant") {
+    val df = (1 to 50).map(i => (i.toLong, s"w${i % 7} w${i % 3} x"))
+      .toDF("id", "text")
+    val a = Vocab.coverageCurve(df, "text", Seq(3), chunkSpan = 16L)
+      .collect().head.getAs[Double]("coverage")
+    val b = Vocab.coverageCurve(df, "text", Seq(3), chunkSpan = 1000L)
+      .collect().head.getAs[Double]("coverage")
+    assert(a === b)
+  }
 }

@@ -69,4 +69,22 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(m.files.size === 1)
     assert(m.files.head.statMin === "aa" && m.files.head.statMax === "zz")
   }
+
+  test("expireVersions: deletes data and manifests below the floor only") {
+    val dir = freshDir
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    SnapshotTable.writeSnapshot(df, dir, 1, "k", 1)
+    SnapshotTable.writeSnapshot(df, dir, 2, "k", 1)
+    SnapshotTable.writeSnapshot(df, dir, 3, "k", 1)
+    assert(SnapshotTable.expireVersions(spark, dir, keepFrom = 3) === 2)
+    // expired versions are physically gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "v2")))
+    intercept[Exception](SnapshotTable.readSnapshot(spark, dir, 1))
+    // the kept version still reads, and re-expiry is a no-op
+    assert(SnapshotTable.readSnapshot(spark, dir, 3).count() === 2)
+    assert(SnapshotTable.expireVersions(spark, dir, keepFrom = 3) === 0)
+  }
 }

@@ -43,4 +43,29 @@ class CausalSpec extends SparkTestBase {
     assert(out("s2").getAs[Double]("effect") === 4.0)
     assert(math.abs(out("s2").getAs[Double]("weight") - 2.0 / 6.0) < 1e-6)
   }
+
+  test("diffInDiff: hand four-cell case") {
+    // treated: pre mean 10, post mean 15 (+5); control: 20 -> 22 (+2)
+    // -> did = +3; pre_gap = -10.
+    val rows = Seq(
+      (true, false, 8.0), (true, false, 12.0),
+      (true, true, 14.0), (true, true, 16.0),
+      (false, false, 19.0), (false, false, 21.0),
+      (false, true, 22.0), (false, true, 22.0))
+    val r = Causal.diffInDiff(rows.toDF("t", "p", "y"),
+      col("t"), col("p"), "y").collect().head
+    assert(r.getAs[Long]("n_t_pre") === 2 && r.getAs[Long]("n_c_post") === 2)
+    assert(r.getAs[Double]("pre_gap") === -10.0)
+    assert(r.getAs[Double]("post_gap") === -7.0)
+    assert(r.getAs[Double]("did") === 3.0)
+  }
+
+  test("diffInDiff: identical trends cancel to zero effect") {
+    val rows = Seq(
+      (true, false, 1.0), (true, true, 4.0),
+      (false, false, 7.0), (false, true, 10.0))
+    val r = Causal.diffInDiff(rows.toDF("t", "p", "y"),
+      col("t"), col("p"), "y").collect().head
+    assert(r.getAs[Double]("did") === 0.0)
+  }
 }

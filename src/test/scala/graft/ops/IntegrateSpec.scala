@@ -36,4 +36,26 @@ class IntegrateSpec extends SparkTestBase {
       .head().getDouble(1)
     assert(one === many)
   }
+
+  test("timeWeightedMean: integral over span, not the sample mean") {
+    // 2.0 held for 10s then a single late 4.0 sample at 20s:
+    // integral = (2+2)/2*10 + (2+4)/2*10 = 50, span 20 -> TWA 2.5,
+    // while the naive sample mean is (2+2+4)/3 ≈ 2.67.
+    val df = series(
+      ("a", 0L, 1L, 2.0), ("a", 10_000_000L, 2L, 2.0),
+      ("a", 20_000_000L, 3L, 4.0))
+    val r = Integrate.timeWeightedMean(df, "k", "ts", "id", "v")
+      .collect().head
+    assert(r.getAs[Long]("n_samples") === 3L)
+    assert(r.getAs[Double]("span_seconds") === 20.0)
+    assert(r.getAs[Double]("twa") === 2.5)
+  }
+
+  test("timeWeightedMean: zero span reports null instead of dividing") {
+    val df = series(("a", 5_000_000L, 1L, 7.0))
+    val r = Integrate.timeWeightedMean(df, "k", "ts", "id", "v")
+      .collect().head
+    assert(r.getAs[Double]("span_seconds") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("twa")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 class RangeJoinSpec extends SparkTestBase {
   import spark.implicits._
@@ -37,5 +38,31 @@ class RangeJoinSpec extends SparkTestBase {
     val got = RangeJoin.pointInInterval(points, "sec", intervals, "lo", "hi",
       keys = Seq("user"), binSeconds = 600L)
     assert(got.count() === 0)
+  }
+
+  test("intervalOverlapJoin equals brute force, each pair exactly once") {
+    // spans chosen so several pairs share MULTIPLE bins (bin=100):
+    // without the overlap-start-bin dedup they would duplicate.
+    val left = Seq((1L, 0L, 250L), (2L, 300L, 720L), (3L, 900L, 910L))
+      .toDF("lid", "lo_l", "hi_l")
+    val right = Seq((10L, 240L, 400L), (11L, 500L, 1000L), (12L, 50L, 60L))
+      .toDF("rid", "lo_r", "hi_r")
+    val got = RangeJoin.intervalOverlapJoin(left, "lo_l", "hi_l",
+        right, "lo_r", "hi_r", binSeconds = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    val brute = left.crossJoin(right)
+      .filter(col("lo_l") <= col("hi_r") && col("lo_r") <= col("hi_l"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet === brute)
+    assert(got.size === got.toSet.size, "a pair was emitted twice")
+    assert(brute === Set((1L, 10L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 11L)))
+  }
+
+  test("intervalOverlapJoin: touching endpoints overlap (closed intervals)") {
+    val l = Seq((1L, 0L, 100L)).toDF("lid", "lo_l", "hi_l")
+    val r = Seq((9L, 100L, 200L)).toDF("rid", "lo_r", "hi_r")
+    assert(RangeJoin.intervalOverlapJoin(l, "lo_l", "hi_l",
+      r, "lo_r", "hi_r", binSeconds = 50L).count() === 1)
   }
 }

@@ -66,4 +66,31 @@ class StatTestsSpec extends SparkTestBase {
     // Welch-Satterthwaite: (5/3)^2 / (1/18 + 16/18) = 50/17
     assert(math.abs(r.getAs[Double]("df") - 50.0 / 17.0) < 1e-6)
   }
+
+  test("gofChiSquare: perfect fit scores 0, hand case matches") {
+    val perfect = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("cat")
+    val p = StatTests.gofChiSquare(perfect, "cat",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect().head
+    assert(p.getAs[Long]("n") === 10L && p.getAs[Long]("k") === 2L)
+    assert(p.getAs[Double]("chi2") === 0.0)
+    assert(p.getAs[Long]("df") === 1L)
+    // observed 6/4 vs expected 8/2: (6-8)^2/8 + (4-2)^2/2 = 0.5 + 2
+    val skew = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).toDF("cat")
+    val r = StatTests.gofChiSquare(skew, "cat",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect().head
+    assert(r.getAs[Double]("chi2") === 2.5)
+  }
+
+  test("gofChiSquare: expected-but-absent counts, unexpected nulls the stat") {
+    // 'b' expected but absent: (0-2)^2/2 = 2, plus (10-8)^2/8 = 0.5
+    val onlyA = Seq.fill(10)("a").toDF("cat")
+    val r = StatTests.gofChiSquare(onlyA, "cat",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect().head
+    assert(r.getAs[Double]("chi2") === 2.5)
+    // a category outside the declared recipe is a loud null, not skew
+    val stray = (Seq.fill(9)("a") ++ Seq("z")).toDF("cat")
+    val s = StatTests.gofChiSquare(stray, "cat",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect().head
+    assert(s.isNullAt(s.fieldIndex("chi2")))
+  }
 }
