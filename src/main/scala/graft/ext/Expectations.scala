@@ -127,26 +127,28 @@ object Expectations {
     * distinct FK values dangle — which is what the remediation ticket
     * sizes on (one hot missing parent vs a thousand scattered ones).
     *
-    * Plan: the orphan decision is ONE left-anti shuffle join on the
-    * key (both sides partially aggregated to distinct keys first for
-    * the key-level counts, so the row-level anti-join is the only
-    * data-sized exchange). Exact integer counts; one rate division.
+    * Plan: EVERY output number folds out of one flagged key table —
+    * the child partially aggregates to (key, row-count) in one
+    * shuffle, the parent to distinct keys in another, the two
+    * co-partitioned key tables left-join, and a single scalar
+    * aggregate reads off row- and key-level counts together. Neither
+    * side is scanned twice and child rows never cross the wire raw.
+    * Exact integer counts; one rate division.
     */
   def refIntegrity(child: DataFrame, fkCol: String,
       parent: DataFrame, pkCol: String): DataFrame = {
-    val keys = parent.select(col(pkCol).as("__pk")).distinct()
-    val childTagged = child.select(col(fkCol).as("__fk"))
-    val orphanRows = childTagged
-      .join(keys, col("__fk") === col("__pk"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_rows"))
-    val fkKeys = childTagged.distinct()
-    val orphanKeys = fkKeys
-      .join(keys, col("__fk") === col("__pk"), "left_anti")
-      .agg(count(lit(1)).as("n_orphan_keys"))
-    val totals = childTagged.agg(count(lit(1)).as("n_child"))
-      .crossJoin(broadcast(fkKeys.agg(count(lit(1)).as("n_fk_keys"))))
-    totals.crossJoin(broadcast(orphanRows))
-      .crossJoin(broadcast(orphanKeys))
+    val perKey = child.groupBy(col(fkCol).as("__fk"))
+      .agg(count(lit(1)).as("__rows"))
+    val keys = parent.select(col(pkCol).as("__fk")).distinct()
+      .withColumn("__hit", lit(1))
+    perKey.join(keys, Seq("__fk"), "left")
+      .agg(
+        sum("__rows").cast("long").as("n_child"),
+        count(lit(1)).as("n_fk_keys"),
+        coalesce(sum(when(col("__hit").isNull, col("__rows"))), lit(0L))
+          .cast("long").as("n_orphan_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_orphan_keys"))
       .select(col("n_child"), col("n_fk_keys"), col("n_orphan_rows"),
         col("n_orphan_keys"),
         round(col("n_orphan_rows").cast("double") /

@@ -106,6 +106,36 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_weighted_sample_grouped", 1,
       "TopKPerKey partial/final pair on the group key — one exchange of " +
         "k-per-key survivors"),
+    ("q_ext_auc", 10,
+      "data-bearing: score-domain agg + the chunked PrefixSum's window " +
+        "and chunk-totals exchanges; the rest are chunk-directory-sized " +
+        "(bounded by #chunks, not rows) + the one-row final fold"),
+    ("q_ext_lift", 2,
+      "one bins-row partial agg + the bins-row cumulation fold; totals " +
+        "broadcast back"),
+    ("q_ext_isotonic", 2,
+      "the same bins-row agg; the PAV minimax runs entirely on broadcast " +
+        "triangular self-joins of the bins table"),
+    ("q_ext_winnowing", 2,
+      "fingerprinting is map-side array algebra — only the fp-count agg " +
+        "and the pair agg exchange; the fp self-join reuses the count's " +
+        "partitioning"),
+    ("q_ext_twa", 1,
+      "one keyed window scan; integral, span and count fold in the " +
+        "window's partitioning"),
+    ("q_ext_cos_histogram", 1,
+      "the md5 sample broadcasts both pair sides; one bins partial agg"),
+    ("q_ext_interval_join", 2,
+      "per-(user, day) interval agg feeds both sides; the bin join and " +
+        "overlap filter add one exchange — a third means the dedup " +
+        "started reshuffling pairs"),
+    ("q_ext_ref_integrity", 3,
+      "child key agg + parent distinct + the co-keyed left join's " +
+        "single-row fold — child rows never cross the wire raw"),
+    ("q_ext_vocab_coverage", 8,
+      "ONE corpus token agg; every other exchange is the chunked " +
+        "PrefixSum's vocabulary-sized scan — the corpus is never " +
+        "rescanned per requested size"),
     ("q_ext_heavy_hitters", 3,
       "MG summary agg (single row), exact token counts, corpus total — " +
         "all partial-aggregated; summary and total broadcast back"),

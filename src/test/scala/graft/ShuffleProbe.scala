@@ -11,7 +11,7 @@ object ShuffleProbe {
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")
     val sfDir = "/root/testdata/sf0.001"
-    Seq("q_ext_weighted_median", "q_ext_jsd").foreach { name =>
+    Seq("q_ext_ref_integrity").foreach { name =>
       val plan = SparkEntry.queries(name)(noAqe, sfDir).queryExecution.executedPlan
       val n = plan.collect { case s: ShuffleExchangeLike => s }.size
       println(s"SHUFFLES $name = $n")
