@@ -69,6 +69,14 @@ object EvalQueries {
       ForecastEval.conformalSeasonalNaive(Tables.events(s, dir), "event_type",
         "ts", "value", seasonSeconds = 86400L, alphaPct = 90)),
 
+    // Wald SPRT on a Bernoulli success rate — the always-valid
+    // continuous-monitoring test (peeking-honest boundaries) beside
+    // bhFdr's batch correction. One count fold + a fixed IEEE tree.
+    "q_ext_sprt" -> ((s, dir) =>
+      graft.ops.Experiments.sprt(
+        Tables.events(s, dir).filter(col("event_type") === "click"),
+        col("value") >= 250.0, p0 = 0.45, p1 = 0.5)),
+
     // Two-period difference-in-differences: treated = even users,
     // post = the back half of the month — treatment effect net of the
     // control group's trend, with the pre-period gap surfaced as the
@@ -262,6 +270,31 @@ object EvalQueries {
       |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ext_sprt" -> {
+      // the oracle interpolates the SAME Scala-computed log constants
+      // the operator bakes into its plan (shortest-repr round-trip is
+      // bit-exact), so neither engine's SQL evaluates a log
+      val cPos = math.log(0.5 / 0.45)
+      val cNeg = math.log(0.5 / 0.55)
+      val upper = math.log((1 - 0.2) / 0.05)
+      val lower = math.log(0.2 / (1 - 0.05))
+      s"""WITH ag AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(CASE WHEN value >= 250.0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS k
+         |  FROM events WHERE event_type = 'click'),
+         |x AS (
+         |  SELECT n, k,
+         |         CAST(k AS DOUBLE) * $cPos
+         |           + CAST(n - k AS DOUBLE) * $cNeg AS llr
+         |  FROM ag)
+         |SELECT n, k, round(CAST(k AS DOUBLE) / n, 6) AS rate,
+         |       round(llr, 6) AS llr,
+         |       llr >= $upper AS accept_h1,
+         |       llr <= $lower AS accept_h0
+         |FROM x""".stripMargin
+    },
+
     "q_ext_did" ->
       """WITH i AS (
         |  SELECT user_id % 2 = 0 AS t,

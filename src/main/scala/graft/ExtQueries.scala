@@ -1556,6 +1556,13 @@ object ExtQueries {
       Graph.bfsLevels(e, Seq(0L, 7L).toDF("v"), maxHops = 4)
     }),
 
+    // word2vec negative-sampling table: unigram^0.75 probabilities +
+    // the cumulative distribution a sampler binary-searches; bounded
+    // top-V heap + a broadcast triangular cumulation, never a window.
+    "q_ext_neg_sampling" -> ((s, dir) =>
+      Vocab.negativeSamplingTable(Tables.documents(s, dir), "text",
+        topV = 200)),
+
     // Vocabulary coverage curve: token mass covered by top-k vocabs —
     // the tokenizer-budget report, one corpus pass + one chunked
     // PrefixSum scan over the vocabulary (rank and cumulative mass
@@ -3717,6 +3724,28 @@ object ExtQueries {
         |  WHERE w.level < 4)
         |SELECT v, CAST(min(level) AS BIGINT) AS level
         |FROM walk GROUP BY 1""".stripMargin,
+
+    "q_ext_neg_sampling" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS n_occ FROM toks GROUP BY 1),
+        |r AS (SELECT term, n_occ FROM c ORDER BY n_occ DESC, term
+        |      LIMIT 200),
+        |w AS (
+        |  SELECT term, n_occ,
+        |         CAST(round(pow(n_occ, 0.75), 9) AS DECIMAL(28,9)) AS w
+        |  FROM r),
+        |t AS (SELECT CAST(sum(w) AS DECIMAL(38,9)) AS tot FROM w),
+        |cum AS (
+        |  SELECT a.term, a.n_occ, a.w, CAST(sum(b.w) AS DECIMAL(38,9)) AS cw
+        |  FROM w a JOIN w b
+        |    ON (b.n_occ > a.n_occ OR (b.n_occ = a.n_occ AND b.term <= a.term))
+        |  GROUP BY 1, 2, 3)
+        |SELECT term, n_occ,
+        |       round(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p,
+        |       round(CAST(cw AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_p
+        |FROM cum, t""".stripMargin,
 
     "q_ext_vocab_coverage" ->
       """WITH toks AS (

@@ -105,6 +105,13 @@ object StatQueries {
       Collocations.chi2TokenClass(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en", minDf = 50L)),
 
+    // Ordered sequential-pattern support (the k=2 PrefixSpan cell):
+    // "∃ a before b" reduces exactly to min(ts_a) < max(ts_b), so one
+    // (user, type) span aggregate feeds a |types|²-bounded pair join.
+    "q_ext_seq_support" -> ((s, dir) =>
+      graft.ops.Cohorts.sequenceSupport(Tables.events(s, dir),
+        "user_id", "event_type", "ts")),
+
     // Dunning G² collocations over the same pair counts as PMI — the
     // low-count-robust ranking (PMI explodes for rare pairs, G²
     // shrinks them toward 0).
@@ -140,7 +147,7 @@ object StatQueries {
     // of the per-segment tests. Rank = chunked PrefixSum, threshold
     // compare is exact rational arithmetic.
     "q_ext_bh_fdr" -> ((s, dir) => {
-      val base = (col("event_id") * 2654435761L % 1000003L) / lit(1000003.0)
+      val base = (pmod(col("event_id"), lit(1000003L)) * 2654435761L % 1000003L) / lit(1000003.0)
       val pv = Tables.events(s, dir).select(col("event_id"),
         when(col("event_id") % 50 === 0, base / lit(1000.0))
           .otherwise(base).as("pval"))
@@ -514,6 +521,25 @@ object StatQueries {
         |FROM pc JOIN lft ON lft.x = pc.x JOIN rgt ON rgt.y = pc.y, n
         |WHERE c_xy >= 25""".stripMargin,
 
+    "q_ext_seq_support" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |sp AS (
+        |  SELECT user_id, event_type, min(es) AS fts, max(es) AS lts
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (SELECT count(DISTINCT user_id) AS n_total FROM s),
+        |p AS (
+        |  SELECT a.event_type AS t_first, b.event_type AS t_then,
+        |         count(DISTINCT a.user_id) AS n_users
+        |  FROM sp a JOIN sp b ON b.user_id = a.user_id
+        |    AND a.event_type <> b.event_type AND a.fts < b.lts
+        |  GROUP BY 1, 2)
+        |SELECT t_first, t_then, n_users,
+        |       round(CAST(n_users AS DOUBLE) / n_total, 6) AS support
+        |FROM p, tot""".stripMargin,
+
     "q_ext_llr" -> {
       def xlx(e: String) =
         s"(CASE WHEN $e > 0 THEN CAST($e AS DOUBLE) * ln(CAST($e AS DOUBLE)) ELSE 0.0 END)"
@@ -618,8 +644,8 @@ object StatQueries {
       """WITH pv AS (
         |  SELECT event_id,
         |         CASE WHEN event_id % 50 = 0
-        |           THEN (event_id * 2654435761 % 1000003) / 1000003.0 / 1000.0
-        |           ELSE (event_id * 2654435761 % 1000003) / 1000003.0
+        |           THEN ((event_id % 1000003) * 2654435761 % 1000003) / 1000003.0 / 1000.0
+        |           ELSE ((event_id % 1000003) * 2654435761 % 1000003) / 1000003.0
         |         END AS p
         |  FROM events),
         |r AS (
@@ -726,9 +752,9 @@ object StatQueries {
     "q_ext_randomized_response" ->
       """WITH r AS (
         |  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS b,
-        |         CASE WHEN (event_id * 2654435761 % 1000003) % 2 = 0
+        |         CASE WHEN ((event_id % 1000003) * 2654435761 % 1000003) % 2 = 0
         |           THEN CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END
-        |           ELSE CASE WHEN (event_id * 40503 % 1000003) % 2 = 0
+        |           ELSE CASE WHEN ((event_id % 1000003) * 40503 % 1000003) % 2 = 0
         |             THEN 1 ELSE 0 END
         |         END AS rr
         |  FROM events),

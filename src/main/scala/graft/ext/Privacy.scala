@@ -51,7 +51,9 @@ object Privacy {
   def randomizedResponse(df: DataFrame, seedCol: String, trueBit: Column,
       tolerance: Double): DataFrame = {
     def coin(mult: Long): Column =
-      (col(seedCol) * mult % 1000003L) % 2 === 0
+      // seed bounded BEFORE the multiply: a replicated/offset id space
+      // (the 10x scale replica) must not overflow ANSI long arithmetic
+      (pmod(col(seedCol), lit(1000003L)) * mult % 1000003L) % 2 === 0
     val reported = df.select(
       trueBit.cast("int").as("b"),
       when(coin(2654435761L), trueBit.cast("int"))

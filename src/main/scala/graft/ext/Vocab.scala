@@ -53,6 +53,39 @@ object Vocab {
           round(lit(2.0) * col("n_dis") / col("n_hapax"), 6))
           .otherwise(lit(0.0)))
 
+  /** word2vec-style negative-sampling table: the top-V vocabulary with
+    * unigram^power probabilities (Mikolov et al. 2013's 3/4 smoothing)
+    * and the cumulative distribution a sampler binary-searches.
+    * Output, highest-count first: (term, n_occ, p, cum_p).
+    *
+    * The table is bounded by construction (top-V via the bounded-heap
+    * limit, no global sort), so the cumulation is a broadcast
+    * triangular self-join of V rows on the (n_occ desc, term) order —
+    * never a window. Weights are 9-dp-rounded pow results summed as
+    * decimals, so cum_p is accumulation-order-proof.
+    */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+      topV: Int, power: Double = 0.75): DataFrame = {
+    require(topV >= 1 && topV <= 100000, s"topV must be in [1, 1e5]: $topV")
+    val w = buildVocab(docs, textCol, topV)
+      .withColumn("w",
+        round(pow(col("n_occ"), lit(power)), 9).cast("decimal(28,9)"))
+    val tot = w.agg(sum("w").as("tot"))
+    val other = w.select(col("term").as("t2"), col("n_occ").as("c2"),
+      col("w").as("w2"))
+    w.join(broadcast(other),
+        col("c2") > col("n_occ") ||
+          (col("c2") === col("n_occ") && col("t2") <= col("term")))
+      .groupBy("term", "n_occ", "w")
+      .agg(sum("w2").as("cw"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("n_occ"),
+        round(col("w").cast("double") / col("tot").cast("double"), 6)
+          .as("p"),
+        round(col("cw").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_p"))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size in
     * `sizes`, the fraction of all token OCCURRENCES a top-k-by-
     * frequency vocabulary would cover — the tokenizer-budget question

@@ -57,4 +57,33 @@ object Cohorts {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / col("row_total"), 6).as("p"))
   }
+
+  /** Ordered sequential-pattern support (the k=2 PrefixSpan cell): for
+    * every ordered type pair (a, b), how many users did SOME a-event
+    * strictly before SOME b-event — "viewed then purchased", gaps
+    * allowed. [[markovTransitions]] counts ADJACENT steps; this counts
+    * eventual ordering, which is what funnel hypotheses ask.
+    *
+    * Exact reduction: "∃ a before b" ⟺ min(ts_a) < max(ts_b), so one
+    * (user, type) min/max aggregate (the only data-sized shuffle)
+    * feeds a per-user type-pair join whose fan-out is |types|², not
+    * events². Output: (t_first, t_then, n_users, support).
+    */
+  def sequenceSupport(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(TimeOps.epochSeconds(col(tsCol))).as("fts"),
+        max(TimeOps.epochSeconds(col(tsCol))).as("lts"))
+    val total = spans.select("u").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    spans.select(col("u"), col("t").as("t_first"), col("fts"))
+      .join(spans.select(col("u"), col("t").as("t_then"), col("lts")), "u")
+      .filter(col("t_first") =!= col("t_then") && col("fts") < col("lts"))
+      .groupBy("t_first", "t_then")
+      .agg(countDistinct(col("u")).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("t_first"), col("t_then"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total"), 6)
+          .as("support"))
+  }
 }

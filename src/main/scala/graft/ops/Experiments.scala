@@ -50,4 +50,41 @@ object Experiments {
       .select(col(idCol), round(col("p"), 6).as("p"), col("i"), col("ok"),
         (col("i") <= col("i_cut")).as("rejected"))
   }
+
+  /** Wald's Sequential Probability Ratio Test for a Bernoulli rate —
+    * H0: p = p0 vs H1: p = p1 — the always-valid monitoring companion
+    * to [[bhFdr]]'s batch correction: an experiment platform peeks at
+    * this statistic continuously, and the SPRT boundaries (Wald 1945)
+    * keep the peeking honest at error rates (α, β).
+    *
+    *   llr = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+    *   decide H1 when llr ≥ ln((1−β)/α), H0 when llr ≤ ln(β/(1−α)).
+    *
+    * ONE scalar count aggregate over the success column; the log
+    * coefficients are Scala-side constants (no per-row transcendental)
+    * and the decision thresholds are literals, so the whole test is a
+    * count fold + a fixed IEEE tree. Output one row:
+    * (n, k, rate, llr, accept_h1, accept_h0).
+    */
+  def sprt(df: DataFrame, successCol: Column, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"rates must lie in (0,1) and differ: $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"error rates must lie in (0,1): $alpha, $beta")
+    val cPos = math.log(p1 / p0)
+    val cNeg = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    df.agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).cast("long").as("k"))
+      .withColumn("llr",
+        col("k").cast("double") * cPos +
+          (col("n") - col("k")).cast("double") * cNeg)
+      .select(col("n"), col("k"),
+        round(col("k").cast("double") / col("n"), 6).as("rate"),
+        round(col("llr"), 6).as("llr"),
+        (col("llr") >= upper).as("accept_h1"),
+        (col("llr") <= lower).as("accept_h0"))
+  }
 }

@@ -71,6 +71,25 @@ class VocabSpec extends SparkTestBase {
     assert(s10.getAs[Double]("coverage") === 1.0)
   }
 
+  test("negativeSamplingTable: unigram^0.75 probabilities and cumulation") {
+    // freqs: a=5, b=3, c=1, d=1; topV=3 keeps a, b, c (tie -> lexic).
+    val df = Seq((1L, "a a a b c"), (2L, "a a b b d")).toDF("id", "text")
+    val rows = Vocab.negativeSamplingTable(df, "text", topV = 3)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    assert(rows.keySet === Set("a", "b", "c"))
+    def w9(c: Long) = BigDecimal(math.pow(c.toDouble, 0.75))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val (wa, wb, wc) = (w9(5), w9(3), w9(1))
+    val tot = (wa + wb + wc).toDouble
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("a").getAs[Double]("p") === d6(wa.toDouble / tot))
+    assert(rows("a").getAs[Double]("cum_p") === d6(wa.toDouble / tot))
+    assert(rows("b").getAs[Double]("cum_p") ===
+      d6((wa + wb).toDouble / tot))
+    assert(rows("c").getAs[Double]("cum_p") === 1.0)
+  }
+
   test("coverageCurve is chunk-span invariant") {
     val df = (1 to 50).map(i => (i.toLong, s"w${i % 7} w${i % 3} x"))
       .toDF("id", "text")

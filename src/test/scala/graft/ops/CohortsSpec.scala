@@ -43,4 +43,27 @@ class CohortsSpec extends SparkTestBase {
     // no cross-user pair (u1 last -> u2 first)
     assert(out.size === 3)
   }
+
+  test("sequenceSupport: eventual ordering with gaps, not adjacency") {
+    // u1: view(10) click(20) view(30) buy(40); u2: buy(5) view(15);
+    // u3: click(7) only.
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val df = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "view", ts(30)),
+      (1L, "buy", ts(40)),
+      (2L, "buy", ts(5)), (2L, "view", ts(15)),
+      (3L, "click", ts(7)))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.ops.Cohorts.sequenceSupport(df, "user_id", "event_type", "ts")
+      .collect().map(r => (r.getAs[String]("t_first"), r.getAs[String]("t_then"))
+        -> (r.getAs[Long]("n_users"), r.getAs[Double]("support"))).toMap
+    // view->buy: u1 yes (10 < 40); u2 NO (15 > 5) -> 1 of 3 users
+    assert(out(("view", "buy")) === ((1L, 0.333333)))
+    // buy->view: u2 (5 < 15); view->click: u1 (10 < 20)
+    assert(out(("buy", "view"))._1 === 1L)
+    assert(out(("view", "click"))._1 === 1L)
+    // click->view: u1 (click 20 < last view 30) -- gap-tolerant order
+    assert(out(("click", "view"))._1 === 1L)
+    assert(!out.contains(("click", "buy")) || out(("click", "buy"))._1 === 1L)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 class ExperimentsSpec extends SparkTestBase {
   import spark.implicits._
@@ -33,5 +34,31 @@ class ExperimentsSpec extends SparkTestBase {
   test("bhFdr: nothing significant rejects nothing") {
     val out = run(Seq(0.5, 0.6, 0.7))
     assert(out.values.forall(v => !v._3 && !v._2))
+  }
+
+  test("sprt: strong evidence crosses the H1 boundary, sparse evidence continues") {
+    // 200 of 250 successes (rate .8) vs H0 p=.5 / H1 p=.6: llr is
+    // decisively positive.
+    val strong = (1 to 250).map(i => Tuple1(i <= 200)).toDF("ok")
+    val r = Experiments.sprt(strong, col("ok"), p0 = 0.5, p1 = 0.6)
+      .collect().head
+    assert(r.getAs[Long]("n") === 250L && r.getAs[Long]("k") === 200L)
+    assert(r.getAs[Boolean]("accept_h1") && !r.getAs[Boolean]("accept_h0"))
+    // a handful of mixed observations decides nothing yet
+    val few = Seq(true, false, true, false).map(Tuple1(_)).toDF("ok")
+    val f = Experiments.sprt(few, col("ok"), p0 = 0.5, p1 = 0.6)
+      .collect().head
+    assert(!f.getAs[Boolean]("accept_h1") && !f.getAs[Boolean]("accept_h0"))
+  }
+
+  test("sprt: hand llr value") {
+    // n=10, k=4, p0=.4, p1=.5: llr = 4 ln(5/4) + 6 ln(5/6)
+    val df = (1 to 10).map(i => Tuple1(i <= 4)).toDF("ok")
+    val r = Experiments.sprt(df, col("ok"), p0 = 0.4, p1 = 0.5)
+      .collect().head
+    val expected = 4.0 * math.log(0.5 / 0.4) + 6.0 * math.log(0.5 / 0.6)
+    assert(r.getAs[Double]("llr") ===
+      new java.math.BigDecimal(expected)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
   }
 }
