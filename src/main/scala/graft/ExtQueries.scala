@@ -391,6 +391,37 @@ object ExtQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Exact MIPS top-k (max inner product — the two-tower/recommender
+    // objective where magnitude matters): same pinned probe set as the
+    // cosine baseline; the norm-augmentation reduction to the cosine
+    // index stack is spec-pinned (SimilaritySpec).
+    "q_ext_mips" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("id") % 25 === 0 &&
+        col("id") < graft.io.ScaleReplicate.KeyShift)
+      Similarity.mipsTopK(queries, emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Population Stability Index between the click and view value
+    // distributions — THE one-number model-monitoring shift alarm;
+    // Laplace add-one keeps empty bins finite identically on both
+    // engines, terms are 9-dp decimal summands.
+    "q_ext_psi" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Drift.psi(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "view"),
+        "value", lo = 0.0, hi = 500.0, bins = 10)
+    }),
+
+    // Daily acquisition curve: first-seen day per user + cumulative
+    // base via a broadcast triangular join over the days table.
+    "q_ext_new_users" -> ((s, dir) =>
+      graft.ops.Cohorts.cumulativeNewUsers(Tables.events(s, dir),
+        "user_id", "ts")),
+
     // Hard-negative mining: per query, the most similar vectors with a
     // DIFFERENT label (pseudo-label = vec_id % 8) — the contrastive-
     // training negative sampler, exclusion fused before scoring.
@@ -2358,6 +2389,63 @@ object ExtQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_ext_mips" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 1000000000),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_inner_product(qv, cv), 4) AS dot
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dot DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dot
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_ext_psi" ->
+      """WITH av AS (
+        |  SELECT round(value, 6) AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |bv AS (
+        |  SELECT round(value, 6) AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ab AS (
+        |  SELECT CAST(least(greatest(floor((v - 0.0) / 50.0), 0), 9)
+        |    AS BIGINT) AS bin, count(*) AS c
+        |  FROM av GROUP BY 1),
+        |bb AS (
+        |  SELECT CAST(least(greatest(floor((v - 0.0) / 50.0), 0), 9)
+        |    AS BIGINT) AS bin, count(*) AS c
+        |  FROM bv GROUP BY 1),
+        |g AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+        |j AS (
+        |  SELECT g.bin, coalesce(ab.c, 0) + 1 AS ca1,
+        |         coalesce(bb.c, 0) + 1 AS cb1
+        |  FROM g LEFT JOIN ab USING (bin) LEFT JOIN bb USING (bin)),
+        |t AS (SELECT CAST(sum(ca1) AS BIGINT) AS ta,
+        |             CAST(sum(cb1) AS BIGINT) AS tb FROM j),
+        |terms AS (
+        |  SELECT CAST(round(
+        |      (CAST(ca1 AS DOUBLE) / ta - CAST(cb1 AS DOUBLE) / tb)
+        |      * ln((CAST(ca1 AS DOUBLE) / ta) / (CAST(cb1 AS DOUBLE) / tb)),
+        |      9) AS DECIMAL(28,9)) AS term
+        |  FROM j, t)
+        |SELECT (SELECT ta - 10 FROM t) AS n_a,
+        |       (SELECT tb - 10 FROM t) AS n_b,
+        |       count(*) AS n_bins,
+        |       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms""".stripMargin,
+
+    "q_ext_new_users" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY 1)
+        |SELECT a.day, a.n_new, CAST(sum(b.n_new) AS BIGINT) AS cum_users
+        |FROM pd a JOIN pd b ON b.day <= a.day GROUP BY 1, 2""".stripMargin,
 
     "q_ext_ann_lsh" -> {
       def bucket(v: String) = (0 until 8)

@@ -54,6 +54,51 @@ object Drift {
         round(abs(col("__m_batch") - col("__m_base")), scale).as("mean_shift"))
   }
 
+  /** Population Stability Index between two slices of a score/feature
+    * column — THE industry model-monitoring number ("PSI > 0.2 →
+    * investigate"): PSI = Σ (pₐ−p_b)·ln(pₐ/p_b) over fixed-width bins
+    * on [lo, hi). [[embeddingDrift]] watches embedding moments,
+    * [[Reliability]] watches calibration; PSI is the one-number
+    * distribution-shift alarm between a reference window and today.
+    *
+    * One bins-bounded partial-agg shuffle per side; Laplace add-one on
+    * bin counts makes empty bins finite deterministically (the
+    * standard practice, and it keeps both engines on identical
+    * operands). Terms round to 9 dp before the decimal sum. Output one
+    * row: (n_a, n_b, n_bins, psi).
+    */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins must be in [2, 4096]: $bins")
+    require(hi > lo, s"need hi > lo: [$lo, $hi)")
+    val w = (hi - lo) / bins
+    def binned(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(least(greatest(floor((round(col(valueCol), 6) - lo) / w),
+        lit(0)), lit(bins - 1)).cast("long").as("bin"))
+      .agg(count(lit(1)).as(out))
+    val allBins = a.sparkSession.range(bins).select(col("id").as("bin"))
+    val joined = allBins
+      .join(binned(a, "ca"), Seq("bin"), "left")
+      .join(binned(b, "cb"), Seq("bin"), "left")
+      .select(col("bin"),
+        (coalesce(col("ca"), lit(0L)) + 1L).as("ca1"),
+        (coalesce(col("cb"), lit(0L)) + 1L).as("cb1"))
+    val totals = joined.agg(sum("ca1").as("ta"), sum("cb1").as("tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("ca1"), col("cb1"), col("ta"), col("tb"),
+        round((col("ca1").cast("double") / col("ta") -
+          col("cb1").cast("double") / col("tb")) *
+          log((col("ca1").cast("double") / col("ta")) /
+            (col("cb1").cast("double") / col("tb"))), 9)
+          .cast("decimal(28,9)").as("term"))
+      .agg(
+        (sum("ca1") - lit(bins.toLong)).as("n_a"),
+        (sum("cb1") - lit(bins.toLong)).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        round(sum("term").cast("double"), 6).as("psi"))
+  }
+
   /** Embedding GEOMETRY probe: the histogram of pairwise cosines over
     * a deterministic md5 sample — the anisotropy / collapse check
     * ([[embeddingDrift]] watches per-dimension moments move; this

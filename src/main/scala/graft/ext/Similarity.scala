@@ -87,6 +87,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors — the retrieval
+    * objective of recommender / two-tower models, where the score is
+    * q·v, NOT cosine (a long popular item should outrank a short
+    * similar one). Same plan as [[bruteForceTopK]]: queries broadcast,
+    * codegen'd native dot, TopKPerKey ranking on the rounded score
+    * with id tie-break.
+    */
+  def mipsTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      dotScale: Int = 4): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), asDouble(col("vec")).as("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", round(
+        graft.functions.VectorExpressions.vecDot(col("qv"), col("cv")),
+        dotScale))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot")
+  }
+
+  /** The norm-augmentation reduction MIPS→cosine (Bachrach et al.
+    * RecSys'14): with M = max corpus norm, append sqrt(M²−|v|²) to
+    * every corpus vector and 0 to every query — cosine order on the
+    * augmented space equals inner-product order on the originals
+    * (all augmented corpus vectors share norm M; the query's norm is
+    * a per-query constant). This is what lets the COSINE index stack
+    * (IVF / LSH buckets) serve MIPS queries unchanged: augment at
+    * index-build time, zero-pad at query time. Returns the augmented
+    * (id, vec) frame; the max-norm aggregate broadcasts — data maps
+    * in place.
+    */
+  def mipsAugmentCorpus(corpus: DataFrame): DataFrame = {
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
+    val m = c.agg(max(sqrt(dot(col("v"), col("v")))).as("__m"))
+    c.crossJoin(broadcast(m))
+      .select(col("id"),
+        concat(col("v"),
+          array(sqrt(greatest(col("__m") * col("__m") -
+            dot(col("v"), col("v")), lit(0.0))))).as("vec"))
+  }
+
+  /** Query-side counterpart of [[mipsAugmentCorpus]]: zero-pad. */
+  def mipsAugmentQueries(queries: DataFrame): DataFrame =
+    queries.select(col("id"),
+      concat(asDouble(col("vec")), array(lit(0.0))).as("vec"))
+
   /** Hard-negative mining for contrastive training: per query, the
     * top-k most-similar corpus vectors whose LABEL differs —
     * similar-but-wrong is where the contrastive gradient lives; random

@@ -58,6 +58,25 @@ object Cohorts {
         round(col("n").cast("double") / col("row_total"), 6).as("p"))
   }
 
+  /** Daily acquisition curve: per day, the count of users seen for the
+    * FIRST time and the cumulative user base — the growth chart next
+    * to [[weeklyRetention]]. One user-keyed min aggregate (the only
+    * data-sized shuffle) reduces to a |days|-row table; the cumulation
+    * is a broadcast triangular self-join of that table, never a
+    * window. Output: (day, n_new, cum_users).
+    */
+  def cumulativeNewUsers(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val firstSeen = df.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+    perDay
+      .join(broadcast(perDay.select(col("day").as("d2"),
+        col("n_new").as("n2"))), col("d2") <= col("day"))
+      .groupBy("day", "n_new")
+      .agg(sum("n2").cast("long").as("cum_users"))
+  }
+
   /** Ordered sequential-pattern support (the k=2 PrefixSpan cell): for
     * every ordered type pair (a, b), how many users did SOME a-event
     * strictly before SOME b-event — "viewed then purchased", gaps

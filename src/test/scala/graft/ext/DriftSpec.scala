@@ -42,6 +42,30 @@ class DriftSpec extends SparkTestBase {
     assert(rows === Map(0L -> 1L, 10L -> 2L))
   }
 
+  test("psi: identical distributions score 0, a hard shift scores large") {
+    val a = (1 to 100).map(i => Tuple1(i % 10 / 10.0)).toDF("v")
+    val same = Drift.psi(a, a, "v", lo = 0.0, hi = 1.0, bins = 10)
+      .collect().head
+    assert(same.getAs[Long]("n_a") === 100L && same.getAs[Long]("n_b") === 100L)
+    assert(same.getAs[Double]("psi") === 0.0)
+    // all mass moved to the top half: industry rule-of-thumb "investigate"
+    val b = (1 to 100).map(i => Tuple1(0.5 + i % 5 / 10.0)).toDF("v")
+    val shift = Drift.psi(a, b, "v", lo = 0.0, hi = 1.0, bins = 10)
+      .collect().head
+    assert(shift.getAs[Double]("psi") > 0.2)
+  }
+
+  test("psi: symmetric in sign — psi(a,b) == psi(b,a)") {
+    val a = (1 to 60).map(i => Tuple1(i % 7 / 7.0)).toDF("v")
+    val b = (1 to 90).map(i => Tuple1(i % 4 / 4.0)).toDF("v")
+    val ab = Drift.psi(a, b, "v", 0.0, 1.0, 10).collect().head.getAs[Double]("psi")
+    val ba = Drift.psi(b, a, "v", 0.0, 1.0, 10).collect().head.getAs[Double]("psi")
+    // algebraically symmetric; FP reciprocal logs can differ in the
+    // final rounded digit, so compare at the metric's own precision
+    assert(math.abs(ab - ba) <= 2e-6)
+    assert(ab > 0.0)
+  }
+
   test("cosineHistogram: the md5 sample is a strict, deterministic subset") {
     val df = (1L to 200L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("id", "vec")
     val a = Drift.cosineHistogram(df, "id", "vec", sampleRate = 0.2)

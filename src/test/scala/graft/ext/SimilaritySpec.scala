@@ -174,4 +174,37 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> true))
   }
+
+  test("mipsTopK ranks by inner product, not cosine") {
+    // corpus: a long vector aligned-ish with q beats a short perfectly
+    // aligned one under MIPS (cosine would invert the order).
+    val corpus = Seq(
+      (1L, Array(10.0f, 1.0f)),   // dot with q = 10, cosine ~0.995
+      (2L, Array(1.0f, 0.0f)),    // dot 1, cosine 1.0
+      (3L, Array(0.0f, 5.0f)))    // dot 0
+      .toDF("id", "vec")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.mipsTopK(q, corpus, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("norm-augmentation reduction: cosine order on augmented = MIPS order") {
+    val corpus = (1L to 40L).map(i =>
+      (i, Array((i % 7).toFloat - 3f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("id", "vec")
+    val queries = Seq((101L, Array(1.0f, 2.0f, -1.0f)),
+      (102L, Array(-2.0f, 0.5f, 1.0f))).toDF("id", "vec")
+    val mips = Similarity.mipsTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cosOnAug = Similarity.bruteForceTopK(
+        Similarity.mipsAugmentQueries(queries),
+        Similarity.mipsAugmentCorpus(corpus), k = 5, simScale = 7)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cosOnAug === mips,
+      "augmented-cosine ranking must reproduce the MIPS ranking")
+  }
 }

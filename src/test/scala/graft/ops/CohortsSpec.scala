@@ -44,6 +44,21 @@ class CohortsSpec extends SparkTestBase {
     assert(out.size === 3)
   }
 
+  test("cumulativeNewUsers: first-seen day only, cumulative sums") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d 09:00:00")
+    val df = Seq(
+      (1L, ts(1)), (2L, ts(1)), (1L, ts(2)),   // u1 returns — not new
+      (3L, ts(2)), (4L, ts(4)))
+      .toDF("user_id", "ts")
+    val rows = graft.ops.Cohorts.cumulativeNewUsers(df, "user_id", "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("cum_users"))).toMap
+    assert(rows === Map(
+      "2024-03-01" -> ((2L, 2L)),
+      "2024-03-02" -> ((1L, 3L)),
+      "2024-03-04" -> ((1L, 4L))))
+  }
+
   test("sequenceSupport: eventual ordering with gaps, not adjacency") {
     // u1: view(10) click(20) view(30) buy(40); u2: buy(5) view(15);
     // u3: click(7) only.
