@@ -69,6 +69,16 @@ object EvalQueries {
       ForecastEval.conformalSeasonalNaive(Tables.events(s, dir), "event_type",
         "ts", "value", seasonSeconds = 86400L, alphaPct = 90)),
 
+    // Instrumental-variable Wald estimator: LATE = ITT_y / ITT_x with
+    // the weak-instrument diagnostic surfaced — the no-pre-period,
+    // no-ignorability member of the causal toolkit.
+    "q_ext_iv" -> ((s, dir) =>
+      Causal.ivWald(
+        Tables.events(s, dir)
+          .select((col("user_id") % 2 === 0).as("z"),
+            (col("event_id") % 5).cast("double").as("x"), col("value")),
+        col("z"), "x", "value")),
+
     // Wald SPRT on a Bernoulli success rate — the always-valid
     // continuous-monitoring test (peeking-honest boundaries) beside
     // bhFdr's batch correction. One count fold + a fixed IEEE tree.
@@ -108,6 +118,35 @@ object EvalQueries {
     "q_ext_isotonic" -> ((s, dir) =>
       Calibrate.isotonicBinned(calScored(s, dir), "score", "good",
         bins = 10)),
+
+    // END-TO-END calibrated filtering: fit isotonic on the even half,
+    // keep the bins whose calibrated rate clears 0.5, apply to the odd
+    // half, report achieved precision vs base rate — the quality ops
+    // composing into the decision they exist for.
+    "q_ext_calibrated_filter" -> ((s, dir) => {
+      val all = calScored(s, dir)
+      val train = all.filter(col("doc_id") % 2 === 0)
+      val eval = all.filter(col("doc_id") % 2 =!= 0)
+      val keptBins = Calibrate.isotonicBinned(train, "score", "good",
+          bins = 10)
+        .filter(col("iso_rate") >= 0.5).select("bin")
+      val kept = eval
+        .select(least(floor(col("score") * 10), lit(9)).cast("long")
+          .as("bin"), col("good"))
+        .join(broadcast(keptBins), "bin")
+      def stats(df: DataFrame, n: String, g: String) =
+        df.agg(count(lit(1)).as(n),
+          sum(when(col("good"), 1L).otherwise(0L)).cast("long").as(g))
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(stats(eval, "n_eval", "g_eval")))
+        .crossJoin(broadcast(stats(kept, "n_kept", "g_kept")))
+        .select(col("n_train"), col("n_eval"), col("n_kept"),
+          when(col("n_kept") > 0,
+            round(col("g_kept").cast("double") / col("n_kept"), 6))
+            .as("precision"),
+          round(col("g_eval").cast("double") / col("n_eval"), 6)
+            .as("base_rate"))
+    }),
 
     // NDCG@10 / MRR / P@10 / R@10 of the BM25 run against ≥2-term
     // match relevance — the list-metric gate for the retrieval stack.
@@ -270,6 +309,70 @@ object EvalQueries {
       |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ext_iv" ->
+      """WITH i AS (
+        |  SELECT user_id % 2 = 0 AS z,
+        |         CAST(round(CAST(event_id % 5 AS DOUBLE), 6)
+        |           AS DECIMAL(18,6)) AS x,
+        |         CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT z, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+        |         CAST(sum(y) AS DOUBLE) AS sy
+        |  FROM i GROUP BY 1),
+        |w AS (
+        |  SELECT a.n AS n_z1, b.n AS n_z0,
+        |         a.sy / a.n AS my1, b.sy / b.n AS my0,
+        |         a.sx / a.n AS mx1, b.sx / b.n AS mx0
+        |  FROM cells a, cells b WHERE a.z AND NOT b.z)
+        |SELECT n_z1, n_z0,
+        |       round(my1 - my0, 6) AS itt_y,
+        |       round(mx1 - mx0, 6) AS itt_x,
+        |       CASE WHEN round(mx1 - mx0, 6) <> 0.0
+        |            THEN round((my1 - my0) / (mx1 - mx0), 6) END AS late
+        |FROM w""".stripMargin,
+
+    "q_ext_calibrated_filter" ->
+      s"""WITH $calScoredSql,
+         |tr AS (SELECT * FROM cal WHERE doc_id % 2 = 0),
+         |ev AS (SELECT * FROM cal WHERE doc_id % 2 <> 0),
+         |pb AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT)
+         |           AS bin,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM tr),
+         |agg AS (
+         |  SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS pos
+         |  FROM pb GROUP BY 1),
+         |rg AS (
+         |  SELECT a.bin AS j, b.bin AS k,
+         |         CAST(sum(m.pos) AS DOUBLE) / sum(m.n) AS mean
+         |  FROM agg a JOIN agg b ON b.bin >= a.bin
+         |  JOIN agg m ON m.bin BETWEEN a.bin AND b.bin
+         |  GROUP BY 1, 2),
+         |f1 AS (
+         |  SELECT i.bin AS i, r.j, min(r.mean) AS m1
+         |  FROM agg i JOIN rg r ON r.j <= i.bin AND r.k >= i.bin
+         |  GROUP BY 1, 2),
+         |f AS (SELECT i, max(m1) AS fit FROM f1 GROUP BY 1),
+         |keptb AS (SELECT i AS bin FROM f WHERE round(fit, 6) >= 0.5),
+         |evb AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT)
+         |           AS bin,
+         |         good
+         |  FROM ev),
+         |k AS (SELECT evb.* FROM evb JOIN keptb USING (bin))
+         |SELECT (SELECT count(*) FROM tr) AS n_train,
+         |       (SELECT count(*) FROM ev) AS n_eval,
+         |       (SELECT count(*) FROM k) AS n_kept,
+         |       CASE WHEN (SELECT count(*) FROM k) > 0
+         |            THEN round((SELECT CAST(sum(CASE WHEN good THEN 1
+         |                ELSE 0 END) AS DOUBLE) FROM k)
+         |              / (SELECT count(*) FROM k), 6) END AS precision,
+         |       round((SELECT CAST(sum(CASE WHEN good THEN 1 ELSE 0 END)
+         |           AS DOUBLE) FROM ev)
+         |         / (SELECT count(*) FROM ev), 6) AS base_rate""".stripMargin,
+
     "q_ext_sprt" -> {
       // the oracle interpolates the SAME Scala-computed log constants
       // the operator bakes into its plan (shortest-repr round-trip is

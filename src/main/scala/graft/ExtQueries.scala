@@ -1576,6 +1576,19 @@ object ExtQueries {
       Drift.cosineHistogram(Tables.embeddings(s, dir), "vec_id",
         "embedding", sampleRate = 0.3, bins = 20)),
 
+    // Newman modularity of a partition of the link graph (community =
+    // v mod 4 — the quality number for ANY community assignment, e.g.
+    // the dedup-cluster closure's output).
+    "q_ext_modularity" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .selectExpr("user_id % 40 AS src", "event_id % 40 AS dst")
+        .filter(col("src") =!= col("dst")).distinct()
+      val mem = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct()
+        .withColumn("community", col("v") % 4)
+      Graph.modularity(e, mem)
+    }),
+
     // Multi-source BFS hop levels on the link graph — reachability /
     // blast-radius in bounded min-relaxation rounds (no driver-side
     // frontier); oracle replays it as a bounded recursive CTE.
@@ -3798,6 +3811,35 @@ object ExtQueries {
          |       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_cos
          |FROM bb GROUP BY 1""".stripMargin
     },
+
+    "q_ext_modularity" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT user_id % 40 AS src, event_id % 40 AS dst
+        |  FROM events WHERE user_id % 40 <> event_id % 40),
+        |nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+        |mem AS (SELECT v, v % 4 AS c FROM nodes),
+        |m AS (SELECT count(*) AS m FROM edges),
+        |t AS (
+        |  SELECT ma.c AS ca, mb.c AS cb
+        |  FROM edges e JOIN mem ma ON ma.v = e.src
+        |  JOIN mem mb ON mb.v = e.dst),
+        |ein AS (SELECT ca AS community, count(*) AS e_in FROM t
+        |        WHERE ca = cb GROUP BY 1),
+        |deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+        |  GROUP BY 1),
+        |dt AS (
+        |  SELECT mem.c AS community, CAST(sum(d) AS BIGINT) AS d_tot,
+        |         count(*) AS n_vertices
+        |  FROM deg JOIN mem USING (v) GROUP BY 1)
+        |SELECT dt.community, dt.n_vertices,
+        |       CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, dt.d_tot,
+        |       round(CAST(coalesce(ein.e_in, 0) AS DOUBLE) / m.m
+        |         - (CAST(d_tot AS DOUBLE) / (2.0 * m.m))
+        |           * (CAST(d_tot AS DOUBLE) / (2.0 * m.m)), 9)
+        |         AS contribution
+        |FROM dt LEFT JOIN ein USING (community), m""".stripMargin,
 
     "q_ext_bfs" ->
       """WITH RECURSIVE edges AS (

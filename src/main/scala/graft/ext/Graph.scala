@@ -239,6 +239,49 @@ object Graph {
       .join(hub.select(col("v"), col("s").as("hub_e12")), "v")
   }
 
+  /** Newman modularity report of a vertex partition — the quality
+    * number for any community assignment (dedup clusters, domain
+    * groups, label propagation output): per community c,
+    * contribution = e_c/m − (d_c/(2m))², and Q = Σ contributions.
+    * Output per community: (community, n_vertices, e_in, d_tot,
+    * contribution), with Q left to a one-row fold (the oracle sums the
+    * identical 9-dp decimal terms).
+    *
+    * Edges are taken as given UNDIRECTED unique pairs; `membership` is
+    * (v, community). Two membership joins + two bounded aggregates —
+    * communities-sized output, exact integer counts, one IEEE
+    * expression per row.
+    */
+  def modularity(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("a"),
+      col("dst").cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val m = e.agg(count(lit(1)).as("m"))
+    val mem = membership.select(col("v").cast("long").as("v"),
+      col("community").cast("long").as("c"))
+    val tagged = e
+      .join(mem.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(mem.select(col("v").as("b"), col("c").as("cb")), "b")
+    val eIn = tagged.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    // degree counts both endpoints; self-loops would count twice,
+    // callers drop them upstream (the event-graph fixtures do)
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dTot = deg.join(mem, "v")
+      .groupBy(col("c").as("community"))
+      .agg(sum("d").cast("long").as("d_tot"), count(lit(1)).as("n_vertices"))
+    dTot.join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m") -
+          (col("d_tot").cast("double") / (lit(2.0) * col("m"))) *
+          (col("d_tot").cast("double") / (lit(2.0) * col("m"))), 9)
+          .as("contribution"))
+  }
+
   /** k-core decomposition (bounded peeling): the maximal subgraph
     * where every vertex keeps ≥ k neighbours — the standard "dense
     * part of the web graph / spam farm / community scaffold" filter.

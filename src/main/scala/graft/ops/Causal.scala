@@ -94,6 +94,39 @@ object Causal {
         d6((col("n_t") + col("n_c")).cast("double") / col("n_all")).as("weight"))
   }
 
+  /** Instrumental-variable Wald estimator: with a binary instrument z
+    * (e.g. the encouragement/rollout flag), LATE = ITT_y / ITT_x —
+    * the outcome's intent-to-treat effect scaled by the instrument's
+    * actual grip on the treatment. The third causal tool beside
+    * [[diffInDiff]] (needs a pre-period) and [[stratifiedEffect]]
+    * (needs ignorability): IV needs neither, it needs an instrument.
+    *
+    * ONE two-cell decimal aggregate; a weak instrument (ITT_x = 0 at
+    * 6 dp) yields null LATE rather than a division blow-up — and the
+    * reported itt_x IS the weak-instrument diagnostic. Output:
+    * (n_z1, n_z0, itt_y, itt_x, late).
+    */
+  def ivWald(df: DataFrame, instrument: Column, xCol: String,
+      yCol: String): DataFrame = {
+    val in = df.select(instrument.as("z"),
+      d6(col(xCol)).cast("decimal(18,6)").as("x"),
+      d6(col(yCol)).cast("decimal(18,6)").as("y"))
+    val cells = in.groupBy("z").agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"))
+    val z1 = cells.filter(col("z")).select(col("n").as("n_z1"),
+      (col("sx") / col("n")).as("mx1"), (col("sy") / col("n")).as("my1"))
+    val z0 = cells.filter(!col("z")).select(col("n").as("n_z0"),
+      (col("sx") / col("n")).as("mx0"), (col("sy") / col("n")).as("my0"))
+    z1.crossJoin(broadcast(z0))
+      .select(col("n_z1"), col("n_z0"),
+        d6(col("my1") - col("my0")).as("itt_y"),
+        d6(col("mx1") - col("mx0")).as("itt_x"),
+        when(d6(col("mx1") - col("mx0")) =!= 0.0,
+          round((col("my1") - col("my0")) / (col("mx1") - col("mx0")), 6))
+          .as("late"))
+  }
+
   /** Two-period difference-in-differences: the quasi-experimental
     * estimator when assignment isn't randomized but a pre-period
     * exists — did = (ȳ_treated,post − ȳ_treated,pre) −

@@ -113,6 +113,31 @@ class GraphSpec extends SparkTestBase {
     assert(!far.contains(5L), "hop bound must cut the frontier")
   }
 
+  test("modularity: perfect split of two disjoint triangles scores Q = 0.5") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val mem = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("v", "community")
+    val rows = Graph.modularity(edges, mem).collect()
+      .map(r => r.getAs[Long]("community") -> r).toMap
+    // per community: e_in/m − (d/2m)² = 3/6 − (6/12)² = 0.25
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("e_in") === 3L)
+      assert(r.getAs[Long]("d_tot") === 6L)
+      assert(r.getAs[Double]("contribution") === 0.25)
+    }
+    assert(rows.values.map(_.getAs[Double]("contribution")).sum === 0.5)
+  }
+
+  test("modularity: splitting a triangle across communities scores worse") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val bad = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("v", "community")
+    val q = Graph.modularity(edges, bad).collect()
+      .map(_.getAs[Double]("contribution")).sum
+    // Q of the single-community partition is 0; a split is negative
+    assert(q < 0.0)
+  }
+
   test("kCore: peeling cascades — removing leaves strips the chain") {
     // triangle 1-2-3 plus a pendant path 3-4-5: the 2-core is exactly
     // the triangle (4 dies, then 5's support is gone transitively).

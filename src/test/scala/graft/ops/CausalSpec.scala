@@ -60,6 +60,25 @@ class CausalSpec extends SparkTestBase {
     assert(r.getAs[Double]("did") === 3.0)
   }
 
+  test("ivWald: LATE = ITT_y / ITT_x, weak instrument yields null") {
+    // z=1: x mean 0.8, y mean 12; z=0: x mean 0.2, y mean 9
+    // -> itt_x 0.6, itt_y 3, late 5
+    val df = Seq(
+      (true, 1.0, 13.0), (true, 0.6, 11.0),
+      (false, 0.0, 8.0), (false, 0.4, 10.0))
+      .toDF("z", "x", "y")
+    val r = Causal.ivWald(df, col("z"), "x", "y").collect().head
+    assert(r.getAs[Double]("itt_y") === 3.0)
+    assert(r.getAs[Double]("itt_x") === 0.6)
+    assert(r.getAs[Double]("late") === 5.0)
+    // instrument with zero grip: same x distribution in both arms
+    val weak = Seq((true, 1.0, 13.0), (true, 0.0, 11.0),
+      (false, 1.0, 8.0), (false, 0.0, 10.0)).toDF("z", "x", "y")
+    val w = Causal.ivWald(weak, col("z"), "x", "y").collect().head
+    assert(w.getAs[Double]("itt_x") === 0.0)
+    assert(w.isNullAt(w.fieldIndex("late")))
+  }
+
   test("diffInDiff: identical trends cancel to zero effect") {
     val rows = Seq(
       (true, false, 1.0), (true, true, 4.0),
