@@ -175,6 +175,21 @@ object ExtQueries {
         col("doc_id"),
         TextStats.langId(col("text")).as("lang_pred"))),
 
+    // Metadata QA: confusion matrix of the declared `lang` column vs
+    // the n-gram langid prediction — "is the crawl's language metadata
+    // trustworthy", per (declared, predicted) cell with the share of
+    // the declared class. One languages²-bounded shuffle.
+    "q_ext_langid_confusion" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir).select(col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+      val cells = pred.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum("n").cast("long").as("t"))
+      cells.join(totals, "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / col("t"), 6).as("share"))
+    }),
+
     // Exact dedup: content-fingerprint groups.
     "q_ext_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -403,6 +418,13 @@ object ExtQueries {
       Similarity.mipsTopK(queries, emb, k = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
+
+    // One-step Huber M-estimate per key: the fixed-iteration robust
+    // location between the fragile mean and the two-pass weighted
+    // median; bounded outlier pull at k, deterministic closed form.
+    "q_ext_huber" -> ((s, dir) =>
+      graft.ops.WeightedStats.huberMean(Tables.events(s, dir),
+        "event_type", "value", k = 50.0)),
 
     // Population Stability Index between the click and view value
     // distributions — THE one-number model-monitoring shift alarm;
@@ -2347,6 +2369,26 @@ object ExtQueries {
          |FROM m""".stripMargin
     },
 
+    "q_ext_langid_confusion" -> {
+      val hitDefs = TextStats.stopwords.map { case (l, _) => s"${ddHits(l)} AS h_$l" }
+      val mx = TextStats.stopwords.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
+      val chain = TextStats.stopwords.map { case (l, _) =>
+        s"WHEN h_$l = mx THEN '$l'"
+      }.mkString(" ")
+      s"""WITH h AS (
+         |  SELECT lang, ${hitDefs.mkString(", ")} FROM documents),
+         |m AS (SELECT *, $mx AS mx FROM h),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN mx = 0 THEN 'und' $chain ELSE 'und' END AS lang_pred
+         |  FROM m),
+         |cells AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1)
+         |SELECT cells.lang, lang_pred, n,
+         |       round(CAST(n AS DOUBLE) / t.t, 6) AS share
+         |FROM cells JOIN t ON t.lang = cells.lang""".stripMargin
+    },
+
     "q_ext_fp_md5" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp_md5
         |FROM documents""".stripMargin,
@@ -2417,6 +2459,36 @@ object ExtQueries {
         |        ORDER BY dot DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dot
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_ext_huber" ->
+      """WITH i AS (
+        |  SELECT event_type AS k2,
+        |         CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT k2, count(*) AS n,
+        |         CAST(sum(v) AS DOUBLE) / count(*) AS m0
+        |  FROM i GROUP BY 1),
+        |r AS (
+        |  SELECT i.k2, m.n, m.m0,
+        |         CAST(round(CASE WHEN abs(CAST(v AS DOUBLE) - m0) <= 50.0
+        |             THEN 1.0
+        |             ELSE 50.0 / abs(CAST(v AS DOUBLE) - m0) END, 9)
+        |           AS DECIMAL(28,9)) AS w9,
+        |         CAST(round((CASE WHEN abs(CAST(v AS DOUBLE) - m0) <= 50.0
+        |             THEN 1.0
+        |             ELSE 50.0 / abs(CAST(v AS DOUBLE) - m0) END)
+        |             * CAST(v AS DOUBLE), 9) AS DECIMAL(28,9)) AS wv9
+        |  FROM i JOIN m ON m.k2 = i.k2),
+        |g AS (
+        |  SELECT k2, max(n) AS n, max(m0) AS m0,
+        |         CAST(sum(w9) AS DECIMAL(38,9)) AS sw,
+        |         CAST(sum(wv9) AS DECIMAL(38,9)) AS swv
+        |  FROM r GROUP BY 1)
+        |SELECT k2 AS event_type, n, round(m0, 6) AS mean_raw,
+        |       round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+        |         AS huber_mean
+        |FROM g""".stripMargin,
 
     "q_ext_psi" ->
       """WITH av AS (

@@ -1215,6 +1215,28 @@ object SparkEntry {
       graft.ext.HistogramStore.rangeQuantiles(s, store,
         "2024-01-08", "2024-01-22", Seq(50, 90, 99), lo, hi, bins)
     }),
+
+    // §2.10 ext: LIVE Population Stability Index — the stream side
+    // aggregates its fixed-grid bin counts in complete mode (constant
+    // bins-row state), then the PSI algebra runs between the streamed
+    // counts and the frozen batch reference; equals the batch PSI
+    // bit-for-bit because the bin counts are exact integers.
+    "q_st18_stream_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val lo = 0.0; val hi = 500.0; val bins = 10
+      val binsStream = graft.ext.Drift.psiBinned(
+        streamTable(s, dir, "events")
+          .filter(col("event_type") === "click"),
+        "value", lo, hi, bins, "ca")
+      s.catalog.dropTempView("g_st18")
+      val q = binsStream.writeStream.format("memory").queryName("g_st18")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val bCounts = graft.ext.Drift.psiBinned(
+        Tables.events(s, dir).filter(col("event_type") === "view"),
+        "value", lo, hi, bins, "cb")
+      graft.ext.Drift.psiFromCounts(s.table("g_st18"), bCounts, bins)
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1828,6 +1850,8 @@ object SparkEntry {
     // The streamed gap events equal the batch operator's — one oracle,
     // two engines (see q_ext_gaps in ExtQueries for the SQL).
     "q_st9_stream_gaps" -> ExtQueries.oracleSql("q_ext_gaps"),
+    // the live PSI equals the batch PSI (exact integer bin counts)
+    "q_st18_stream_psi" -> ExtQueries.oracleSql("q_ext_psi"),
 
     // The streamed MG summary satisfies the same order-independent
     // contract as the batch aggregate — one oracle, two engines.

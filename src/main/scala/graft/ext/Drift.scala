@@ -68,19 +68,35 @@ object Drift {
     * row: (n_a, n_b, n_bins, psi).
     */
   def psi(a: DataFrame, b: DataFrame, valueCol: String,
-      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+      lo: Double, hi: Double, bins: Int = 10): DataFrame =
+    psiFromCounts(psiBinned(a, valueCol, lo, hi, bins, "ca"),
+      psiBinned(b, valueCol, lo, hi, bins, "cb"), bins)
+
+  /** The [[psi]] binning as a reusable piece: (bin, count) on the
+    * [lo, hi) fixed grid — also what a STREAMING side aggregates in
+    * complete mode before handing its table to [[psiFromCounts]].
+    */
+  def psiBinned(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int, out: String): DataFrame = {
     require(bins >= 2 && bins <= 4096, s"bins must be in [2, 4096]: $bins")
     require(hi > lo, s"need hi > lo: [$lo, $hi)")
     val w = (hi - lo) / bins
-    def binned(df: DataFrame, out: String) = df
-      .filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .groupBy(least(greatest(floor((round(col(valueCol), 6) - lo) / w),
         lit(0)), lit(bins - 1)).cast("long").as("bin"))
       .agg(count(lit(1)).as(out))
-    val allBins = a.sparkSession.range(bins).select(col("id").as("bin"))
+  }
+
+  /** PSI from two pre-binned count tables (columns (bin, ca) and
+    * (bin, cb)) — the algebra half of [[psi]], shared with the
+    * streaming gate.
+    */
+  def psiFromCounts(aCounts: DataFrame, bCounts: DataFrame,
+      bins: Int): DataFrame = {
+    val allBins = aCounts.sparkSession.range(bins).select(col("id").as("bin"))
     val joined = allBins
-      .join(binned(a, "ca"), Seq("bin"), "left")
-      .join(binned(b, "cb"), Seq("bin"), "left")
+      .join(aCounts, Seq("bin"), "left")
+      .join(bCounts, Seq("bin"), "left")
       .select(col("bin"),
         (coalesce(col("ca"), lit(0L)) + 1L).as("ca1"),
         (coalesce(col("cb"), lit(0L)) + 1L).as("cb1"))

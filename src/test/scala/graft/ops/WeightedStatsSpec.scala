@@ -37,4 +37,24 @@ class WeightedStatsSpec extends SparkTestBase {
     val m = wmed(Seq(("a", 1.0, 9L), ("a", 100.0, 1L), ("b", 7.0, 1L)))
     assert(m("a")._2 === 1.0 && m("b")._2 === 7.0)
   }
+
+  test("huberMean: one reweight shrinks an outlier's pull by two thirds") {
+    // inliers at 10 ± 1, one outlier at 1000 drags the raw mean to
+    // 208. From that corrupted start EVERY residual exceeds k, so one
+    // reweight recovers partially (to ~68), not fully — the honest
+    // one-step behavior; full PAV-style robustness is the weighted
+    // median's job.
+    val df = Seq(("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 10.0),
+      ("a", 1000.0)).toDF("k", "v")
+    val r = WeightedStats.huberMean(df, "k", "v", k = 5.0).collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("mean_raw") === 208.0)
+    val hm = r.getAs[Double]("huber_mean")
+    assert(hm > 10.0 && hm < 208.0 / 2.0,
+      s"one reweight must at least halve the outlier's pull: $hm")
+    // clean data: huber == mean exactly (all weights 1)
+    val clean = Seq(("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("k", "v")
+    val c = WeightedStats.huberMean(clean, "k", "v", k = 5.0).collect().head
+    assert(c.getAs[Double]("huber_mean") === c.getAs[Double]("mean_raw"))
+  }
 }
