@@ -119,6 +119,12 @@ object EvalQueries {
       Calibrate.isotonicBinned(calScored(s, dir), "score", "good",
         bins = 10)),
 
+    // Expected Calibration Error — the reliability curve folded to the
+    // one number papers report; 9-dp decimal bin terms.
+    "q_ext_ece" -> ((s, dir) =>
+      graft.ext.Reliability.ece(calScored(s, dir), "score", "good",
+        bins = 10)),
+
     // END-TO-END calibrated filtering: fit isotonic on the even half,
     // keep the bins whose calibrated rate clears 0.5, apply to the odd
     // half, report achieved precision vs base rate — the quality ops
@@ -331,6 +337,30 @@ object EvalQueries {
         |       CASE WHEN round(mx1 - mx0, 6) <> 0.0
         |            THEN round((my1 - my0) / (mx1 - mx0), 6) END AS late
         |FROM w""".stripMargin,
+
+    "q_ext_ece" ->
+      s"""WITH $calScoredSql,
+         |j AS (
+         |  SELECT CAST(least(CAST(floor(score * 10) AS INT), 9) AS BIGINT)
+         |           AS bin,
+         |         CAST(round(score, 6) AS DECIMAL(18,6)) AS s,
+         |         CASE WHEN good THEN 1 ELSE 0 END AS pos
+         |  FROM cal),
+         |cv AS (
+         |  SELECT bin, count(*) AS n,
+         |         round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_score,
+         |         round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+         |  FROM j GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cv),
+         |terms AS (
+         |  SELECT t.t,
+         |         CAST(round(CAST(n AS DOUBLE) / t.t
+         |           * abs(pos_rate - mean_score), 9) AS DECIMAL(28,9))
+         |           AS term
+         |  FROM cv, t)
+         |SELECT max(t) AS n, count(*) AS n_bins,
+         |       round(CAST(sum(term) AS DOUBLE), 6) AS ece
+         |FROM terms""".stripMargin,
 
     "q_ext_calibrated_filter" ->
       s"""WITH $calScoredSql,

@@ -1564,6 +1564,24 @@ object ExtQueries {
             greatest(col("lo_a"), col("lo_b"))).as("ov_secs"))
     }),
 
+    // Interval coalesce: per-user 30-min event envelopes merged into
+    // availability spans — the sweep as ONE keyed window (running max
+    // hi decides span starts), per-span agg reuses the partitioning.
+    "q_ext_interval_coalesce" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id") % 13 === 0)
+        .select(col("user_id"),
+          graft.ops.TimeOps.epochSeconds(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 1800L)
+      graft.ops.RangeJoin.coalesceIntervals(e, Seq("user_id"), "lo", "hi")
+    }),
+
+    // Leave-one-source-out jackknife of mean doc length — "which
+    // source is pulling the corpus metric" from ONE source-keyed
+    // aggregate (LOO means fold out of sufficient statistics).
+    "q_ext_jackknife" -> ((s, dir) =>
+      Valuation.sourceJackknife(Tables.documents(s, dir), "source",
+        "n_chars")),
+
     // Winnowing (MOSS) fingerprint pairs: LOCAL substring overlap —
     // the plagiarized-paragraph detector set-based MinHash can't be;
     // guaranteed hit for shared runs of ≥ w+k−1 tokens, map-side
@@ -3796,6 +3814,52 @@ object ExtQueries {
          |${Graph.hitsSql(3)}
          |SELECT a3.v, a3.s AS auth_e12, h3.s AS hub_e12
          |FROM a3 JOIN h3 ON h3.v = a3.v""".stripMargin,
+
+    "q_ext_interval_coalesce" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS hi
+        |  FROM events WHERE user_id % 13 = 0),
+        |x AS (
+        |  SELECT user_id, lo, hi,
+        |         max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e),
+        |y AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END
+        |        AS nw
+        |      FROM x),
+        |z AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS BIGINT) AS g
+        |  FROM y)
+        |SELECT user_id, min(lo) AS span_lo, max(hi) AS span_hi,
+        |       count(*) AS n_merged
+        |FROM z GROUP BY user_id, g""".stripMargin,
+
+    "q_ext_jackknife" ->
+      """WITH i AS (
+        |  SELECT source,
+        |         CAST(round(n_chars, 6) AS DECIMAL(18,6)) AS m
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(sum(m) AS DECIMAL(38,6)) AS s
+        |  FROM i GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |         CAST(sum(s) AS DECIMAL(38,6)) AS st
+        |  FROM per)
+        |SELECT source, n,
+        |       round(CAST(s AS DOUBLE) / n, 6) AS mean_source,
+        |       round(CAST(st AS DOUBLE) / nt, 6) AS mean_overall,
+        |       CASE WHEN nt > n
+        |            THEN round(CAST(st - s AS DOUBLE) / (nt - n), 6)
+        |       END AS mean_without,
+        |       CASE WHEN nt > n
+        |            THEN round(CAST(st - s AS DOUBLE) / (nt - n)
+        |              - CAST(st AS DOUBLE) / nt, 6)
+        |       END AS delta
+        |FROM per, tot""".stripMargin,
 
     "q_ext_winnowing" ->
       """WITH d AS (

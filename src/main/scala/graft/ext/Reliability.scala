@@ -38,4 +38,24 @@ object Reliability {
         round(col("_ss").cast("double") / col("n"), 6).as("mean_score"),
         round(col("_np").cast("double") / col("n"), 6).as("pos_rate"))
   }
+
+  /** Expected Calibration Error — [[curve]]'s table folded to the one
+    * number papers report: ECE = Σ_b (n_b/N)·|pos_rate_b − conf_b|,
+    * weighted by bin mass. One row: (n, n_bins, ece). Same plan as the
+    * curve plus a one-row fold; per-bin terms round to 9 dp before the
+    * decimal sum so the scalar is engine-exact.
+    */
+  def ece(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val c = curve(df, scoreCol, labelCol, bins)
+    val totals = c.agg(sum("n").as("t"))
+    c.crossJoin(broadcast(totals))
+      .select(col("n"), col("t"),
+        round(col("n").cast("double") / col("t") *
+          abs(col("pos_rate") - col("mean_score")), 9)
+          .cast("decimal(28,9)").as("term"))
+      .agg(max(col("t")).cast("long").as("n"),
+        count(lit(1)).as("n_bins"),
+        round(sum("term").cast("double"), 6).as("ece"))
+  }
 }

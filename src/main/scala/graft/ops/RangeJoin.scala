@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join: points matched to intervals containing them —
@@ -73,5 +74,40 @@ object RangeJoin {
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
       .filter(col("__bin") === bin(greatest(col(lLo), col(rLo))))
       .drop("__bin")
+  }
+
+  /** Interval COALESCE per key: merge overlapping/touching [lo, hi]
+    * intervals into their union — sessions into availability windows,
+    * maintenance tickets into outage spans. Output per merged span:
+    * (keys..., span_lo, span_hi, n_merged).
+    *
+    * The classic sweep, expressed as one keyed window: an interval
+    * starts a NEW span iff its lo exceeds the running max hi of every
+    * earlier interval (ordered by lo); the span id is the running
+    * count of such starts — two window functions over ONE keyed sort,
+    * then a per-span aggregate that reuses the window's partitioning.
+    * Exact integer endpoints; closed-interval semantics (touching
+    * endpoints merge), matching [[intervalOverlapJoin]].
+    */
+  def coalesceIntervals(df: DataFrame, keys: Seq[String],
+      loCol: String, hiCol: String): DataFrame = {
+    require(keys.nonEmpty, "coalesceIntervals needs at least one key")
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(loCol), col(hiCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols: _*)
+      .orderBy(col(loCol), col(hiCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(col(hiCol) >= col(loCol))
+      .withColumn("__prev_max", max(col(hiCol)).over(w))
+      .withColumn("__new",
+        when(col("__prev_max").isNull || col(loCol) > col("__prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(wRun))
+      .groupBy(keyCols :+ col("__span"): _*)
+      .agg(min(col(loCol)).as("span_lo"), max(col(hiCol)).as("span_hi"),
+        count(lit(1)).as("n_merged"))
+      .drop("__span")
   }
 }

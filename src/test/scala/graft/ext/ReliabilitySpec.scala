@@ -21,6 +21,20 @@ class ReliabilitySpec extends SparkTestBase {
     assert(rows(9L).getDouble(2) === 0.98)
   }
 
+  test("ece: perfectly calibrated scores 0, a fixed gap scores the gap") {
+    // every bin's pos_rate equals its mean_score -> ECE 0
+    val calibrated = (for {
+      s <- Seq(0.25, 0.75); i <- 0 until 20
+    } yield (s, i < math.round(s * 20).toInt)).toDF("score", "good")
+    val z = Reliability.ece(calibrated, "score", "good").collect().head
+    assert(z.getAs[Double]("ece") === 0.0)
+    // constant score 0.3, true rate 0.5 -> single bin, ECE = 0.2
+    val off = (0 until 10).map(i => (0.3, i < 5)).toDF("score", "good")
+    val o = Reliability.ece(off, "score", "good").collect().head
+    assert(o.getAs[Long]("n") === 10L && o.getAs[Long]("n_bins") === 1L)
+    assert(o.getAs[Double]("ece") === 0.2)
+  }
+
   test("a perfectly calibrated scorer tracks pos_rate == mean_score") {
     // score s with exactly round(s*20) positives out of 20 per bucket
     val rows = for {

@@ -65,4 +65,31 @@ class RangeJoinSpec extends SparkTestBase {
     assert(RangeJoin.intervalOverlapJoin(l, "lo_l", "hi_l",
       r, "lo_r", "hi_r", binSeconds = 50L).count() === 1)
   }
+
+  test("coalesceIntervals: chains merge transitively, gaps split, keys isolate") {
+    val df = Seq(
+      ("u", 0L, 10L), ("u", 5L, 20L), ("u", 20L, 30L),   // one span 0-30
+      ("u", 40L, 50L),                                   // gap -> new span
+      ("v", 0L, 100L))
+      .toDF("k", "lo", "hi")
+    val got = RangeJoin.coalesceIntervals(df, Seq("k"), "lo", "hi")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("span_lo"),
+        r.getAs[Long]("span_hi"), r.getAs[Long]("n_merged"))).toSet
+    assert(got === Set(
+      ("u", 0L, 30L, 3L), ("u", 40L, 50L, 1L), ("v", 0L, 100L, 1L)))
+  }
+
+  test("coalesceIntervals: containment and inverted intervals") {
+    // an interval fully inside another must not split the span when a
+    // later interval starts after the CONTAINED one's end
+    val df = Seq(
+      ("u", 0L, 100L), ("u", 10L, 20L), ("u", 30L, 40L),
+      ("u", 200L, 150L))                    // inverted -> dropped
+      .toDF("k", "lo", "hi")
+    val got = RangeJoin.coalesceIntervals(df, Seq("k"), "lo", "hi")
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("span_hi") === 100L)
+    assert(got.head.getAs[Long]("n_merged") === 3L)
+  }
 }
