@@ -1237,6 +1237,29 @@ object SparkEntry {
         "value", lo, hi, bins, "cb")
       graft.ext.Drift.psiFromCounts(s.table("g_st18"), bCounts, bins)
     }),
+
+    // §2.10 ext: STREAMING erasure enforcement — live ingest filtered
+    // against the (broadcast) tombstone set, stateless stream-static
+    // left-outer + null filter, so deleted keys can never re-enter the
+    // corpus between batch erasure runs. Audit equals the batch
+    // anti-join exactly (count + decimal key-sum).
+    "q_st19_stream_tombstone" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tomb = Tables.documents(s, dir)
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id")).withColumn("__t", lit(1))
+      val kept = streamTable(s, dir, "documents")
+        .select(col("doc_id"))
+        .join(broadcast(tomb), Seq("doc_id"), "left_outer")
+        .filter(col("__t").isNull)
+        .select(col("doc_id"))
+      s.catalog.dropTempView("g_st19")
+      val q = kept.writeStream.format("memory").queryName("g_st19")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st19").agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id").cast("decimal(38,0)")).as("key_sum"))
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1852,6 +1875,12 @@ object SparkEntry {
     "q_st9_stream_gaps" -> ExtQueries.oracleSql("q_ext_gaps"),
     // the live PSI equals the batch PSI (exact integer bin counts)
     "q_st18_stream_psi" -> ExtQueries.oracleSql("q_ext_psi"),
+
+    // streamed tombstone filter equals the batch anti-join
+    "q_st19_stream_tombstone" ->
+      """SELECT count(*) AS n_kept,
+        |       CAST(sum(doc_id) AS DECIMAL(38,0)) AS key_sum
+        |FROM documents WHERE doc_id % 37 <> 0""".stripMargin,
 
     // The streamed MG summary satisfies the same order-independent
     // contract as the batch aggregate — one oracle, two engines.

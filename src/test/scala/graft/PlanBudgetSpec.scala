@@ -136,6 +136,34 @@ class PlanBudgetSpec extends SparkTestBase {
       "ONE corpus token agg; every other exchange is the chunked " +
         "PrefixSum's vocabulary-sized scan — the corpus is never " +
         "rescanned per requested size"),
+    ("q_ext_mips", 1,
+      "queries broadcast onto the corpus scan; ONE bounded top-k " +
+        "partial/final exchange"),
+    ("q_ext_interval_coalesce", 1,
+      "one keyed window sort; the per-span aggregate reuses its " +
+        "partitioning"),
+    ("q_ext_huber", 3,
+      "mean pass + reweight pass partial aggs; the key-sized mean table " +
+        "broadcasts back onto the scan"),
+    ("q_ext_jackknife", 2,
+      "one source-keyed partial agg + its one-row total fold — LOO " +
+        "means need no per-source rescan"),
+    ("q_ext_new_users", 2,
+      "first-seen user agg + days-sized agg; cumulation is a broadcast " +
+        "triangular join"),
+    ("q_ext_neg_sampling", 1,
+      "bounded top-V heap (TakeOrdered) + ONE exchange; cumulation " +
+        "broadcast-triangular"),
+    ("q_ext_sprt", 1, "one scalar count fold — the whole test"),
+    ("q_ext_iv", 2,
+      "one two-cell decimal aggregate; arms fold from its output"),
+    ("q_ext_langid_confusion", 2,
+      "languages²-bounded cell agg + the class-total fold"),
+    ("q_ext_psi", 4,
+      "two bins-bounded side aggs + the all-bins join and one-row fold " +
+        "— both bounded by the grid, never by rows"),
+    ("q_ext_ece", 4,
+      "the reliability-curve agg + bins-sized total and term folds"),
     ("q_ext_heavy_hitters", 3,
       "MG summary agg (single row), exact token counts, corpus total — " +
         "all partial-aggregated; summary and total broadcast back"),
