@@ -210,6 +210,37 @@ object ExtQueries {
           shingleN = 3, perms = 64, bands = 16, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // The FULL corpus build as a stage funnel — clean (C4 + quality +
+    // langid) → exact dedup → near-dup canonical — with doc and token
+    // counts surviving each stage: the report a data-curation run
+    // publishes. Every stage is an already-gated operator; this gate
+    // pins that they COMPOSE (filters stack, dedups nest) with the
+    // whole funnel replayed in SQL, including the recursive-CTE
+    // closure of the near-dup graph.
+    "q_pipe_corpus_build" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      // structural C4 rules minus terminal punctuation (the synthetic
+      // corpus has none — the full rule set is gated by q_ext_c4_rules)
+      val c4 = TextStats.c4Rules(col("text"))
+      val keep = c4.getField("long_enough") && c4.getField("no_brace") &&
+        TextStats.qualityScore(col("text")) >= 0.66 &&
+        TextStats.langId(col("text")) =!= "und"
+      val clean = base.filter(keep)
+      val exact = Dedup.dropExactDuplicates(clean, "doc_id", "text")
+      val near = Dedup.keepCanonical(exact, "doc_id",
+        Dedup.wordJaccardPairs(exact, "doc_id", "text", 0.8))
+      def stage(df: DataFrame, id: Int, name: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(TextStats.tokenCount(col("text")).cast("long")),
+            lit(0L)).cast("long").as("n_tokens"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(base, 1, "raw")
+        .unionByName(stage(clean, 2, "clean"))
+        .unionByName(stage(exact, 3, "exact_dedup"))
+        .unionByName(stage(near, 4, "near_dedup"))
+    }),
+
     // The cleaning pipeline end-to-end as ONE plan over ONE scan: C4
     // rules + quality score + repetition signal + language ID fused
     // into a keep decision, aggregated to a per-source drop-accounting
@@ -2358,6 +2389,81 @@ object ExtQueries {
   private val Cyr = "\u043c\u0438\u0440"       // Cyrillic: mir
 
   def oracleSql: Map[String, String] = Map(
+    "q_pipe_corpus_build" -> {
+      val qualitySql =
+        s"""round((
+           |    (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000
+           |          THEN 1.0 ELSE 0.0 END)
+           |  + (CASE WHEN (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+           |            * 1.0 / greatest(length(text), 1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+           |  + (CASE WHEN ${TextStats.stopwords.map(l => ddHits(l._1)).mkString(" + ")} > 0
+           |          THEN 1.0 ELSE 0.0 END)) / 3.0, 6)""".stripMargin
+      val hitDefs = TextStats.stopwords.map { case (l, _) => s"${ddHits(l)} AS h_$l" }
+      val mx = TextStats.stopwords.map(l => s"h_${l._1}").mkString("greatest(", ", ", ")")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |f AS (
+         |  SELECT doc_id, text,
+         |         (len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+         |          AND NOT contains(trim(text), '{')) AS c4k,
+         |         $qualitySql AS quality,
+         |         ${hitDefs.mkString(", ")}
+         |  FROM base),
+         |clean AS (
+         |  SELECT doc_id, text FROM f
+         |  WHERE c4k AND quality >= 0.66 AND $mx > 0),
+         |fp AS (
+         |  SELECT min(doc_id) AS doc_id FROM clean
+         |  GROUP BY substring(md5(text), 1, 16)),
+         |ex AS (SELECT c.doc_id, c.text FROM clean c
+         |       JOIN fp ON fp.doc_id = c.doc_id),
+         |words AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM ex),
+         |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+         |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |losers AS (SELECT node FROM reach GROUP BY node
+         |           HAVING min(r) <> node),
+         |nr AS (SELECT doc_id, text FROM ex
+         |       WHERE doc_id NOT IN (SELECT node FROM losers))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS stage_id, 'raw' AS stage,
+         |         count(*) AS n_docs,
+         |         CAST(coalesce(sum(len(regexp_split_to_array(trim(text),
+         |           '\\s+'))), 0) AS BIGINT) AS n_tokens
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 2, 'clean', count(*),
+         |         CAST(coalesce(sum(len(regexp_split_to_array(trim(text),
+         |           '\\s+'))), 0) AS BIGINT)
+         |  FROM clean
+         |  UNION ALL
+         |  SELECT 3, 'exact_dedup', count(*),
+         |         CAST(coalesce(sum(len(regexp_split_to_array(trim(text),
+         |           '\\s+'))), 0) AS BIGINT)
+         |  FROM ex
+         |  UNION ALL
+         |  SELECT 4, 'near_dedup', count(*),
+         |         CAST(coalesce(sum(len(regexp_split_to_array(trim(text),
+         |           '\\s+'))), 0) AS BIGINT)
+         |  FROM nr)""".stripMargin
+    },
+
     "q_ext_text_stats" ->
       s"""SELECT doc_id,
          |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
