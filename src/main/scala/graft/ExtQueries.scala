@@ -225,8 +225,14 @@ object ExtQueries {
       val keep = c4.getField("long_enough") && c4.getField("no_brace") &&
         TextStats.qualityScore(col("text")) >= 0.66 &&
         TextStats.langId(col("text")) =!= "und"
-      val clean = base.filter(keep)
+      // each stage feeds both the NEXT stage and its own funnel row:
+      // persist the frontier frames so clean/exact compute once, not
+      // once per downstream stage aggregate; the remaining cost is the
+      // jaccard inverted-index join itself (one pass, stage 4), the
+      // same deliberately-bounded %10-slice budget as q_ext_dedup_keep
+      val clean = base.filter(keep).persist()
       val exact = Dedup.dropExactDuplicates(clean, "doc_id", "text")
+        .persist()
       val near = Dedup.keepCanonical(exact, "doc_id",
         Dedup.wordJaccardPairs(exact, "doc_id", "text", 0.8))
       def stage(df: DataFrame, id: Int, name: String) =
