@@ -190,4 +190,57 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("auc is partition-invariant and bounded in [0, 1]") {
+    val rowsGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 1000000).map(_ / 1000000.0), Gen.oneOf(true, false)))
+    samples(rowsGen, 4).foreach { rows =>
+      if (rows.exists(_._2) && rows.exists(!_._2)) {
+        val df = rows.toDF("score", "good")
+        val a = graft.ext.RankEval.auc(df, "score", "good")
+          .collect().head.getAs[Double]("auc")
+        val b = graft.ext.RankEval.auc(df.repartition(13), "score", "good")
+          .collect().head.getAs[Double]("auc")
+        assert(a === b, "partitioning must not move the AUC")
+        assert(a >= 0.0 && a <= 1.0)
+      }
+    }
+  }
+
+  test("histogram-store quantile estimates are monotone in q") {
+    import java.sql.Timestamp
+    val vGen = Gen.listOfN(200, Gen.choose(0.0, 400.0))
+    samples(vGen, 3).zipWithIndex.foreach { case (vs, i) =>
+      val store = s"g_prop_hist_$i"
+      spark.sql(s"DROP TABLE IF EXISTS `$store`")
+      val df = vs.map(v => (Timestamp.valueOf("2024-03-01 10:00:00"), v))
+        .toDF("ts", "v")
+      graft.ext.HistogramStore.build(df, "ts", "v", store, 0.0, 500.0, 50)
+      val out = graft.ext.HistogramStore.rangeQuantiles(spark, store,
+          "2024-03-01", "2024-03-01", Seq(10, 50, 90, 99), 0.0, 500.0, 50)
+        .collect().map(r => r.getAs[Int]("q_pct") -> r.getAs[Double]("est"))
+        .sortBy(_._1).map(_._2)
+      out.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo <= hi, s"quantiles must be monotone: $lo > $hi")
+        case _ =>
+      }
+    }
+  }
+
+  test("modularity of the one-community partition is exactly zero") {
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L)))
+    samples(edgeGen, 4).foreach { raw =>
+      val edges = raw.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        val e = edges.toDF("src", "dst")
+        val mem = e.select(col("src").as("v"))
+          .union(e.select(col("dst").as("v"))).distinct()
+          .withColumn("community", lit(0L))
+        val q = graft.ext.Graph.modularity(e, mem)
+          .collect().map(_.getAs[Double]("contribution")).sum
+        assert(q === 0.0, s"e/m − (2m/2m)² must cancel exactly: $q")
+      }
+    }
+  }
 }
