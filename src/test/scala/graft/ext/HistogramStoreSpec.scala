@@ -46,6 +46,20 @@ class HistogramStoreSpec extends SparkTestBase {
     assert(r.getAs[Double]("est") >= 10.0 && r.getAs[Double]("est") < 20.0)
   }
 
+  test("q=100 targets the maximum; q=1 targets the minimum's bin") {
+    val store = "g_test_hist_store4"
+    spark.sql(s"DROP TABLE IF EXISTS `$store`")
+    val df = (1 to 100).map(i => ev(1, i.toDouble)).toDF("ts", "v")
+    HistogramStore.build(df, "ts", "v", store, 0.0, 100.0, bins = 10)
+    val out = HistogramStore.rangeQuantiles(spark, store,
+        "2024-03-01", "2024-03-01", Seq(1, 100), 0.0, 100.0, bins = 10)
+      .collect().map(r => r.getAs[Int]("q_pct") -> r.getAs[Double]("est"))
+      .toMap
+    // p100 -> rank 100 -> last bin [90,100); p1 -> rank 1 -> first bin
+    assert(out(100) > 90.0 && out(100) <= 100.0)
+    assert(out(1) >= 0.0 && out(1) <= 10.0)
+  }
+
   test("re-ingesting a day adds rows the additive merge absorbs exactly") {
     val store = "g_test_hist_store3"
     spark.sql(s"DROP TABLE IF EXISTS `$store`")

@@ -73,6 +73,23 @@ class RankEvalSpec extends SparkTestBase {
       "(1, 1.000000000, 1.000000000), (2, 0.630929754, 1.630929754)")
   }
 
+  test("retrievalMetrics: k beyond the list length still scores correctly") {
+    // only 2 results ranked, k=10: p@k divides by k, dcg uses actual
+    // ranks, idcg clamps at min(n_rel, k)
+    val ranked = Seq(("q", "d1", 1L), ("q", "d2", 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val rel = Seq(("q", "d1"), ("q", "d2"), ("q", "d3"))
+      .toDF("query_id", "doc_id")
+    val r = RankEval.retrievalMetrics(ranked, rel, 10).collect().head
+    assert(r.getAs[Long]("hits") === 2L)
+    assert(r.getAs[Double]("p_at_k") === 0.2)
+    assert(r.getAs[Double]("mrr") === 1.0)
+    // dcg = w1 + w2; idcg = prefix(3) since n_rel=3 < k
+    val w = RankEval.dcgWeights(10).map(_.doubleValue)
+    val p = RankEval.idcgPrefix(10).map(_.doubleValue)
+    assert(r.getAs[Double]("ndcg") === d6((w(0) + w(1)) / p(2)))
+  }
+
   test("retrievalMetrics: hand ranked list") {
     // q1: relevant {d2, d9}; ranked d1, d2, d3 -> hit at rank 2 only.
     // q2: relevant {d5}; ranked surfaces nothing relevant.
