@@ -227,6 +227,40 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("llr collocations are non-negative (G² is a deviance)") {
+    val docsGen = Gen.listOfN(25, Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    samples(docsGen, 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val bad = graft.ext.Collocations.llrBigrams(docs, "id", "text", 1L)
+        .collect().map(_.getAs[Double]("llr")).filter(_ < -1e-6)
+      assert(bad.isEmpty, s"negative G² values: ${bad.take(3).toSeq}")
+    }
+  }
+
+  test("coalesceIntervals covers exactly the union length, any partitioning") {
+    val ivGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 500L),
+      Gen.choose(0L, 60L)).map { case (lo, len) => (lo, lo + len) })
+    samples(ivGen, 4).foreach { ivs =>
+      val df = ivs.map { case (lo, hi) => ("k", lo, hi) }.toDF("k", "lo", "hi")
+      def spanSum(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.RangeJoin.coalesceIntervals(d, Seq("k"), "lo", "hi")
+          .collect().map(r => r.getAs[Long]("span_hi") - r.getAs[Long]("span_lo"))
+          .sum
+      // reference: closed-interval union length via integer sweep
+      val covered = ivs.flatMap { case (lo, hi) => lo to hi }.toSet
+      // spans count closed length hi-lo; union of points minus one per span
+      val spans = spanSum(df)
+      val spansRep = spanSum(df.repartition(7))
+      assert(spans === spansRep, "partitioning must not change spans")
+      val nSpans = graft.ops.RangeJoin
+        .coalesceIntervals(df, Seq("k"), "lo", "hi").count()
+      assert(spans === covered.size - nSpans,
+        s"span length must equal the point-union size minus span count")
+    }
+  }
+
   test("modularity of the one-community partition is exactly zero") {
     val edgeGen = Gen.listOfN(40,
       Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L)))
