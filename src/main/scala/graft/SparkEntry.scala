@@ -1984,9 +1984,18 @@ object SparkEntry {
 
     // Left-outer interval join: matched pairs = the batch join;
     // null-padded rows only for clicks whose match window closed below
-    // the final watermark (max event ms − 1800500 ms delay).
+    // the final watermark. Spark's global watermark is the MINIMUM over
+    // each input stream's own max event time minus the delay — NOT the
+    // max over all events: a side whose events stop early holds the
+    // global watermark back, and its own tail rows never see their
+    // window close. The oracle must model the min-of-sides form or it
+    // over-evicts exactly when the two sides' maxima diverge by more
+    // than the join window (observed at sf0.001: the last click is
+    // 3.9 h older than the last purchase).
     "q_st11_stream_join_outer" ->
-      """WITH m AS (SELECT epoch_ms(max(ts)) AS mxms FROM events),
+      """WITH m AS (SELECT least(
+        |  (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'click'),
+        |  (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase')) AS mxms),
         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
         |      FROM events WHERE event_type = 'click'),
         |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
