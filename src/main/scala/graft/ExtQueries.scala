@@ -204,6 +204,22 @@ object ExtQueries {
           "doc_id", "text", 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // The maxDocFreq stop-token guard, measured not narrated: the SAME
+    // inverted-index join as q_ext_dedup_jaccard but over the FULL
+    // documents table — viable only because tokens in >10% of docs are
+    // dropped from the index (this corpus's 31-token vocabulary puts 30
+    // tokens above that line: the unpruned full-table join would build
+    // 448M candidate pairs at sf0.1; the pruned index builds 31k). The
+    // pruned-index semantics are exactly the documented approximation:
+    // intersection counts only index-surviving tokens, set sizes stay
+    // full — hence the tiny minJaccard (max achievable ratio here is
+    // 1/(sz_a+sz_b-1)); the oracle replays size, prune, and ratio.
+    "q_ext_dedup_jaccard_pruned" -> ((s, dir) =>
+      Dedup.wordJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.02,
+          maxDocFreq = 0.1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
     // MinHash+LSH candidate pairs, exact-verified (no oracle: xxhash64).
     "q_ext_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -339,7 +355,7 @@ object ExtQueries {
     "q_ext_dedup_incremental_near" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val store = scratchTable(s, "g_mh_store", dir)
-      Dedup.writeMinHashStore(
+      Dedup.ensureMinHashStore(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
       Dedup.minHashPairsIncremental(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", store,
@@ -361,7 +377,7 @@ object ExtQueries {
       val hist = docs.filter(col("doc_id") < 250)
       val batch = docs.filter(col("doc_id") >= 250)
       val store = scratchTable(s, "g_mh_recall", dir)
-      Dedup.writeMinHashStore(hist, "doc_id", "text", store)
+      Dedup.ensureMinHashStore(hist, "doc_id", "text", store)
       val found = Dedup.minHashPairsIncremental(
           batch, "doc_id", "text", store, minEst = 0.35)
         .select(col("id_seen").as("id_a"), col("id_new").as("id_b"),
@@ -2544,6 +2560,30 @@ object ExtQueries {
         |JOIN sizes sa ON sa.id = id_a
         |JOIN sizes sb ON sb.id = id_b
         |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8""".stripMargin,
+
+    // Pruned-index replay: hot tokens (df > 10% of docs) leave the
+    // INDEX; sizes stay full distinct-token counts, intersections count
+    // surviving tokens only — the documented maxDocFreq approximation.
+    "q_ext_dedup_jaccard_pruned" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT id) AS n FROM words),
+        |hot AS (SELECT w FROM words GROUP BY w
+        |        HAVING count(*) > (SELECT n * 0.1 FROM nd)),
+        |idx AS (SELECT * FROM words WHERE w NOT IN (SELECT w FROM hot)),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM idx a JOIN idx b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(cnt * 1.0 / (sa.sz + sb.sz - cnt), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id = id_a
+        |JOIN sizes sb ON sb.id = id_b
+        |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.02""".stripMargin,
 
     "q_ext_hard_negatives" ->
       """WITH q AS (

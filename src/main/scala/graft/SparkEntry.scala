@@ -1260,6 +1260,43 @@ object SparkEntry {
       s.table("g_st19").agg(count(lit(1)).as("n_kept"),
         sum(col("doc_id").cast("decimal(38,0)")).as("key_sum"))
     }),
+
+    // §2.10 driver-gated MULTI-BATCH near-dup ORDER semantics — the one
+    // streaming surface q_st8 leaves spec-only (its sf fixture is a
+    // single file = a single AvailableNow batch). A two-file fixture
+    // with maxFilesPerTrigger=1 forces TWO micro-batches; disjoint
+    // per-class vocabularies make every near-dup decision deterministic
+    // (exact duplicates always collide, cross-class never — see
+    // VerifyFixtures.streamNearDupFixture), so the kept set is
+    // oracle-EXACT: min id per duplicate class over both batches.
+    // Gates, in one row: batch-2 dups of batch-1 keeps die via the
+    // persisted STORE (no streaming state), batch order is respected,
+    // and in-batch canonical selection keeps the min id.
+    "q_st20_stream_neardup_order" -> ((s, dir) => {
+      val srcDir = graft.io.VerifyFixtures.streamNearDupFixture()
+      val store = ExtQueries.scratchTable(s, "g_st20_store", dir)
+      val out = new java.io.File(s"target/${store}_out").getAbsolutePath
+      val ckpt = new java.io.File(s"target/${store}_ckpt").getAbsolutePath
+      Seq(out, ckpt).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+      Seq(s"${store}_bands", s"${store}_sigs")
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS `$tb`"))
+      val docs = s.readStream
+        .schema("id STRING, text STRING")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(srcDir)
+        .select(col("id").cast("long").as("doc_id"), col("text"))
+      val q = graft.streaming.StreamNearDup.ingest(
+        docs, "doc_id", "text", store, out, ckpt,
+        minJaccard = 0.9, minEst = 0.9)
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -1881,6 +1918,19 @@ object SparkEntry {
       """SELECT count(*) AS n_kept,
         |       CAST(sum(doc_id) AS DECIMAL(38,0)) AS key_sum
         |FROM documents WHERE doc_id % 37 <> 0""".stripMargin,
+
+    // Multi-batch near-dup ingest over the disjoint-vocabulary duplicate
+    // classes: batch-1 ids < batch-2 ids, so the greedy stream result
+    // (store probe + per-batch min-id canonical) IS the global min id
+    // per duplicate class. Classes are exact text groups by fixture
+    // construction (distinct vocabularies; no cross-class overlap).
+    "q_st20_stream_neardup_order" -> {
+      val d = graft.io.VerifyFixtures.streamNearDupDir
+      s"""SELECT min(CAST(id AS BIGINT)) AS doc_id,
+         |       substring(md5(text), 1, 16) AS fp
+         |FROM read_csv('$d/*.csv', header=true, all_varchar=true)
+         |GROUP BY text""".stripMargin
+    },
 
     // The streamed MG summary satisfies the same order-independent
     // contract as the batch aggregate — one oracle, two engines.

@@ -76,8 +76,22 @@ object TextStats {
   /** Heuristic language ID: argmax of stopword hits, ties broken by the
     * fixed language order, zero hits → 'und'. Deterministic by
     * construction (same CASE chain is expressible in ANSI SQL).
+    *
+    * Computed by the native [[graft.functions.StopwordExpressions]]
+    * one-pass expression: the column-composed CASE chain
+    * ([[langIdReference]], kept as the oracle-shaped reference and
+    * pinned bit-equal by `StopwordExpressionsSpec`) expands to 25
+    * `wordOccurrences` chains, which overflowed janino's 64 KB method
+    * limit when fused with other signals in one filter and silently
+    * dropped the corpus-build clean stage out of whole-stage codegen.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.StopwordExpressions.stopwordSignals(text).getField("lang")
+
+  /** Reference column-composed spelling of [[langId]] — the shape the
+    * DuckDB oracles replay in SQL. Test-pinned equal to the fast path.
+    */
+  private[graft] def langIdReference(text: Column): Column = {
     val hits = stopwords.map { case (l, _) => l -> stopwordHits(text, l) }
     val maxHits = greatest(hits.map(_._2): _*)
     val chain = hits.foldLeft(when(maxHits === 0, lit("und"))) {
@@ -89,14 +103,31 @@ object TextStats {
   /** Quality score in [0,1]: token-length band + punctuation ratio +
     * stopword presence, equally weighted. The exact formula is less
     * important than it being cheap, monotone in "looks like prose", and
-    * reproducible in plain SQL.
+    * reproducible in plain SQL. The stopword-presence term rides the
+    * same native one-pass expression as [[langId]] (codegen-size
+    * rationale there).
     */
   def qualityScore(text: Column): Column = {
+    val anyStop = when(graft.functions.StopwordExpressions
+      .stopwordSignals(text).getField("total_hits") > 0, 1.0).otherwise(0.0)
+    qualityScoreFrom(text, anyStop)
+  }
+
+  /** Reference spelling of [[qualityScore]] with the column-composed
+    * stopword term. Test-pinned equal to the fast path.
+    */
+  private[graft] def qualityScoreReference(text: Column): Column = {
+    val anyStop = when(
+      stopwords.map(l => stopwordHits(text, l._1)).reduce(_ + _) > 0,
+      1.0).otherwise(0.0)
+    qualityScoreFrom(text, anyStop)
+  }
+
+  private def qualityScoreFrom(text: Column, anyStop: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val lengthOk = when(nTok >= 10 && nTok <= 5000, 1.0).otherwise(0.0)
     val punctRatio = punctCount(text).cast("double") / greatest(charCount(text), lit(1)).cast("double")
     val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
-    val anyStop = when(stopwords.map(l => stopwordHits(text, l._1)).reduce(_ + _) > 0, 1.0).otherwise(0.0)
     round((lengthOk + punctOk + anyStop) / 3.0, 6)
   }
 

@@ -302,6 +302,53 @@ object VerifyFixtures {
     }
   }
 
+  // ------------------------------------------------- stream batch order
+  val streamNearDupDir = s"$root/stream_neardup"
+
+  /** Two-file fixture driving TWO real micro-batches through
+    * [[graft.streaming.StreamNearDup]] (`maxFilesPerTrigger = 1`;
+    * file order pinned by explicit modification times, 60 s apart —
+    * FileStreamSource processes oldest-first).
+    *
+    * Texts are duplicate CLASSES with pairwise-DISJOINT vocabularies
+    * (class c's tokens are `w<c>_0 … w<c>_11`), which is what makes a
+    * STREAMING near-dup gate oracle-exact rather than rows-only: within
+    * a class every pair has Jaccard exactly 1 — identical shingle sets
+    * give identical MinHash signatures, so banding collides with
+    * certainty and the estimate is exactly 1; across classes the
+    * shingle sets share nothing, so neither a band collision nor an
+    * estimate ≥ the 0.9 floor can occur. No probabilistic middle
+    * ground exists, unlike the natural corpus (whose planted j ≈ 0.97
+    * pairs make the est-only store probe a coin flip at 64 perms).
+    * Batch-1 ids are all smaller than batch-2 ids, so the greedy
+    * stream result (batch-1 canonical wins the store probe; batch-2
+    * novels canonicalize among themselves) collapses to one SQL line:
+    * min(id) per duplicate class over BOTH files. Any order/memory
+    * defect diverges from it: batches processed in the wrong order
+    * keep a duplicate's high id, a dead store probe keeps batch-2
+    * copies of batch-1 classes, a max-id canonical keeps the wrong
+    * in-batch row.
+    */
+  def streamNearDupFixture(): String = {
+    def text(c: Int): String = (0 until 12).map(i => s"w${c}_$i").mkString(" ")
+    val b1 =
+      (0 until 25).map(c => s"$c,${text(c)}") ++        // classes 0..24
+      (0 until 5).map(c => s"${100 + c},${text(c)}")    // in-batch dups of 0..4
+    val b2 =
+      (0 until 10).map(c => s"${200 + c},${text(c)}") ++   // store-dups of 0..9
+      (25 until 35).map(c => s"${275 + c},${text(c)}") ++  // novel classes -> ids 300..309
+      (0 until 3).map(i => s"${400 + i},${text(25)}")      // in-batch dups of novel 300
+    val p1 = Paths.get(s"$streamNearDupDir/b1.csv")
+    val p2 = Paths.get(s"$streamNearDupDir/b2.csv")
+    writeIfAbsent(p1)("id,text\n" + b1.mkString("\n") + "\n")
+    writeIfAbsent(p2)("id,text\n" + b2.mkString("\n") + "\n")
+    Files.setLastModifiedTime(p1,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    Files.setLastModifiedTime(p2,
+      java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+    streamNearDupDir
+  }
+
   private def writeIfAbsent(p: Path)(content: => String): String = {
     val bytes = content.getBytes(StandardCharsets.UTF_8)
     if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), bytes)) {

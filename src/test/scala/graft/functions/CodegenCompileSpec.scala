@@ -45,4 +45,5 @@ class CodegenCompileSpec extends SparkTestBase {
   compiles("vec_cosine", VectorExpressions.CosineSimilarity(dblArr, dblArr2))
   compiles("nfc_normalize", UnicodeExpressions.NfcNormalize(str, compat = false))
   compiles("nfkc_normalize", UnicodeExpressions.NfcNormalize(str, compat = true))
+  compiles("stopword_signals", StopwordExpressions.StopwordSignalsExpr(str))
 }
