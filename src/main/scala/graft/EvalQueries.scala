@@ -162,7 +162,70 @@ object EvalQueries {
       val ranked = Search.bm25TopK(docs, "doc_id", "text", qt, 10)
       RankEval.retrievalMetrics(ranked, retrievalRelevant(docs, qt), 10)
     }),
+
+    // Distributed logistic-regression probe, trained ENGINE-EXACTLY:
+    // 3 batch-GD rounds over the embeddings (label-0 one-vs-rest),
+    // fixed-point sums + the rational sigmoid making every weight
+    // bit-reproducible under any partitioning — and in DuckDB, which
+    // replays all three rounds as chained CTEs. Final weights gated.
+    "q_ext_lr_train" -> ((s, dir) =>
+      graft.ext.LogReg.train(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", posLabel = 0, rounds = LrRounds, lr = LrRate)),
+
+    // The trained probe applied back as a corpus filter: threshold-0.5
+    // confusion counts + accuracy — the publishable quality summary of
+    // a trained keep/drop model, replayed end-to-end (training AND
+    // scoring) by the oracle.
+    "q_ext_lr_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val w = graft.ext.LogReg.trainWeights(emb, "vec_id", "embedding",
+        "label", posLabel = 0, rounds = LrRounds, lr = LrRate)
+      graft.ext.LogReg.evalConfusion(emb, "vec_id", "embedding", "label",
+        posLabel = 0, w)
+    }),
   )
+
+  private final val LrRounds = 3
+  /** Exactly representable in binary so the SQL literal is the same
+    * double the engine multiplies with.
+    */
+  private final val LrRate = 32.0
+
+  /** Chained-CTE DuckDB replay of [[graft.ext.LogReg]]'s engine-exact
+    * GD (the bpeLearnCtes pattern): per round a fixed-point z sum, the
+    * rational sigmoid error, a fixed-point gradient, and the
+    * IEEE-ordered update `w − lr·(g/n)`. Dimension-generic (unnest over
+    * range(len(v))).
+    */
+  private def lrCtes(rounds: Int): String = {
+    def fx(v: String) =
+      s"CASE WHEN $v >= 0 THEN CAST(floor(($v)*1e15 + 0.5) AS BIGINT) " +
+        s"ELSE CAST(-floor(-(($v)*1e15) + 0.5) AS BIGINT) END"
+    val rebuild =
+      "(CAST(sum(p >> 24) AS DOUBLE)*16777216.0 " +
+        "+ CAST(sum(p - ((p >> 24) * 16777216)) AS DOUBLE))/1e15"
+    val base =
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+         |t AS (SELECT vec_id, unnest(range(len(v))) AS j, unnest(v) AS x FROM e),
+         |w0 AS (SELECT DISTINCT j, 0.0 AS w FROM t)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT t.vec_id, ${fx("t.x * w.w")} AS p
+         |  FROM t JOIN w${r - 1} w USING (j)),
+         |z$r AS (SELECT vec_id, $rebuild AS z FROM p$r GROUP BY vec_id),
+         |e$r AS (SELECT z.vec_id, 0.5 + 0.5 * z.z / (1 + abs(z.z)) - e.y AS err
+         |  FROM z$r z JOIN e USING (vec_id)),
+         |q$r AS (SELECT t.j, ${fx("er.err * t.x")} AS p
+         |  FROM t JOIN e$r er USING (vec_id)),
+         |g$r AS (SELECT j, $rebuild AS g FROM q$r GROUP BY j),
+         |w$r AS (SELECT w.j, w.w - $LrRate * (g.g / (SELECT n FROM nn)) AS w
+         |  FROM w${r - 1} w JOIN g$r g USING (j))""".stripMargin
+    }
+    (base +: roundCtes).mkString(",\n")
+  }
 
   /** A deterministic full-spread score for the lift / isotonic gates:
     * uniform md5 noise u ∈ [0,1) stretched over [0, 0.7) for bad docs
@@ -315,6 +378,31 @@ object EvalQueries {
       |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_ext_lr_train" ->
+      (lrCtes(LrRounds) +
+        s"\nSELECT CAST(j AS BIGINT) AS j, round(w, 6) AS weight FROM w$LrRounds"),
+
+    "q_ext_lr_eval" ->
+      (lrCtes(LrRounds) +
+        s""",
+           |pf AS (SELECT t.vec_id,
+           |  CASE WHEN t.x * w.w >= 0 THEN CAST(floor((t.x * w.w)*1e15 + 0.5) AS BIGINT)
+           |       ELSE CAST(-floor(-((t.x * w.w)*1e15) + 0.5) AS BIGINT) END AS p
+           |  FROM t JOIN w$LrRounds w USING (j)),
+           |zf AS (SELECT vec_id,
+           |  (CAST(sum(p >> 24) AS DOUBLE)*16777216.0
+           |   + CAST(sum(p - ((p >> 24) * 16777216)) AS DOUBLE))/1e15 AS z
+           |  FROM pf GROUP BY vec_id),
+           |sc AS (SELECT e.y, (0.5 + 0.5 * z.z / (1 + abs(z.z))) >= 0.5 AS pred
+           |  FROM zf z JOIN e USING (vec_id))
+           |SELECT CAST(sum(CASE WHEN pred AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |       CAST(sum(CASE WHEN pred AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |       CAST(sum(CASE WHEN NOT pred AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |       CAST(sum(CASE WHEN NOT pred AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |       round(CAST(sum(CASE WHEN pred = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+           |             / count(*), 6) AS accuracy
+           |FROM sc""".stripMargin),
+
     "q_ext_iv" ->
       """WITH i AS (
         |  SELECT user_id % 2 = 0 AS z,
