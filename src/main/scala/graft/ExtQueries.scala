@@ -117,6 +117,77 @@ object ExtQueries {
        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 3""".stripMargin
   }
 
+  /** DuckDB replay of the PQ stack ([[graft.ext.Pq]]): per subspace a
+    * sliced corpus, sampled centroids, ONE Lloyd step (the
+    * ivfTrainedOracle block re-instantiated per subspace), and the
+    * argmax encode; `withAdc` adds the per-query LUT + DECIMAL-exact
+    * ADC sum + top-k. All constants mirror the engine call sites
+    * (m=4 × 16 dims, % 50 = 7 init, % 25 = 0 queries, sims at 4 dp,
+    * dims at 6 dp, LUT at 6 dp).
+    */
+  private def pqOracle(mSub: Int, subDim: Int, withAdc: Boolean): String = {
+    def cos(a: String, b: String) = s"round(list_cosine_similarity($a, $b), 4)"
+    val subs = (0 until mSub).map { m =>
+      val lo = m * subDim + 1
+      val hi = (m + 1) * subDim
+      s"""sub$m AS (SELECT vec_id AS id, fv[$lo:$hi] AS vec FROM corpfull),
+         |cent${m}_0 AS (SELECT id AS cent_id, vec AS cvec FROM sub$m WHERE id % 50 = 7),
+         |r${m}_0 AS (
+         |  SELECT s.id, s.vec, c.cent_id,
+         |         row_number() OVER (PARTITION BY s.id
+         |           ORDER BY ${cos("s.vec", "c.cvec")} DESC, c.cent_id) AS rk
+         |  FROM sub$m s, cent${m}_0 c),
+         |asg${m}_0 AS (SELECT id, vec, cent_id AS cell FROM r${m}_0 WHERE rk = 1),
+         |dims${m}_0 AS (
+         |  SELECT cell, unnest(vec) AS v, unnest(range(len(vec))) AS dim FROM asg${m}_0),
+         |dm${m}_0 AS (SELECT cell, dim, round(avg(v), 6) AS mv FROM dims${m}_0 GROUP BY 1, 2),
+         |nc${m}_0 AS (SELECT cell, list(mv ORDER BY dim) AS nv FROM dm${m}_0 GROUP BY 1),
+         |cent${m}_1 AS (
+         |  SELECT c.cent_id, COALESCE(n.nv, c.cvec) AS cvec
+         |  FROM cent${m}_0 c LEFT JOIN nc${m}_0 n ON n.cell = c.cent_id),
+         |enc$m AS (
+         |  SELECT id AS vec_id, $m AS sub, cent_id AS code FROM (
+         |    SELECT s.id, c.cent_id,
+         |           row_number() OVER (PARTITION BY s.id
+         |             ORDER BY ${cos("s.vec", "c.cvec")} DESC, c.cent_id) AS rk
+         |    FROM sub$m s, cent${m}_1 c) WHERE rk = 1)""".stripMargin
+    }
+    val encUnion = (0 until mSub).map(m => s"SELECT * FROM enc$m").mkString(" UNION ALL ")
+    val base =
+      s"""WITH corpfull AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+         |""".stripMargin + subs.mkString(",\n")
+    if (!withAdc)
+      base +
+        s"\nSELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM ($encUnion)"
+    else {
+      val luts = (0 until mSub).map { m =>
+        val lo = m * subDim + 1
+        val hi = (m + 1) * subDim
+        s"""q$m AS (SELECT vec_id AS query_id, fv[$lo:$hi] AS qsv
+           |  FROM corpfull WHERE vec_id % 25 = 0),
+           |lut$m AS (
+           |  SELECT q.query_id, $m AS sub, c.cent_id AS code,
+           |         CAST(round(list_inner_product(q.qsv, c.cvec), 6)
+           |           AS DECIMAL(18,6)) AS l
+           |  FROM q$m q, cent${m}_1 c)""".stripMargin
+      }.mkString(",\n")
+      val lutUnion = (0 until mSub).map(m => s"SELECT * FROM lut$m").mkString(" UNION ALL ")
+      base + ",\n" + luts + ",\n" +
+        s"""codes AS ($encUnion),
+           |luts AS ($lutUnion),
+           |est AS (
+           |  SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.l) AS est
+           |  FROM codes c JOIN luts l ON l.sub = c.sub AND l.code = c.code
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY est DESC, neighbor_id) AS rank FROM est)
+           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           |       round(CAST(est AS DOUBLE), 6) AS est_sim
+           |FROM rk WHERE rank <= 10""".stripMargin
+    }
+  }
+
   // ---- DuckDB expression builders mirroring TextStats ------------------
 
   /** DuckDB: whitespace-normalized, space-padded text. */
@@ -575,6 +646,44 @@ object ExtQueries {
           corpus = emb,
           centroids = trained,
           k = 3, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Product quantization, training + encode: per-subspace codebooks
+    // (4 × 16 dims, one bounded Lloyd step over the PINNED base-replica
+    // sample — the KeyShift idiom keeps the codebook fixed-size under
+    // scale replication) and each vector's 4 codes. 4 bytes/vector vs
+    // 256 of float32 — the compression rung below int8 that makes a
+    // billion-vector index fit a cluster. Oracle replays slicing,
+    // Lloyd, and argmax assignment per subspace.
+    "q_ext_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cb = Pq.trainCodebooks(emb, "id", "vec", mSub = 4, subDim = 16,
+        centFilter = col("id") % 50 === 7 &&
+          col("id") < graft.io.ScaleReplicate.KeyShift,
+        iters = 1)
+      Pq.encode(emb, "id", "vec", cb, mSub = 4, subDim = 16)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+    }),
+
+    // PQ asymmetric-distance top-k: exact query, candidates scored by
+    // the DECIMAL-exact sum of per-subspace LUT dot products (dot
+    // decomposes exactly over subspaces). Query set pinned to the base
+    // replica; the ADC scan is codes ⋈ broadcast LUT — linear in
+    // corpus, the 100 TB read path of a PQ index. Oracle replays
+    // training, encoding, LUT, and ranking end-to-end.
+    "q_ext_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cb = Pq.trainCodebooks(emb, "id", "vec", mSub = 4, subDim = 16,
+        centFilter = col("id") % 50 === 7 &&
+          col("id") < graft.io.ScaleReplicate.KeyShift,
+        iters = 1)
+      val codes = Pq.encode(emb, "id", "vec", cb, mSub = 4, subDim = 16)
+      val queries = emb.filter(col("id") % 25 === 0 &&
+        col("id") < graft.io.ScaleReplicate.KeyShift)
+      Pq.adcTopK(queries, codes, cb, k = 10, mSub = 4, subDim = 16)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -2779,6 +2888,11 @@ object ExtQueries {
     // against the refined centroids.
     "q_ext_ann_ivf_trained" -> ivfTrainedOracle(iters = 1),
     "q_ext_ann_ivf_trained3" -> ivfTrainedOracle(iters = 3),
+
+    // PQ: the whole stack (slice → Lloyd → encode [→ LUT → ADC top-k])
+    // re-derived in SQL, per subspace.
+    "q_ext_pq_encode" -> pqOracle(mSub = 4, subDim = 16, withAdc = false),
+    "q_ext_pq_topk" -> pqOracle(mSub = 4, subDim = 16, withAdc = true),
 
     "q_ext_bpe_tokens" ->
       """SELECT doc_id,
