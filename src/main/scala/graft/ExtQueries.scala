@@ -1212,8 +1212,19 @@ object ExtQueries {
         .agg(round(avg(col("value")), 6).as("v"))
       val w = Window.partitionBy("event_type").orderBy("sec")
         .rangeBetween(-1800L, Window.currentRow)
+      // gate the SUFFICIENT STATISTICS (exact decimal windowed sum +
+      // count), not the mean. Two float traps, both measured at sf0.1
+      // by the round-6 SF sweep: (a) avg over a sliding range frame —
+      // Spark maintains the frame by adding AND REMOVING rows (one
+      // float subtraction per slide) while DuckDB recomputes, so long
+      // windows diverge in the 6th dp; (b) even sum/count with an exact
+      // decimal sum lands on .xxxxxx5 quotients, where Spark's
+      // shortest-string HALF_UP and DuckDB's scaled-binary round
+      // disagree. The decimal sum has neither problem; the mean is
+      // sum/n for any consumer.
       e.select(col("event_type"), col("sec"),
-        round(avg(col("v")).over(w), 6).as("trail30m"),
+        sum(col("v").cast("decimal(18,6)")).over(w).cast("double")
+          .as("trail30m_sum"),
         count(lit(1)).over(w).cast("long").as("n_in_range"))
     }),
 
@@ -3552,8 +3563,10 @@ object ExtQueries {
         |         round(avg(value), 6) AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type, sec,
-        |       round(avg(v) OVER (PARTITION BY event_type ORDER BY sec
-        |         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW), 6) AS trail30m,
+        |       CAST(sum(CAST(v AS DECIMAL(18,6))) OVER (
+        |           PARTITION BY event_type ORDER BY sec
+        |           RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trail30m_sum,
         |       count(*) OVER (PARTITION BY event_type ORDER BY sec
         |         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS n_in_range
         |FROM s""".stripMargin,
@@ -3642,7 +3655,9 @@ object ExtQueries {
         |         round(n_db * ln(((ct + 1.0) * (tot_r + 4096.0))
         |                         / ((cr + 1.0) * (tot_t + 4096.0))), 7) AS c
         |  FROM perdoc JOIN stats USING (bucket), tot)
-        |SELECT doc_id, round(sum(c), 4) AS dsir_score
+        |SELECT doc_id,
+        |       CAST(round(sum(CAST(c AS DECIMAL(28,7))), 4) AS DOUBLE)
+        |         AS dsir_score
         |FROM contrib GROUP BY 1""".stripMargin,
 
     "q_ext_shards" -> {

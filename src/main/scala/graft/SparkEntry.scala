@@ -481,6 +481,7 @@ object SparkEntry {
         .select(col("flag"), col("qty").cast("double").as("qty"), col("n"))
     }),
 
+
     // S2+A1 end-to-end through the REAL csv_expert parse path: commented
     // preamble (300 '#' lines — exercises sniffHeader's widening probe),
     // `;`-separated, corrupt lines, a 15-min outage; sniff header → comment
@@ -681,6 +682,74 @@ object SparkEntry {
           saltFrom = col("l_linenumber"), saltBuckets = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Macro multi-way join, the TPC-H Q3 shape (shipping priority):
+    // selective dim filter broadcast onto the fact-fact join, one keyed
+    // shuffle (lineitem ⋈ orders on orderkey), grouped revenue with
+    // per-row 2-dp decimal rounding so aggregation order can't move the
+    // gate, deterministic top-10 via TakeOrderedAndProject (no global
+    // sort shuffle).
+    "q_x8_tpch_q3" -> ((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          // 2-dp price x 2-dp (1-discount) is EXACTLY a 4-dp decimal:
+          // rounding at 4 recovers it with zero tie risk (a 2-dp round
+          // hits .xx5 ties, where Spark's shortest-string HALF_UP and
+          // DuckDB's scaled-binary round disagree — measured at sf0.1)
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast("decimal(18,4)").as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("drev"))
+        .select(col("l_orderkey"),
+          TimeOps.epochSeconds(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority").as("priority"),
+          col("drev").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Macro 6-table join, the TPC-H Q5 shape (local-supplier revenue by
+    // nation): region → nation → customer/supplier all broadcast; the
+    // only data-bearing shuffle is lineitem ⋈ orders; the same-nation
+    // predicate rides the broadcast supplier join.
+    "q_x9_tpch_q5" -> ((s, dir) => {
+      val asiaN = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = t(s, dir, "customer")
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          // 2-dp price x 2-dp (1-discount) is EXACTLY a 4-dp decimal:
+          // rounding at 4 recovers it with zero tie risk (a 2-dp round
+          // hits .xx5 ties, where Spark's shortest-string HALF_UP and
+          // DuckDB's scaled-binary round disagree — measured at sf0.1)
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast("decimal(18,4)").as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("drev"), count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("drev").cast("double").as("revenue"),
+          col("n_items"))
     }),
 
     // §2.4 sketch path: approx_percentile (mergeable quantile sketch —
@@ -1707,6 +1776,42 @@ object SparkEntry {
          |FROM read_csv('$glob', header=true, all_varchar=true)""".stripMargin
     },
 
+    // TPC-H Q3/Q5 shapes: revenue terms round at 2 dp per ROW before the
+    // decimal sum in both engines, so float aggregation order is out of
+    // the contract entirely.
+    "q_x8_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_date,
+        |       o_orderpriority AS priority,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+        |         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_x9_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+        |         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+
     "q_s2_cams_scan" -> {
       import graft.io.VerifyFixtures.{camsPath, camsPreambleLines}
       s"""WITH raw AS (
@@ -2068,10 +2173,15 @@ object SparkEntry {
     "q_st5_stream_file_sink" ->
       "SELECT doc_id, substring(md5(text), 1, 16) AS fp FROM documents",
 
-    // Native session_window == batch gap-sessionization (new session
-    // exactly when the gap reaches the 30-min window: session_window's
-    // interval is [start, last + gap), so an event AT prev + gap opens
-    // a new session -> the batch spelling is `diff >= 1800`).
+    // Native session_window == batch gap-sessionization. The boundary
+    // rule, measured not assumed: Spark merges sessions whose intervals
+    // TOUCH (next.start <= current.end, inclusive — MergingSessions
+    // semantics), so an event at EXACTLY prev + gap stays in the SAME
+    // session and the batch spelling is `diff > 1800`, not `>=`. The
+    // `>=` spelling survived four rounds because no exact-1800 s pair
+    // existed below sf0.1 (user 511's pair there is the witness) —
+    // the q_st11 class again: distribution-dependent oracle bugs are
+    // invisible at a single SF; the 3-SF sweep is the defense.
     // The streaming near-dup ingest's single-batch run must equal the
     // one-shot batch pipeline; the in-plan comparison collapses to
     // these pinned booleans (sketch values are not SQL-expressible).
@@ -2087,7 +2197,7 @@ object SparkEntry {
         |m AS (
         |  SELECT user_id, sec,
         |         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
-        |                   >= 1800
+        |                   > 1800
         |              THEN 1 ELSE 0 END AS brk
         |  FROM e),
         |s AS (

@@ -205,7 +205,16 @@ object Sampling {
         ((col("ct") + 1.0) * (col("tot_r") + b)) /
           ((col("cr") + 1.0) * (col("tot_t") + b))), 7))
       .groupBy("id")
-      .agg(round(sum("c"), 4).as("dsir_score"))
+      // DECIMAL sum of the 7-dp terms, ROUNDED IN DECIMAL: a double sum
+      // re-orders under partial aggregation, and rounding the sum after
+      // a double cast re-introduces tie divergence (Spark rounds the
+      // shortest decimal string HALF_UP, DuckDB rounds the scaled
+      // binary — they disagree exactly on .xxxx5 sums; both measured at
+      // sf0.1 by the round-6 SF sweep). Decimal sum + decimal round are
+      // exact and tie-consistent (both round half away from zero on the
+      // exact value); only then cast to double.
+      .agg(round(sum(col("c").cast("decimal(28,7)")), 4).cast("double")
+        .as("dsir_score"))
   }
 
   /** Per-stratum exact-k deterministic sample: within every stratum,
