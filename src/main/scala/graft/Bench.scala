@@ -38,6 +38,22 @@ object Bench {
     System.gc()
   }
 
+  /** Residue-conditional fence: full-bench wall-time accounting showed
+    * the unconditional per-run `System.gc()` costing minutes across
+    * ~600 measured runs, and the residue it defends against (round 3's
+    * GC-storm mechanism) is only ever CREATED by heavy runs — a
+    * sub-second query leaves nothing behind worth a full GC. So runs
+    * set the flag when they were heavy (or threw), and the fence fires
+    * only while the flag is up.
+    */
+  private var residue = true // first query follows warmup — fence it
+
+  private def fenceIfResidue(): Unit =
+    if (residue) { dropResidue(); residue = false }
+
+  private def noteRun(seconds: Double): Unit =
+    if (seconds < 0 || seconds >= 1.0) residue = true
+
   /** Adaptive iteration policy (round-6 wall-time budget).
     *
     * Median-of-3 exists to defend SHORT queries, where a 0.3 s GC/JIT
@@ -62,10 +78,12 @@ object Bench {
       spark: SparkSession, dir: String,
       cheapIters: Int, expensiveIters: Int): Double = {
     def once(): Option[Double] = {
-      dropResidue()
+      fenceIfResidue()
       val t0 = System.nanoTime()
-      try { runOnce(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      val r = try { runOnce(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      noteRun(r.getOrElse(-1.0))
+      r
     }
     once() match {
       case None => -1.0

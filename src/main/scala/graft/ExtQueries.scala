@@ -288,7 +288,7 @@ object ExtQueries {
     "q_ext_dedup_jaccard_pruned" -> ((s, dir) =>
       Dedup.wordJaccardPairs(
           Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.02,
-          maxDocFreq = 0.1)
+          maxDocFreq = 0.1, maxPosting = 500)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // MinHash+LSH candidate pairs, exact-verified (no oracle: xxhash64).
@@ -686,6 +686,25 @@ object ExtQueries {
       Pq.adcTopK(queries, codes, cb, k = 10, mSub = 4, subDim = 16)
         .withColumn("rank", col("rank").cast("long"))
     }),
+
+    // Overlapping token-window chunking (RAG/index prep): 40-token
+    // windows, stride 30 — row-local array expressions only, zero
+    // shuffle, stays inside the scan's codegen stage. Oracle re-derives
+    // every window boundary and fingerprint.
+    "q_ext_chunking" -> ((s, dir) =>
+      Chunking.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+          col("start_tok").cast("long").as("start_tok"),
+          col("n_tok").cast("long").as("n_tok"), col("chunk_fp"))),
+
+    // The chunking storage budget per document (overlap factor =
+    // chunked_tokens / doc tokens — what the corpus build pays).
+    "q_ext_chunk_budget" -> ((s, dir) =>
+      Chunking.chunkBudget(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .select(col("doc_id"), col("n_chunks"),
+          col("chunked_tokens").cast("long").as("chunked_tokens"))),
 
     // Token budgeting: whitespace tokens vs BPE-ish pretokenizer pieces.
     "q_ext_bpe_tokens" -> ((s, dir) =>
@@ -2693,7 +2712,11 @@ object ExtQueries {
         |nd AS (SELECT count(DISTINCT id) AS n FROM words),
         |hot AS (SELECT w FROM words GROUP BY w
         |        HAVING count(*) > (SELECT n * 0.1 FROM nd)),
-        |idx AS (SELECT * FROM words WHERE w NOT IN (SELECT w FROM hot)),
+        |idx0 AS (SELECT * FROM words WHERE w NOT IN (SELECT w FROM hot)),
+        |idx AS (
+        |  SELECT id, w FROM (
+        |    SELECT id, w, row_number() OVER (PARTITION BY w ORDER BY id) AS pr
+        |    FROM idx0) WHERE pr <= 500),
         |inter AS (
         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
         |  FROM idx a JOIN idx b ON a.w = b.w AND a.id < b.id
@@ -2904,6 +2927,34 @@ object ExtQueries {
     // re-derived in SQL, per subspace.
     "q_ext_pq_encode" -> pqOracle(mSub = 4, subDim = 16, withAdc = false),
     "q_ext_pq_topk" -> pqOracle(mSub = 4, subDim = 16, withAdc = true),
+
+    // chunk_ix = start/stride exactly because starts are the stride's
+    // multiples; slice clamps at the document end in both engines.
+    "q_ext_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk, unnest(range(0, len(tk), 30)) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(start_tok // 30 AS BIGINT) AS chunk_ix,
+        |       CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(least(len(tk) - start_tok, 40) AS BIGINT) AS n_tok,
+        |       substring(md5(array_to_string(
+        |         tk[start_tok + 1 : start_tok + 40], ' ')), 1, 16) AS chunk_fp
+        |FROM st""".stripMargin,
+
+    "q_ext_chunk_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, tk, unnest(range(0, len(tk), 30)) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(least(len(tk) - start_tok, 40)) AS BIGINT)
+        |         AS chunked_tokens
+        |FROM st GROUP BY 1""".stripMargin,
 
     "q_ext_bpe_tokens" ->
       """SELECT doc_id,

@@ -189,11 +189,11 @@ object Dedup {
 
   def wordJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
-      maxDocFreq: Double = 1.0): DataFrame = {
+      maxDocFreq: Double = 1.0, maxPosting: Int = Int.MaxValue): DataFrame = {
     val allWords = df
       .select(col(idCol).as("id"), explode(array_distinct(TextStats.tokens(col(textCol)))).as("w"))
     val sizes = allWords.groupBy("id").agg(count(lit(1)).as("sz"))
-    val words =
+    val pruned =
       if (maxDocFreq >= 1.0) allWords
       else {
         // Doc count computed in the same plan (scalar aggregate broadcast
@@ -205,6 +205,24 @@ object Dedup {
           .filter(col("df_w") > col("n_docs") * maxDocFreq)
           .select("w")
         allWords.join(broadcast(hot), Seq("w"), "left_anti")
+      }
+    val words =
+      if (maxPosting == Int.MaxValue) pruned
+      else {
+        // ABSOLUTE per-token posting cap (the capBuckets analogue for
+        // the inverted index): keep each token's maxPosting smallest
+        // doc ids. A RELATIVE df guard alone is not a scale bound —
+        // under 10× replication a surviving posting list grows 10× on
+        // BOTH join sides and pair work goes 100× (measured: the
+        // pruned-jaccard scaled ratio hit 57.7× before this cap).
+        // Deterministic (id order), recall-degrading never
+        // wall-time-degrading, and sized to be a no-op at every gate
+        // SF (df ≤ maxDocFreq·n ≤ maxPosting there).
+        val wCap = org.apache.spark.sql.expressions.Window
+          .partitionBy("w").orderBy("id")
+        pruned.withColumn("__pr", row_number().over(wCap))
+          .filter(col("__pr") <= maxPosting)
+          .drop("__pr")
       }
     val inter = words.as("a")
       .join(words.as("b"), col("a.w") === col("b.w") && col("a.id") < col("b.id"))
