@@ -235,20 +235,20 @@ class PlanBudgetSpec extends SparkTestBase {
         "the other exchanges move the |days|-sized directory through " +
         "PrefixSum's chunk/block machinery — bounded by the date range, " +
         "not the data"),
-    ("q_x8_tpch_q3", 2,
-      "lineitem ⋈ orders exchanges only: the customer filter broadcasts, " +
-        "the grouped revenue reuses the join's orderkey partitioning " +
-        "(group keys are a superset), top-10 is TakeOrderedAndProject"),
-    ("q_x9_tpch_q5", 3,
-      "lineitem ⋈ orders exchanges + the n_name regroup; region/nation/" +
-        "customer/supplier all broadcast — six tables, one data-bearing join"),
+    ("q_x8_tpch_q3", 1,
+      "at the pin's SF the filtered orders side is under the broadcast " +
+        "threshold, so the fact join is a BHJ and the ONE exchange is the " +
+        "grouped revenue; top-10 is TakeOrderedAndProject (at cluster scale " +
+        "the same plan degrades gracefully to an SMJ's two exchanges)"),
+    ("q_x9_tpch_q5", 1,
+      "region/nation/customer/supplier AND the date-filtered orders all " +
+        "broadcast — six tables, one n_name regroup exchange"),
     ("q_ext_chunking", 0,
       "row-local array expressions — scan to output, no exchange at all"),
-    ("q_ext_dedup_jaccard_pruned", 8,
-      "data-bearing: postings explode agg sides + the capped-index " +
-        "self-join + pair agg + two size joins; hot-token and doc-count " +
-        "frames broadcast; the posting-cap window rides the postings " +
-        "exchange"))
+    ("q_ext_dedup_jaccard_pruned", 6,
+      "data-bearing: postings agg, capped-index self-join sides, pair agg, " +
+        "two size joins; hot-token and doc-count frames broadcast; the " +
+        "posting-cap window rides the postings exchange"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {
