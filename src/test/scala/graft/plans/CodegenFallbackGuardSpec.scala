@@ -20,12 +20,19 @@ class CodegenFallbackGuardSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // the wide-filter flagships that have overflowed (or nearly) before
+  // the wide-filter flagships that have overflowed (or nearly) before,
+  // plus the widest composed projections and the new macro joins
   private val flagships = Seq(
     "q_pipe_corpus_build",
     "q_ext_clean_report",
     "q_ext_c4_rules",
-    "q_ext_langid_confusion")
+    "q_ext_langid_confusion",
+    "q_ext_text_stats",
+    "q_ext_dsir",
+    "q_ext_chunking",
+    "q_x8_tpch_q3",
+    "q_x9_tpch_q5",
+    "q_ext_pq_encode")
 
   flagships.foreach { name =>
     test(s"$name executes with codegen fallback disabled") {
