@@ -232,12 +232,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
     // Engine extension: full CUBE grouping sets — all four
-    // (returnflag × linestatus) marginal combinations in one Expand
-    // pass (the rollup's lattice-complete twin).
-    "q_x3_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+    // (returnflag × linestatus) marginal combinations (the rollup's
+    // lattice-complete twin). Pre-aggregated to the (flag, status) base
+    // cells FIRST — one partially-aggregated data shuffle — then the
+    // CUBE lattice expands the ~6-ROW cell table, not the fact table:
+    // the naive `.cube` Expand×4 quadruples the pre-shuffle row stream
+    // and went 12.4× at 10× on the r6 driver box (spill); the lattice
+    // over additive partials (counts sum; exact decimal sums sum) is
+    // immune at any scale.
+    "q_x3_cube" -> ((s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("decimal(28,2)")).as("__q"))
+      cells.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__n")).as("n"),
+          sum(col("__q")).cast("double").as("sum_qty"))
+    }),
 
     // Engine extension (§2.3 note): as-of join — each click event picks
     // up the most recent prior per-second view average of the same user.
@@ -1326,8 +1337,10 @@ object SparkEntry {
       val q = kept.writeStream.format("memory").queryName("g_st19")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // BIGINT key sum (not DECIMAL(38,0)): decimal cells hash-rendered
+      // engine-differently at the driver while value-exact locally (r6)
       s.table("g_st19").agg(count(lit(1)).as("n_kept"),
-        sum(col("doc_id").cast("decimal(38,0)")).as("key_sum"))
+        sum(col("doc_id")).as("key_sum"))
     }),
 
     // §2.10 driver-gated MULTI-BATCH near-dup ORDER semantics — the one
@@ -2021,7 +2034,7 @@ object SparkEntry {
     // streamed tombstone filter equals the batch anti-join
     "q_st19_stream_tombstone" ->
       """SELECT count(*) AS n_kept,
-        |       CAST(sum(doc_id) AS DECIMAL(38,0)) AS key_sum
+        |       CAST(sum(doc_id) AS BIGINT) AS key_sum
         |FROM documents WHERE doc_id % 37 <> 0""".stripMargin,
 
     // Multi-batch near-dup ingest over the disjoint-vocabulary duplicate

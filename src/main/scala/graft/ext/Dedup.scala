@@ -187,6 +187,27 @@ object Dedup {
       .drop("__text_a", "__text_b")
   }
 
+  /** Per-doc candidate cap for an expensive verify tier: keep each
+    * id_b's top-`j` candidate partners by (jaccard DESC, id_a ASC).
+    * Capping on the HIGHER-id side preserves the dedup decision that
+    * matters — "is this doc a near-copy of something earlier" — while
+    * bounding the verify work per doc at j, so a duplicate class of m
+    * docs costs O(m·j) distance calls instead of O(m²) (measured at
+    * sf0.1: max per-doc degree 292, 28.8k pairs → ≤ j per doc). The
+    * jaccard is computed identically by the oracle (same IEEE division
+    * of exact integer counts), so the rank order — ties broken on
+    * id_a — is engine-stable. Spelled as the row_number window the
+    * TopKPerKey rewrite turns into bounded per-key heaps.
+    */
+  def capCandidatesPerDoc(pairs: DataFrame, j: Int): DataFrame = {
+    require(j >= 1, s"candidate cap must be >= 1, got $j")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_b").orderBy(col("jaccard").desc, col("id_a"))
+    pairs.withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= j)
+      .drop("__cr")
+  }
+
   def wordJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       maxDocFreq: Double = 1.0, maxPosting: Int = Int.MaxValue): DataFrame = {

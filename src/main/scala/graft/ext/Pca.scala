@@ -72,11 +72,14 @@ object Pca {
         sum(lo(col("__pj"))).as("__lj"),
         count(lit(1)).as("__n"))
       .select(col("i"), col("j"),
-        round(
+        // + 0.0 normalizes IEEE signed zero: a hash-level compare must
+        // never see -0.0 vs 0.0 on a value-equal cell (the oracle side
+        // normalizes identically)
+        (round(
           rebuild(col("__hij"), col("__lij")) / col("__n")
             - (rebuild(col("__hi"), col("__li")) / col("__n"))
             * (rebuild(col("__hj"), col("__lj")) / col("__n")),
-          scale).as("cov"))
+          scale) + lit(0.0)).as("cov"))
   }
 
   /** Top-`k` principal components of a symmetric matrix via

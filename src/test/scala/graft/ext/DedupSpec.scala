@@ -128,6 +128,20 @@ class DedupSpec extends SparkTestBase {
     assert(got === Map((1L, 2L) -> 1)) // (1,3) exceeds the threshold
   }
 
+  test("capCandidatesPerDoc keeps each id_b's top-j by (jaccard desc, id_a)") {
+    val pairs = Seq(
+      (1L, 9L, 0.85), (2L, 9L, 0.95), (3L, 9L, 0.95), (4L, 9L, 0.80),
+      (1L, 8L, 0.90)
+    ).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.capCandidatesPerDoc(pairs, j = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 9 keeps its two best partners — the 0.95s, tie broken toward
+    // the LOWER id_a (2 then 3); 0.85 and 0.80 are cut. doc 8 is under
+    // the cap and untouched.
+    assert(got === Set((2L, 9L), (3L, 9L), (1L, 8L)))
+  }
+
   test("ngramContamination counts distinct shared n-grams, clean docs absent") {
     val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val test = Seq(

@@ -171,8 +171,11 @@ class SimilaritySpec extends SparkTestBase {
     val cents = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
     val got = Similarity.semDeDup(
       emb, "vec_id", "embedding", cents, tau = 0.99, capPerCell = 2)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    // kept, scanned: id 3 is kept ONLY because the cap exempted it, and
+    // the honest marker says so (scanned=false); scanned rows say true.
+    assert(got === Map(
+      1L -> ((true, true)), 2L -> ((false, true)), 3L -> ((true, false))))
   }
 
   test("mipsTopK ranks by inner product, not cosine") {

@@ -26,6 +26,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def negzero_cells(df: pd.DataFrame) -> list:
+    """(-0.0) cells — banned fleet-wide: value-equality (this script,
+    pandas, python float ==) treats -0.0 == 0.0 but the driver's HASH
+    compare renders the sign, so a query that is 'exact' here can be
+    hash-red at the driver (the round-4/round-6 q_ext_covariance bug:
+    DuckDB's C-style round() keeps the sign on round(-1e-7, 6) while
+    Spark's BigDecimal HALF_UP round never emits -0.0). Emitting
+    queries must normalize with `+ 0.0` on BOTH sides.
+    """
+    import numpy as np
+    bad = []
+    for c in df.columns:
+        arr = df[c].to_numpy()
+        if arr.dtype.kind != "f":
+            continue
+        hits = np.flatnonzero((arr == 0.0) & np.signbit(arr))
+        for i in hits[:3]:
+            bad.append((c, int(i)))
+    return bad
+
+
 def cell_eq(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -84,6 +105,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL  {name}: rows {len(got)} != {len(want)}")
+            n_bad += 1
+            continue
+        nz_got, nz_want = negzero_cells(got), negzero_cells(want)
+        if nz_got or nz_want:
+            print(f"FAIL  {name}: -0.0 emitted (driver hash hazard) "
+                  f"spark={nz_got} oracle={nz_want} — normalize with + 0.0")
             n_bad += 1
             continue
         exact = got.equals(want)
