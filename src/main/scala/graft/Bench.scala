@@ -116,7 +116,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val (scaled, scaledResults) = scaledBlock(spark, sfDir)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaled}"""
+    // record the per-query timing policy in the artifact so cross-round
+    // totals aren't silently compared across methodologies (round 6
+    // switched long queries from median-of-3 to min-of-<=2)
+    val timing = s""""timing":"min>=${LongQueryS}s/median<${LongQueryS}s""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$timing,"queries":$qs,"sf":"$sfDir"$scaled}"""
     // The driver preserves only a ~2 KB TAIL of stdout, and the full
     // line is ~11 KB — in rounds 1–5 the capture truncated it from the
     // front and every parse came back null. So stdout gets a COMPACT
@@ -131,7 +135,8 @@ object Bench {
     val ratios = worstRatios(results.toMap, scaledResults)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     val compact = s"""{"metric":"total","value":${math.rint(total * 10) / 10},""" +
-      s""""unit":"sec","n_queries":${results.size},"n_failed":${failures.size},""" +
+      s""""unit":"sec",$timing,""" +
+      s""""n_queries":${results.size},"n_failed":${failures.size},""" +
       s""""queries":$compactQs,"sf":"$sfDir"$ratios,"full":"$out"}"""
     println(compact)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

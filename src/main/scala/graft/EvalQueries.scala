@@ -380,7 +380,11 @@ object EvalQueries {
   def oracleSql: Map[String, String] = Map(
     "q_ext_lr_train" ->
       (lrCtes(LrRounds) +
-        s"\nSELECT CAST(j AS BIGINT) AS j, round(w, 6) AS weight FROM w$LrRounds"),
+        // decimal-pinned rounding, mirroring LogReg.train: double round
+        // tie rules differ between engines on exact .xxxxxx5 weights
+        s"\nSELECT CAST(j AS BIGINT) AS j, " +
+        s"CAST(round(CAST(w AS DECIMAL(28,15)), 6) AS DOUBLE) AS weight " +
+        s"FROM w$LrRounds"),
 
     "q_ext_lr_eval" ->
       (lrCtes(LrRounds) +

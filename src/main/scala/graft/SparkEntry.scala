@@ -1789,8 +1789,9 @@ object SparkEntry {
          |FROM read_csv('$glob', header=true, all_varchar=true)""".stripMargin
     },
 
-    // TPC-H Q3/Q5 shapes: revenue terms round at 2 dp per ROW before the
-    // decimal sum in both engines, so float aggregation order is out of
+    // TPC-H Q3/Q5 shapes: revenue terms round at 4 dp per ROW before the
+    // decimal sum in both engines (2 dp would sit on the price×discount
+    // product's own tie boundary), so float aggregation order is out of
     // the contract entirely.
     "q_x8_tpch_q3" ->
       """SELECT l_orderkey,

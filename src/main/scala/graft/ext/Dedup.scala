@@ -444,7 +444,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, name: String,
       shingleN: Int = 3, perms: Int = 64, bands: Int = 16,
       buckets: Int = 8, maxBucket: Int = 256): Unit = {
-    if (!df.sparkSession.catalog.tableExists(s"${name}_bands"))
+    // BOTH halves must exist to skip the rebuild: a write that died
+    // between the two saveAsTable calls leaves bands without sigs, and
+    // treating that half-store as complete would fail every later
+    // probe in the session instead of repairing it here.
+    val cat = df.sparkSession.catalog
+    if (!cat.tableExists(s"${name}_bands") || !cat.tableExists(s"${name}_sigs"))
       writeMinHashStore(df, idCol, textCol, name, shingleN, perms, bands,
         buckets, maxBucket)
   }

@@ -33,8 +33,13 @@ object FixedPoint {
       .otherwise(-floor(-(c * 1e15) + lit(0.5))).cast("long")
 
   /** High 24-bit half of a fixed-point long: arithmetic shift right IS
-    * floor division by 2^24, including for negatives — one native op,
-    * and DuckDB's `>>` agrees.
+    * floor division by 2^24, including for negatives — one native op.
+    * Oracles must NOT mirror this with `>>`: shift semantics on
+    * negative BIGINTs are a cross-version DuckDB hazard — spell the
+    * floor division over positive operands instead
+    * (`CASE WHEN p >= 0 THEN p // 2^24 ELSE -((-p + 2^24-1) // 2^24) END`,
+    * the q_ext_covariance oracle's form), and `q_ext_oracle_canary`
+    * pins the driver environment's `>>` behavior in its own ledger row.
     */
   def hi(p: Column): Column = shiftright(p, 24)
 

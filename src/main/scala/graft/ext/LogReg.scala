@@ -96,10 +96,14 @@ object LogReg {
     import spark.implicits._
     trainWeights(df, idCol, vecCol, labelCol, posLabel, rounds, lr)
       .toSeq.zipWithIndex.map { case (wj, j) => (j, wj) }.toDF("j", "w")
-      // round through the ENGINE's round (HALF_UP), the same tie rule
-      // DuckDB's round applies — a driver-side math.rint would be
-      // half-to-even and diverge on exact 5e-7 ties
-      .select(col("j").cast("long").as("j"), round(col("w"), 6).as("weight"))
+      // round through DECIMAL on both sides (the dsir idiom): Spark's
+      // double round goes through the shortest decimal string (HALF_UP
+      // on that), DuckDB's rounds the scaled binary — a weight landing
+      // on an exact .xxxxxx5 tie would diverge. decimal(28,15) pins the
+      // value first; the 6-dp round is then pure decimal HALF_UP in
+      // both engines.
+      .select(col("j").cast("long").as("j"),
+        round(col("w").cast("decimal(28,15)"), 6).cast("double").as("weight"))
   }
 
   /** Score every row under externally supplied weights and report the

@@ -248,7 +248,25 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_ext_dedup_jaccard_pruned", 6,
       "data-bearing: postings agg, capped-index self-join sides, pair agg, " +
         "two size joins; hot-token and doc-count frames broadcast; the " +
-        "posting-cap window rides the postings exchange"))
+        "posting-cap window rides the postings exchange"),
+    ("q_ext_semdedup", 5,
+      "centroids broadcast; ONE min(struct) argmin exchange (one row per " +
+        "vector, never vec × cells), the cell-rank window, the dup " +
+        "distinct and the kept-join sides — a sixth means assignment " +
+        "stopped folding map-side"),
+    ("q_ext_ann_ivf", 3,
+      "centroids and probes broadcast; the inverted-file top-1 exchange " +
+        "(bounded heap, one row per vector), the scan's cell join side, " +
+        "and the final per-query top-k partial/final pair"),
+    ("q_ext_editdist", 4,
+      "inverted-index pair agg + two size joins ride the candidate side; " +
+        "the per-doc cap window reuses a pair exchange; the hash-key " +
+        "repartition before the distance map is deliberate (AQE must not " +
+        "serialize the CPU-bound levenshtein pass)"),
+    ("q_x3_cube", 2,
+      "ONE partially-aggregated data shuffle to the (flag, status) base " +
+        "cells + the CUBE lattice over ~6 rows — Expand multiplies the " +
+        "cell table, never the fact table"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

@@ -20,6 +20,15 @@ class CodegenFallbackGuardSpec extends SparkTestBase {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  // span inspection runs on a non-adaptive plan: under AQE the
+  // WholeStageCodegen collapse happens per stage at materialization,
+  // so an un-executed adaptive plan exposes no spans to collect
+  private lazy val noAqe = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
   // the wide-filter flagships that have overflowed (or nearly) before,
   // plus the widest composed projections and the new macro joins
   private val flagships = Seq(
@@ -41,6 +50,26 @@ class CodegenFallbackGuardSpec extends SparkTestBase {
       try {
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         assert(n > 0)
+        // fallback=false only catches janino COMPILE failures; the
+        // hugeMethodLimit bailout (a compiled method > 65535 bytes)
+        // silently re-executes interpreted without consulting that
+        // flag. Compile every whole-stage span's generated code and
+        // pin the max method size under the bailout threshold — and
+        // require the plan to HAVE codegen spans at all, so a plan
+        // that silently lost whole-stage codegen also fails here.
+        import org.apache.spark.sql.execution.debug._
+        val plan = SparkEntry.queries(name)(noAqe, sfDir)
+          .queryExecution.executedPlan
+        val spans = codegenStringSeq(plan)
+        assert(spans.nonEmpty, s"$name lost all WholeStageCodegen spans")
+        val hugeLimit = spark.conf
+          .get("spark.sql.codegen.hugeMethodLimit", "65535").toInt
+        spans.foreach { case (subtree, _, stats) =>
+          assert(stats.maxMethodCodeSize < hugeLimit,
+            s"$name: a generated method hit ${stats.maxMethodCodeSize} B " +
+              s">= hugeMethodLimit $hugeLimit — Spark would silently drop " +
+              s"the stage to interpreted execution. Subtree:\n$subtree")
+        }
       } finally {
         prev match {
           case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
