@@ -1023,6 +1023,51 @@ object ExtQueries {
         col("doc_id"), TextStats.redactPii(dirty).as("clean"))
     }),
 
+    // Structured-record linkage (Fellegi–Sunter shape): the corpus has
+    // no dirty metadata, so the query PLANTS two duplicate classes —
+    // full dups (balance nudged a cent) and partial dups (first name
+    // char corrupted, balance far) — then blocks on (nation, phone
+    // prefix), scores field agreements with integer weights, and
+    // classifies match / possible. The oracle replants and rescores
+    // identically; every weight and both thresholds are part of the
+    // contract.
+    "q_ext_record_linkage" -> ((s, dir) => {
+      val phone = concat(
+        lpad(pmod(col("rid"), lit(997)).cast("string"), 4, "0"), lit("-"),
+        lpad(pmod(col("rid"), lit(10000)).cast("string"), 4, "0"))
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("rid"), col("c_name").as("name"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+        .withColumn("phone", phone)
+      val dup1 = base.filter(col("rid") % 13 === 0)
+        .select((col("rid") + 50000000L).as("rid"), col("name"), col("nation"),
+          (col("bal") + 0.01).as("bal"), col("seg"), col("phone"))
+      val dup2 = base.filter(col("rid") % 29 === 3)
+        .select((col("rid") + 90000000L).as("rid"),
+          concat(lit("X"), substring(col("name"), 2, 1000)).as("name"),
+          col("nation"), (col("bal") + 5.0).as("bal"), col("seg"), col("phone"))
+      val records = base.unionByName(dup1).unionByName(dup2)
+        .withColumn("block", substring(col("phone"), 1, 4))
+      val pairs = Linkage.blockedPairs(records, "rid", Seq("nation", "block"))
+      Linkage.classify(pairs, Seq(
+        when(col("name_a") === col("name_b"), 6L)
+          .when(levenshtein(col("name_a"), col("name_b")) <= 2, 2L)
+          .otherwise(-3L),
+        when(col("phone_a") === col("phone_b"), 4L).otherwise(-2L),
+        when(abs(col("bal_a") - col("bal_b")) <= 0.02, 2L).otherwise(-1L),
+        when(col("seg_a") === col("seg_b"), 1L).otherwise(-1L)),
+        matchMin = 10L, possibleMin = 1L)
+    }),
+
+    // Keyed pseudonymization + its audit row: salted md5 surrogate for
+    // user_id, injectivity CHECKED (not assumed) and the per-entity
+    // group structure compared exactly — the governance step between
+    // raw logs and anything shared downstream. BIGINT-only output.
+    "q_ext_pseudonymize" -> ((s, dir) =>
+      Privacy.pseudonymizeAudit(
+        Tables.events(s, dir).select(col("user_id")), "user_id", salt = "s7")),
+
     // Embedding covariance matrix — the distributed half of PCA: one
     // double-posexplode pass + (i,j)-keyed single-pass covar_pop
     // partial aggregate; shuffle carries dim^2 groups, never vectors.
@@ -3394,6 +3439,61 @@ object ExtQueries {
         |         + CAST(sum(pj_ - hj_ * 16777216) AS DOUBLE))/1e15/count(*)),
         |    6) + 0.0 AS cov
         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    "q_ext_record_linkage" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS rid, c_name AS name,
+        |         CAST(c_nationkey AS BIGINT) AS nation,
+        |         c_acctbal AS bal, c_mktsegment AS seg,
+        |         lpad(CAST(c_custkey % 997 AS VARCHAR), 4, '0') || '-' ||
+        |           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone
+        |  FROM customer),
+        |dup1 AS (
+        |  SELECT rid + 50000000 AS rid, name, nation, bal + 0.01 AS bal,
+        |         seg, phone
+        |  FROM base WHERE rid % 13 = 0),
+        |dup2 AS (
+        |  SELECT rid + 90000000 AS rid, 'X' || substring(name, 2) AS name,
+        |         nation, bal + 5.0 AS bal, seg, phone
+        |  FROM base WHERE rid % 29 = 3),
+        |rec AS (
+        |  SELECT *, substring(phone, 1, 4) AS block FROM
+        |  (SELECT * FROM base UNION ALL SELECT * FROM dup1
+        |   UNION ALL SELECT * FROM dup2)),
+        |p AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b,
+        |         (CASE WHEN a.name = b.name THEN 6
+        |               WHEN levenshtein(a.name, b.name) <= 2 THEN 2
+        |               ELSE -3 END
+        |        + CASE WHEN a.phone = b.phone THEN 4 ELSE -2 END
+        |        + CASE WHEN abs(a.bal - b.bal) <= 0.02 THEN 2 ELSE -1 END
+        |        + CASE WHEN a.seg = b.seg THEN 1 ELSE -1 END) AS score
+        |  FROM rec a JOIN rec b
+        |    ON a.nation = b.nation AND a.block = b.block AND a.rid < b.rid)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |       CAST(score AS BIGINT) AS score,
+        |       CASE WHEN score >= 10 THEN 'match' ELSE 'possible' END
+        |         AS verdict
+        |FROM p WHERE score >= 1""".stripMargin,
+
+    "q_ext_pseudonymize" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         substring(md5('s7' || CAST(user_id AS VARCHAR)), 1, 16)
+        |           AS pid
+        |  FROM events),
+        |ga AS (SELECT user_id, count(*) AS n FROM p GROUP BY 1),
+        |gb AS (SELECT pid, count(*) AS n FROM p GROUP BY 1),
+        |sa AS (SELECT count(*) AS groups, CAST(sum(n) AS BIGINT) AS rws,
+        |              sum(CAST(n AS DECIMAL(19,0)) * n) AS sq FROM ga),
+        |sb AS (SELECT count(*) AS groups, CAST(sum(n) AS BIGINT) AS rws,
+        |              sum(CAST(n AS DECIMAL(19,0)) * n) AS sq FROM gb)
+        |SELECT sa.rws AS n_rows, sa.groups AS n_ids,
+        |       sb.groups AS n_surrogates,
+        |       CAST(CASE WHEN sa.groups = sb.groups AND sa.rws = sb.rws
+        |                  AND sa.sq = sb.sq THEN 1 ELSE 0 END AS BIGINT)
+        |         AS structure_intact
+        |FROM sa, sb""".stripMargin,
 
     "q_ext_oracle_canary" ->
       """SELECT CAST(CAST(-16777217 AS BIGINT) >> 24 AS BIGINT) AS shr_neg,

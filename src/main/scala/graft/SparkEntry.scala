@@ -1379,6 +1379,39 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"))
     }),
+
+    // §2.10 ext: STREAMING ANN INGEST — live embeddings assigned to the
+    // FROZEN coarse quantizer as they arrive: the assignment is a pure
+    // per-row expression over the literal centroid table
+    // (Similarity.nearestCellExpr — no join, no extra aggregation, so
+    // the plan stays streaming-legal with ONE stateful per-cell
+    // aggregate), which is how a real index ingests at 100 TB: cells
+    // are a broadcast-sized design constant, vectors never shuffle
+    // except to their cell's counter. The centroid collect is bounded
+    // by the KeyShift pin (a design constant, not a data fraction).
+    // Gate: streamed per-cell (count, id-sum) equals the batch
+    // inverted-file build exactly.
+    "q_st21_stream_ann_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val cents = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 7 &&
+          col("vec_id") < graft.io.ScaleReplicate.KeyShift)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+      val counts = streamTable(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.ext.Similarity.nearestCellExpr(
+            col("embedding").cast("array<double>"), cents).as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      s.catalog.dropTempView("g_st21")
+      val q = counts.writeStream.format("memory").queryName("g_st21")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("g_st21")
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -2031,6 +2064,26 @@ object SparkEntry {
     "q_st9_stream_gaps" -> ExtQueries.oracleSql("q_ext_gaps"),
     // the live PSI equals the batch PSI (exact integer bin counts)
     "q_st18_stream_psi" -> ExtQueries.oracleSql("q_ext_psi"),
+
+    // streamed per-cell ingest counters equal the batch inverted-file
+    // build (same centroids, same rounded-cosine argmin, same
+    // tie-break)
+    "q_st21_stream_ann_ingest" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 7 AND vec_id < 1000000000),
+        |corp AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |r AS (
+        |  SELECT vec_id, cent_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(list_cosine_similarity(cv, cvec), 4) DESC,
+        |                    cent_id) AS rk
+        |  FROM corp, cent),
+        |asg AS (SELECT vec_id, cent_id AS cell FROM r WHERE rk = 1)
+        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+        |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM asg GROUP BY 1""".stripMargin,
 
     // streamed tombstone filter equals the batch anti-join
     "q_st19_stream_tombstone" ->

@@ -102,6 +102,50 @@ object Privacy {
     * old version's minus exactly the tombstoned rows' (erasure touched
     * NOTHING else). Exact decimal sums; one aggregate per version.
     */
+  /** Keyed pseudonymization: replace an identifier column by a salted
+    * one-way surrogate (16-hex-char md5 prefix), preserving referential
+    * structure — every table keyed on the same id maps to the same
+    * surrogate, so joins and per-entity aggregates survive while the
+    * raw id leaves the dataset (GDPR art. 4(5) pseudonymisation; NOT
+    * anonymisation — the salt holder can re-identify, which is exactly
+    * what a lawful-basis re-link needs). Pure projection: zero shuffle,
+    * zero state, linear at any scale. md5 (not xxhash64) so an
+    * independent engine reproduces the mapping bit-for-bit.
+    */
+  def pseudonymize(df: DataFrame, idCol: String, salt: String,
+      outCol: String = "pseudo_id"): DataFrame =
+    df.withColumn(outCol,
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 16))
+      .drop(idCol)
+
+  /** The audit row a pseudonymization run publishes: the surrogate must
+    * be injective ON THIS DATASET (distinct ids == distinct surrogates
+    * — a 64-bit-prefix collision is birthday-negligible but must be
+    * CHECKED, not assumed) and the per-entity group structure must be
+    * byte-identical (same multiset of group sizes, compared exactly via
+    * count and sum-of-squares). All BIGINT output.
+    */
+  def pseudonymizeAudit(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val pseudo = pseudonymize(df, idCol, salt)
+    // sum-of-squares in decimal: a 10^10-row entity would overflow a
+    // LONG n² under ANSI; the sq column is compare-only, never emitted
+    def shape(d: DataFrame, c: String) = d.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("groups"), sum(col("n")).as("rows"),
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .as("sq"))
+    val a = shape(df, idCol)
+    val b = shape(pseudo, "pseudo_id")
+      .withColumnRenamed("groups", "p_groups")
+      .withColumnRenamed("rows", "p_rows")
+      .withColumnRenamed("sq", "p_sq")
+    a.crossJoin(broadcast(b))
+      .select(col("rows").as("n_rows"), col("groups").as("n_ids"),
+        col("p_groups").as("n_surrogates"),
+        when(col("groups") === col("p_groups") && col("rows") === col("p_rows")
+          && col("sq") === col("p_sq"), lit(1L)).otherwise(lit(0L))
+          .as("structure_intact"))
+  }
+
   def erasureAudit(spark: org.apache.spark.sql.SparkSession, dir: String,
       fromVersion: Int, toVersion: Int, keyCol: String,
       tombstones: DataFrame): DataFrame = {

@@ -427,6 +427,30 @@ object Similarity {
         (ranked("m_rank") <= capPerCell).as("scanned"))
   }
 
+  /** Per-row nearest-centroid assignment as a PURE EXPRESSION over a
+    * literal centroid table — the streaming-legal form of the IVF
+    * assignment: no aggregation, no join, so it composes into a
+    * micro-batch pipeline ahead of ONE stateful aggregate. Centroids
+    * are a design CONSTANT at scale (the KeyShift pin), so they ride
+    * into the plan as a single `typedLit` array and the argmin is one
+    * HOF fold per row. Tie-break identical to [[ivfTopK]]: highest
+    * `simScale`-rounded cosine, then LOWEST centroid id — the fold
+    * visits ids ascending and replaces only on strict improvement.
+    */
+  def nearestCellExpr(
+      vec: Column, cents: Seq[(Long, Seq[Double])], simScale: Int = 4): Column = {
+    require(cents.nonEmpty, "centroid table must not be empty")
+    val table = typedLit(cents.sortBy(_._1))
+    aggregate(table,
+      struct(lit(-1L).as("id"), lit(-2.0).as("s")),
+      (acc, c) => {
+        val sim = round(cosine(vec, c.getField("_2")), simScale)
+        when(sim > acc.getField("s"),
+          struct(c.getField("_1").as("id"), sim.as("s"))).otherwise(acc)
+      },
+      acc => acc.getField("id"))
+  }
+
   /** Per-group mean vector (class prototype / cluster centroid), in
     * long format (key, dim, centroid) — the oracle-stable shape, and
     * the shape downstream per-dimension work (PCA-ish stats, per-dim

@@ -55,6 +55,30 @@ class PrivacySpec extends SparkTestBase {
     assert(!audit.getAs[Boolean]("survivors_intact"))
   }
 
+  test("pseudonymize: deterministic salted surrogate, raw id gone") {
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("uid", "v")
+    val p = Privacy.pseudonymize(df, "uid", salt = "s")
+    assert(!p.columns.contains("uid"))
+    val ids = p.select("pseudo_id").collect().map(_.getString(0))
+    assert(ids(0).length === 16)
+    // same id -> same surrogate; different id -> different surrogate
+    assert(ids(0) === ids(1))
+    assert(ids(0) !== ids(2))
+    // keyed: a different salt yields a different mapping
+    val other = Privacy.pseudonymize(df, "uid", salt = "t")
+      .select("pseudo_id").collect().map(_.getString(0))
+    assert(other(0) !== ids(0))
+  }
+
+  test("pseudonymizeAudit: injectivity + group structure, BIGINT row") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("uid")
+    val r = Privacy.pseudonymizeAudit(df, "uid", salt = "s").collect().head
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("n_ids") === 3L)
+    assert(r.getAs[Long]("n_surrogates") === 3L)
+    assert(r.getAs[Long]("structure_intact") === 1L)
+  }
+
   test("randomizedResponse: hash-coin mechanism debiases within tolerance") {
     val df = (1L to 4000L).map(i => Tuple1(i)).toDF("seed")
     val r = Privacy.randomizedResponse(df, "seed", col("seed") % 4 === 0,

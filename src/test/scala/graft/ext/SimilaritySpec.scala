@@ -178,6 +178,20 @@ class SimilaritySpec extends SparkTestBase {
       1L -> ((true, true)), 2L -> ((false, true)), 3L -> ((true, false))))
   }
 
+  test("nearestCellExpr matches the batch argmin, including the id tie-break") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))    // equidistant from both centroids -> lower id
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+    val got = emb.select(col("vec_id"),
+        Similarity.nearestCellExpr(col("embedding").cast("array<double>"), cents)
+          .as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 10L))
+  }
+
   test("mipsTopK ranks by inner product, not cosine") {
     // corpus: a long vector aligned-ish with q beats a short perfectly
     // aligned one under MIPS (cosine would invert the order).
