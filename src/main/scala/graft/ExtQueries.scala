@@ -5638,7 +5638,7 @@ object ExtQueries {
         |  FROM s a JOIN s b ON b.event_type = a.event_type AND a.x < b.x),
         |sl AS (
         |  SELECT event_type, count(*) AS n_pairs,
-        |         round(quantile_cont(slope, 0.5), 6) AS slope_med
+        |         round(quantile_cont(slope, 0.5), 6) + 0.0 AS slope_med
         |  FROM p GROUP BY 1),
         |c AS (SELECT event_type, count(*) AS n_points FROM s GROUP BY 1)
         |SELECT c.event_type, c.n_points,

@@ -51,7 +51,10 @@ object TheilSen {
         .as("slope"))
     val slopes = pairs.groupBy(col("k").as(keyCol))
       .agg(count(lit(1)).as("n_pairs"),
-        round(expr("percentile(slope, 0.5)"), 6).as("slope_med"))
+        // + 0.0 normalizes IEEE signed zero (a flat series' pairwise
+        // slopes can interpolate to -0.0 in one engine and 0.0 in the
+        // other; hash compares render the sign, value compares don't)
+        (round(expr("percentile(slope, 0.5)"), 6) + lit(0.0)).as("slope_med"))
     val counts = sample.groupBy(col("k").as(keyCol))
       .agg(count(lit(1)).as("n_points"))
     counts.join(slopes, Seq(keyCol), "left")
