@@ -1060,6 +1060,48 @@ object ExtQueries {
         matchMin = 10L, possibleMin = 1L)
     }),
 
+    // Asymmetric set-containment pairs (Broder's containment, the
+    // quote/subset complement of Jaccard): a short doc wholly inside a
+    // long one scores containment ~1.0 where Jaccard stays low. Same
+    // sampled corpus and inverted-index join as q_ext_dedup_jaccard;
+    // output is BIGINT-only (micro-unit integer floor-division), so no
+    // float round sits between the engines.
+    "q_ext_dedup_containment" -> ((s, dir) =>
+      Dedup.wordContainmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", minContainment = 0.8)),
+
+    // ε-DP noisy counts per language (Laplace mechanism, sensitivity-1
+    // count query): the noise is inverse-CDF over a keyed modular-hash
+    // uniform, so the oracle replays the MECHANISM exactly — see
+    // Privacy.dpNoisyCounts. One count shuffle; noise is per-group
+    // scalar arithmetic.
+    "q_ext_dp_counts" -> ((s, dir) =>
+      Privacy.dpNoisyCounts(
+        Tables.documents(s, dir).select(col("lang")), "lang", eps = 0.5)),
+
+    // Tokenizer-fertility profile per language: BPE-ish pieces per
+    // whitespace word and chars per piece — the metric that decides
+    // how many training tokens a corpus slice actually buys (fertility
+    // near 1 = cheap latin text; high = scripts the tokenizer
+    // fragments). Ratios emitted in integer micro-units via BIGINT
+    // floor-division: the gate spelling is fp-free end to end. (At a
+    // true 100 TB the ×1e6 pre-multiply would want the per-group sums
+    // folded first — chars ≈ 1e14 × 1e6 brushes the int64 ceiling;
+    // the DIV-of-sums shape itself is one partial-agg shuffle.)
+    "q_ext_token_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(length(col("text")).cast("long")).as("chars"),
+          sum(TextStats.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(TextStats.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+        .select(col("lang"), col("docs"), col("chars"),
+          col("ws_tokens"), col("bpe_tokens"),
+          expr("(bpe_tokens * 1000000L) DIV ws_tokens").as("fertility_micro"),
+          expr("(chars * 1000000L) DIV bpe_tokens").as("chars_per_token_micro"))),
+
     // Keyed pseudonymization + its audit row: salted md5 surrogate for
     // user_id, injectivity CHECKED (not assumed) and the per-entity
     // group structure compared exactly — the governance step between
@@ -3494,6 +3536,79 @@ object ExtQueries {
         |                  AND sa.sq = sb.sq THEN 1 ELSE 0 END AS BIGINT)
         |         AS structure_intact
         |FROM sa, sb""".stripMargin,
+
+    // Containment replay: same sampled inverted-index join as the
+    // jaccard oracle; micro-unit integer floor-division on both sides
+    // (DuckDB `//` truncates on integers, Spark DIV truncates — all
+    // operands positive, so they agree by construction).
+    "q_ext_dedup_containment" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+        |ix AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS cnt
+        |  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b, CAST(cnt AS BIGINT) AS inter,
+        |         CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |         CAST((cnt * 1000000) // sa.sz AS BIGINT) AS cont_a_in_b,
+        |         CAST((cnt * 1000000) // sb.sz AS BIGINT) AS cont_b_in_a
+        |  FROM ix
+        |  JOIN sizes sa ON sa.id = id_a
+        |  JOIN sizes sb ON sb.id = id_b)
+        |SELECT * FROM scored
+        |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 800000""".stripMargin,
+
+    // DP-counts replay: the deterministic Laplace draw is the
+    // mechanism's inverse-CDF over the SAME modular-hash uniform.
+    "q_ext_dp_counts" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM documents GROUP BY 1),
+        |n AS (
+        |  SELECT lang, true_n,
+        |         ((ascii(lang) * 1009 + length(lang)) * 2654435761)
+        |           % 1000003 AS r
+        |  FROM c),
+        |u AS (
+        |  SELECT lang, true_n, (r + 0.5) / 1000003.0 - 0.5 AS uu FROM n),
+        |z AS (
+        |  SELECT lang, true_n,
+        |         (-1.0 / 0.5) * sign(uu) * ln(1 - 2 * abs(uu)) AS noise
+        |  FROM u)
+        |SELECT lang, true_n,
+        |       round(true_n + noise, 6) + 0.0 AS noisy_n,
+        |       CAST(abs(noise) <= ln(1000003.0) / 0.5 AS INT)
+        |         AS noise_bound_ok
+        |FROM z""".stripMargin,
+
+    // Fertility replay: the bpe regex is the q_ext_bpe_tokens spelling;
+    // sums pinned to BIGINT (DuckDB sums BIGINT into HUGEINT), ratios
+    // as micro-unit integer floor-division.
+    "q_ext_token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS ws,
+        |    len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s'))
+        |      AS bpe,
+        |    length(text) AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |         CAST(sum(ch) AS BIGINT) AS chars,
+        |         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |         CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+        |  FROM t GROUP BY 1)
+        |SELECT lang, docs, chars, ws_tokens, bpe_tokens,
+        |       CAST((bpe_tokens * 1000000) // ws_tokens AS BIGINT)
+        |         AS fertility_micro,
+        |       CAST((chars * 1000000) // bpe_tokens AS BIGINT)
+        |         AS chars_per_token_micro
+        |FROM g""".stripMargin,
 
     "q_ext_oracle_canary" ->
       """SELECT CAST(CAST(-16777217 AS BIGINT) >> 24 AS BIGINT) AS shr_neg,

@@ -208,9 +208,43 @@ object Dedup {
       .drop("__cr")
   }
 
+  /** Asymmetric set-CONTAINMENT pairs over the same pruned inverted
+    * index as [[wordJaccardPairs]]: for each candidate pair (a < b),
+    * `cont_a_in_b = |A∩B| / |A|` and `cont_b_in_a = |A∩B| / |B|`,
+    * emitted in integer MICRO-units (×1e6, floor integer division) so
+    * the output is BIGINT-only — no float round can ever tie-break
+    * differently across engines. Jaccard is symmetric and misses the
+    * quote/subset shape (a short doc wholly contained in a long one
+    * scores low Jaccard but containment 1.0); containment is the
+    * standard complement (Broder's resemblance vs containment pair).
+    * A pair survives when max(cont) ≥ minContainment. Same scale
+    * bounds as the pruned Jaccard: relative df prune (hot tokens
+    * leave the index; set SIZES stay full, so containment is the
+    * documented index-surviving approximation) + absolute per-token
+    * posting cap.
+    */
+  def wordContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double, maxDocFreq: Double = 1.0,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
+    val pairs = wordJaccardPairs(df, idCol, textCol, minJaccard = 0.0,
+        maxDocFreq = maxDocFreq, maxPosting = maxPosting,
+        carrySizes = true)
+    val minMicro = math.ceil(minContainment * 1000000L).toLong
+    pairs
+      .withColumn("cont_a_in_b",
+        expr("(inter * 1000000L) DIV sz_a").cast("long"))
+      .withColumn("cont_b_in_a",
+        expr("(inter * 1000000L) DIV sz_b").cast("long"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minMicro)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+        "cont_a_in_b", "cont_b_in_a")
+  }
+
   def wordJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
-      maxDocFreq: Double = 1.0, maxPosting: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Double = 1.0, maxPosting: Int = Int.MaxValue,
+      carrySizes: Boolean = false): DataFrame = {
     val allWords = df
       .select(col(idCol).as("id"), explode(array_distinct(TextStats.tokens(col(textCol)))).as("w"))
     val sizes = allWords.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -249,13 +283,14 @@ object Dedup {
       .join(words.as("b"), col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val scored = inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    if (carrySizes) scored.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    else scored.select("id_a", "id_b", "jaccard")
   }
 
   /** Repeated-substring spans (the Lee et al. "Deduplicating Training

@@ -71,6 +71,44 @@ object Privacy {
           col("nb").cast("double") / col("n")) <= tolerance).as("est_ok"))
   }
 
+  /** ε-differentially-private noisy counts per `keyCol` — the Laplace
+    * mechanism over a count query (sensitivity 1, so scale = 1/ε).
+    * The Laplace draw inverts the CDF of a uniform u ∈ (−½, ½):
+    * `noise = −(1/ε) · sign(u) · ln(1 − 2|u|)`, with u derived from a
+    * modular integer hash of the KEY (the [[randomizedResponse]] coin
+    * idiom, +0.5 centering so u never reaches ±½ and ln never sees 0).
+    * Production swaps the hash for a real RNG; every other line — the
+    * mechanism, the scale, the ε accounting — is unchanged, and the
+    * deterministic spelling is what lets the oracle replay the "noise"
+    * and gate the MECHANISM (inverse-CDF algebra, per-key independence,
+    * the ε→scale mapping) instead of trusting it.
+    *
+    * One count shuffle bounded by the key domain; noise is a per-GROUP
+    * scalar expression, so the plan's cost is the count's cost. Emits
+    * (key, true_n, noisy_n, noise_abs_bound_ok): true_n stays ONLY
+    * because this is the audit spelling — a release would drop it.
+    */
+  def dpNoisyCounts(df: DataFrame, keyCol: String, eps: Double): DataFrame = {
+    require(eps > 0, s"epsilon must be positive, got $eps")
+    // Key folded to a bounded integer seed before the multiply (ANSI
+    // overflow discipline, cf. randomizedResponse): first-char code
+    // point × 1009 + length is engine-portable for string keys.
+    val seed = (ascii(col(keyCol)) * 1009 + length(col(keyCol))).cast("long")
+    val residue = pmod(seed * 2654435761L, lit(1000003L))
+    val u = (residue.cast("double") + 0.5) / 1000003.0 - 0.5
+    val noise = lit(-1.0 / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    // worst |noise| at this residue grid: (1/eps)·ln(1000003)
+    val bound = math.log(1000003.0) / eps
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("true_n"))
+      .select(
+        col(keyCol),
+        col("true_n"),
+        // + 0.0 normalizes any signed zero (fleet-wide -0.0 ban)
+        (round(col("true_n") + noise, 6) + lit(0.0)).as("noisy_n"),
+        (abs(noise) <= bound).cast("int").as("noise_bound_ok"))
+  }
+
   /** Right-to-erasure propagation over a [[graft.io.SnapshotTable]]:
     * commit a new snapshot of `dir` that is `fromVersion` minus every
     * row whose `keyCol` appears in `tombstones` — copy-on-write, so

@@ -48,6 +48,33 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 === 1.0)
   }
 
+  test("wordContainmentPairs scores subset docs asymmetrically, exact dups at 1e6") {
+    val subset = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma"),                              // strict subset of 1
+      (4L, "omega psi chi phi")                              // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.wordContainmentPairs(subset, "doc_id", "text",
+        minContainment = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("cont_a_in_b"), r.getAs[Long]("cont_b_in_a")))
+      .toMap
+    // exact dup: both directions 1.0
+    assert(got((1L, 2L)) === ((1000000L, 1000000L)))
+    // subset: doc 3 fully inside doc 1 (and 2); reverse is 3/8
+    assert(got((1L, 3L)) === ((375000L, 1000000L)))
+    assert(got((2L, 3L)) === ((375000L, 1000000L)))
+    // unrelated doc shares no tokens -> never paired
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // jaccard would have REJECTED the subset pair at the same bar:
+    // |A∩B|/|A∪B| = 3/8 < 0.8 — the asymmetry is the point
+    val jac = Dedup.wordJaccardPairs(subset, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 3L)))
+  }
+
   test("shingles produces word n-grams; short docs collapse to one shingle") {
     val got = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.shingles($"text", 3)).as[Seq[String]].collect()

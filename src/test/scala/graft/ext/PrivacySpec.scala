@@ -89,4 +89,41 @@ class PrivacySpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("debiased") - 0.25) < 0.05)
     assert(r.getAs[Boolean]("est_ok"))
   }
+
+  test("dpNoisyCounts: Laplace mechanism is deterministic, bounded, and non-degenerate") {
+    val df = (Seq.fill(40)("en") ++ Seq.fill(25)("de") ++ Seq.fill(9)("zh"))
+      .toDF("lang")
+    val rows = Privacy.dpNoisyCounts(df, "lang", eps = 0.5)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("true_n"), r.getAs[Double]("noisy_n"),
+          r.getAs[Int]("noise_bound_ok"))).toMap
+    assert(rows.keySet === Set("en", "de", "zh"))
+    assert(rows("en")._1 === 40L && rows("de")._1 === 25L && rows("zh")._1 === 9L)
+    // the mechanism must actually perturb (noise is a.s. nonzero) and
+    // stay inside the mechanism's worst-case bound at this eps
+    assert(rows.values.forall(_._3 === 1))
+    assert(rows.values.exists(v => v._2 !== v._1.toDouble))
+    rows.values.foreach { case (n, noisy, _) =>
+      assert(math.abs(noisy - n) <= math.log(1000003.0) / 0.5 + 1e-6)
+    }
+    // determinism: a second evaluation produces identical draws
+    val again = Privacy.dpNoisyCounts(df, "lang", eps = 0.5)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("noisy_n"))
+      .toMap
+    rows.foreach { case (k, (_, noisy, _)) => assert(again(k) === noisy) }
+  }
+
+  test("dpNoisyCounts: smaller epsilon means larger noise for the same key") {
+    val df = Seq.fill(100)("en").toDF("lang")
+    def noiseAt(eps: Double): Double = {
+      val r = Privacy.dpNoisyCounts(df, "lang", eps).collect().head
+      math.abs(r.getAs[Double]("noisy_n") - r.getAs[Long]("true_n"))
+    }
+    // same uniform draw, scale 1/eps: noise at eps/2 is exactly 2x
+    val loose = noiseAt(0.25)
+    val tight = noiseAt(1.0)
+    assert(loose > tight)
+    // 6-dp rounding on each side leaves up to ~2.5e-6 of slack
+    assert(math.abs(loose - 4.0 * tight) <= 1e-5)
+  }
 }

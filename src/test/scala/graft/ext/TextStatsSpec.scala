@@ -255,4 +255,22 @@ class TextStatsSpec extends SparkTestBase {
     // long words, one sentence: low readability
     assert(row.getAs[Double]("flesch") < 0.0)
   }
+
+  test("tokenizer fertility: micro-unit integer ratios are exact floor division") {
+    // "don't stop" -> ws tokens 2; bpe pieces: don / 't / (space)stop = 3
+    val df = Seq(("en", "don't stop"), ("en", "go now"), ("de", "abc"))
+      .toDF("lang", "text")
+    val got = df.groupBy($"lang")
+      .agg(
+        sum(TextStats.tokenCount($"text").cast("long")).as("ws_tokens"),
+        sum(TextStats.bpeTokenCount($"text").cast("long")).as("bpe_tokens"))
+      .select($"lang",
+        expr("(bpe_tokens * 1000000L) DIV ws_tokens").as("fertility_micro"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("fertility_micro"))
+      .toMap
+    // en: ws 2+2=4, bpe 3+2=5 -> 5_000_000/4 = 1_250_000 exactly
+    assert(got("en") === 1250000L)
+    // de: 1 word, 1 piece -> exactly 1e6
+    assert(got("de") === 1000000L)
+  }
 }
