@@ -1102,6 +1102,32 @@ object ExtQueries {
           expr("(bpe_tokens * 1000000L) DIV ws_tokens").as("fertility_micro"),
           expr("(chars * 1000000L) DIV bpe_tokens").as("chars_per_token_micro"))),
 
+    // Embedding-space outliers vs the pinned coarse quantizer: sparse
+    // cells + far-from-own-centroid vectors — the embedding-hygiene
+    // filter ahead of ANN index builds (garbage vectors pool in
+    // isolated cells and poison cell statistics). Same KeyShift-pinned
+    // centroid sample as the IVF family.
+    "q_ext_embed_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val base = col("id") < graft.io.ScaleReplicate.KeyShift
+      Similarity.embedOutliers(emb, "id", "vec",
+        centroids = emb.filter(col("id") % 50 === 7 && base),
+        minCell = 8L, simFloor = 0.35)
+    }),
+
+    // Kneser-Ney-smoothed bigram scoring (Chen & Goodman 1999) — the
+    // smoothing production LM quality filters actually use; the
+    // interpolated add-one spelling above is the baseline it beats.
+    // Same train/score split as q_ext_bigram_lm.
+    "q_ext_bigram_kn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      LangModel.scoreBigramKneserNey(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 =!= 0), discount = 0.75)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Keyed pseudonymization + its audit row: salted md5 surrogate for
     // user_id, injectivity CHECKED (not assumed) and the per-entity
     // group structure compared exactly — the governance step between
@@ -3609,6 +3635,81 @@ object ExtQueries {
         |       CAST((chars * 1000000) // bpe_tokens AS BIGINT)
         |         AS chars_per_token_micro
         |FROM g""".stripMargin,
+
+    // Outlier replay: row_number assignment == the engine's
+    // min(-sim, cent_id) argmin; flags and the count-by-cell are exact
+    // integers; + 0.0 normalizes any signed zero in the rounded cosine.
+    "q_ext_embed_outliers" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 7 AND vec_id < 1000000000),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |ranked AS (
+        |  SELECT vec_id, cent_id AS cell,
+        |         round(list_cosine_similarity(v, cvec), 4) AS sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(list_cosine_similarity(v, cvec), 4) DESC,
+        |                    cent_id) AS r
+        |  FROM v, cent),
+        |asg AS (SELECT vec_id, cell, sim + 0.0 AS cos_to_centroid
+        |        FROM ranked WHERE r = 1),
+        |cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+        |       FROM asg GROUP BY 1)
+        |SELECT vec_id, asg.cell, cos_to_centroid, cell_n,
+        |       CAST(cell_n < 8 AS INT) AS sparse_cell,
+        |       CAST(cos_to_centroid < 0.35 AS INT) AS far_from_centroid
+        |FROM asg JOIN cc ON asg.cell = cc.cell
+        |WHERE cell_n < 8 OR cos_to_centroid < 0.35""".stripMargin,
+
+    // KN replay: identical count tables and the SAME operation order
+    // in the probability expression (discount 0.75 is exactly binary-
+    // representable; every ratio is an integer-count ratio in double).
+    "q_ext_bigram_kn" ->
+      """WITH tr AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |bc AS (SELECT gram, count(*) AS c12,
+        |              split_part(gram, ' ', 1) AS w1,
+        |              split_part(gram, ' ', 2) AS w2
+        |       FROM (
+        |         SELECT unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS gram
+        |         FROM tr WHERE len(t) >= 2) GROUP BY 1),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |               CAST(count(*) AS BIGINT) AS n_follow
+        |        FROM bc GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+        |         FROM bc GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc),
+        |dt AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i+1])) AS gram
+        |       FROM (SELECT doc_id,
+        |               regexp_split_to_array(trim(text), '\s+') AS t
+        |             FROM documents)
+        |       WHERE len(t) >= 2),
+        |j AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ctx.c1 IS NULL OR cont.n_prec IS NULL THEN 1
+        |         ELSE 0 END AS skipped,
+        |    CASE WHEN ctx.c1 IS NULL OR cont.n_prec IS NULL THEN NULL
+        |         ELSE round(ln(
+        |           greatest(CAST(coalesce(bc.c12, 0) AS DOUBLE) - 0.75, 0.0)
+        |             / ctx.c1
+        |           + ((0.75 * ctx.n_follow) / ctx.c1)
+        |             * (CAST(cont.n_prec AS DOUBLE) / ty.n_types)), 8)
+        |    END AS lp
+        |  FROM dt
+        |  LEFT JOIN bc ON dt.gram = bc.gram
+        |  LEFT JOIN ctx ON ctx.w1 = split_part(dt.gram, ' ', 1)
+        |  LEFT JOIN cont ON cont.w2 = split_part(dt.gram, ' ', 2), ty)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(skipped) AS BIGINT) AS n_skipped,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)
+        |    / nullif(count(*) - CAST(sum(skipped) AS BIGINT), 0), 6)
+        |    AS avg_kn_logprob
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q_ext_oracle_canary" ->
       """SELECT CAST(CAST(-16777217 AS BIGINT) >> 24 AS BIGINT) AS shr_neg,

@@ -133,4 +133,75 @@ object LangModel {
         round(sum(col("lp").cast("decimal(28,10)")).cast("double")
           / count(lit(1)), 6).as("avg_interp_logprob"))
   }
+
+  /** Kneser-Ney-smoothed bigram scoring — the smoothing real LM
+    * pipelines use (Chen & Goodman 1999): instead of add-one's uniform
+    * mass, an absolute discount `D` is skimmed off every seen bigram
+    * and redistributed by CONTINUATION probability — how many distinct
+    * contexts a word follows — so "Francisco" (frequent but only ever
+    * after "San") stops stealing mass from genuinely versatile words:
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *                 + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/N_types
+    *
+    * where c(w1·) = Σ_w2 c(w1w2) (the bigram-context count — the
+    * correct KN denominator, not the raw unigram count), N1+(w1·) =
+    * distinct followers of w1, N1+(·w2) = distinct predecessors of w2,
+    * N_types = distinct bigram count. Unseen bigrams (c=0) score on
+    * pure continuation mass; positions whose w1 was never a context or
+    * whose w2 was never a continuation in train have NO defined KN
+    * probability and are SKIPPED and counted (`n_skipped`) — the same
+    * honest accounting as `n_unseen_bigrams` above. A doc with every
+    * position skipped emits a null average, not a crash.
+    *
+    * Determinism: D defaults to 0.75 — exactly representable in
+    * binary — and the probability is integer-count ratio arithmetic
+    * spelled in the SAME operation order as the oracle; per-position
+    * ln rounds to 8, DECIMAL(28,10)-exact sum, mean rounds to 6.
+    *
+    * Scale shape: identical to [[scoreBigramInterpolated]] — the gram
+    * join shuffles on the gram key (a 100 TB bigram table never
+    * broadcasts); ctx/cont/types are vocabulary- and scalar-sized and
+    * do. One explode, one keyed shuffle join, one partial agg per doc.
+    */
+  def scoreBigramKneserNey(
+      docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1): $discount")
+    val bi = train
+      .select(explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_follow"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    val docBi = docs.select(col(idCol).as("id"),
+        explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val p = docBi
+      .join(bi.select(col("gram"), col("c12")), Seq("gram"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("skipped",
+        (col("c1").isNull || col("n_prec").isNull).cast("int"))
+      .withColumn("lp", when(col("skipped") === 1, lit(null))
+        .otherwise(round(log(
+          greatest(coalesce(col("c12"), lit(0L)).cast("double")
+            - lit(discount), lit(0.0)) / col("c1")
+          + ((lit(discount) * col("n_follow")) / col("c1"))
+            * (col("n_prec").cast("double") / col("n_types"))), 8)))
+    val scored = count(lit(1)) - sum(col("skipped").cast("long"))
+    p.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("skipped").cast("long")).as("n_skipped"),
+        round(sum(col("lp").cast("decimal(28,10)")).cast("double")
+          / when(scored === 0, lit(null)).otherwise(scored), 6)
+          .as("avg_kn_logprob"))
+  }
 }

@@ -427,6 +427,53 @@ object Similarity {
         (ranked("m_rank") <= capPerCell).as("scanned"))
   }
 
+  /** Embedding-space outlier report against a pinned coarse quantizer:
+    * every vector assigns to its nearest centroid (the same
+    * partial-agg `min(struct)` argmin as [[semDeDup]] — one row per
+    * vector reaches the exchange), then two deterministic flags:
+    * `sparse_cell` (assigned cell has < `minCell` members — isolated
+    * regions of embedding space, where mislabeled/garbage vectors
+    * pool) and `far_from_centroid` (rounded cosine to the OWN cell's
+    * centroid below `simFloor` — the vector fits nowhere, even its
+    * best cell barely holds it). Emits only flagged rows:
+    * (vec_id, cell, cos_to_centroid, cell_n, sparse_cell,
+    * far_from_centroid), flags as INT.
+    *
+    * Plan: one pass over the vec × centroid pair stream (argmin agg,
+    * shuffled by vec_id), then ONE window count by cell — two bounded
+    * shuffles, no second pass over the pairs. Cell counts are
+    * corpus-relative by design: at 10× the data a cell needs 10× the
+    * members to stop being sparse, which is the statistic's meaning.
+    */
+  def embedOutliers(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
+      minCell: Long, simFloor: Double, simScale: Int = 4): DataFrame = {
+    require(minCell >= 1, s"minCell must be >= 1, got $minCell")
+    val cos = fastCosine(df) _
+    val cents = broadcast(
+      centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
+    val assigned = df
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(cents)
+      .withColumn("csim", round(cos(col("v"), col("cvec")), simScale))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("csim")).as("nsim"), col("cent_id").as("cell")))
+        .as("best"))
+      // + 0.0: a csim that rounded to -0.0 would negate back to -0.0
+      // here — normalized per the fleet-wide signed-zero ban
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        (-col("best.nsim") + lit(0.0)).as("cos_to_centroid"))
+    val cellW = Window.partitionBy("cell")
+    assigned
+      .withColumn("cell_n", count(lit(1)).over(cellW))
+      .withColumn("sparse_cell", (col("cell_n") < minCell).cast("int"))
+      .withColumn("far_from_centroid",
+        (col("cos_to_centroid") < simFloor).cast("int"))
+      .filter(col("sparse_cell") === 1 || col("far_from_centroid") === 1)
+      .select("vec_id", "cell", "cos_to_centroid", "cell_n",
+        "sparse_cell", "far_from_centroid")
+  }
+
   /** Per-row nearest-centroid assignment as a PURE EXPRESSION over a
     * literal centroid table — the streaming-legal form of the IVF
     * assignment: no aggregation, no join, so it composes into a

@@ -66,4 +66,31 @@ class LangModelSpec extends SparkTestBase {
     assert(LangModel.scoreBigramInterpolated(docs, "id", "text", train, 0.5)
       .count() === 0L)
   }
+
+  test("Kneser-Ney bigram: hand-computed probabilities, discounting, skips") {
+    // train "a b a c a b": bigrams ab:2 ba:1 ac:1 ca:1; N_types = 4
+    // ctx  a: c1=3 nf=2 | b: c1=1 nf=1 | c: c1=1 nf=1
+    // cont b: np=1      | a: np=2      | c: np=1
+    val train = Seq((1L, "a b a c a b")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "a b"),   // seen gram: (2-.75)/3 + (.75*2/3)*(1/4)
+      (11L, "b c"),   // unseen gram, seen parts: 0 + (.75*1/1)*(1/4)
+      (12L, "z a")    // w1 never a context -> skipped, null avg
+    ).toDF("id", "text")
+    val got = LangModel.scoreBigramKneserNey(docs, "id", "text", train)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_skipped"),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val p10 = (2.0 - 0.75) / 3.0 + ((0.75 * 2) / 3.0) * (1.0 / 4.0)
+    val p11 = 0.0 + ((0.75 * 1) / 1.0) * (1.0 / 4.0)
+    def expect(p: Double): Double =
+      BigDecimal(BigDecimal(math.log(p)).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L)._1 === 1L && got(10L)._2 === 0L)
+    assert(math.abs(got(10L)._3.get - expect(p10)) <= 1e-9)
+    assert(math.abs(got(11L)._3.get - expect(p11)) <= 1e-9)
+    // the discount moved mass: seen gram scores higher than backoff-only
+    assert(got(10L)._3.get > got(11L)._3.get)
+    assert(got(12L) === ((1L, 1L, None)))
+  }
 }

@@ -26,6 +26,29 @@ class SimilaritySpec extends SparkTestBase {
     (4L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("id", "vec")
 
+  test("embedOutliers flags sparse cells and far-from-centroid vectors, nothing else") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),    // dense cell around c0
+      (11L, Array(0.99f, 0.02f)),
+      (12L, Array(0.98f, -0.02f)),
+      (13L, Array(1.0f, 0.01f)),
+      (20L, Array(0.0f, 1.0f)),    // alone in c1's cell -> sparse
+      (30L, Array(0.6f, -0.8f))    // best cell c0 but cosine 0.6 < 0.7 -> far
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.embedOutliers(vecs, "id", "vec", cents,
+        minCell = 3L, simFloor = 0.7)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getAs[Long]("cell_n"),
+          r.getAs[Int]("sparse_cell"), r.getAs[Int]("far_from_centroid")))
+      .toMap
+    // only the isolated vector and the far vector surface
+    assert(got.keySet === Set(20L, 30L))
+    assert(got(20L) === ((1L, 1L, 1, 0)))   // sparse but well-aligned
+    assert(got(30L) === ((0L, 5L, 0, 1)))   // dense cell but far
+  }
+
   test("hardNegatives excludes the query's own label and ranks the rest") {
     val labeled = Seq(
       (1L, Array(1.0f, 0.0f), 0L),
