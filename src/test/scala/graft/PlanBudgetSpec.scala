@@ -266,7 +266,26 @@ class PlanBudgetSpec extends SparkTestBase {
     ("q_x3_cube", 2,
       "ONE partially-aggregated data shuffle to the (flag, status) base " +
         "cells + the CUBE lattice over ~6 rows — Expand multiplies the " +
-        "cell table, never the fact table"))
+        "cell table, never the fact table"),
+    ("q_ext_dedup_containment", 2,
+      "the Jaccard index's postings/pair machinery with exchange reuse: " +
+        "the sizes agg and the pair agg; containment itself is row-local " +
+        "integer arithmetic on the carried sizes"),
+    ("q_ext_dp_counts", 1,
+      "ONE key-domain-bounded count agg; the Laplace draw is per-group " +
+        "scalar arithmetic, zero extra exchanges"),
+    ("q_ext_token_fertility", 1,
+      "one partial-agg groupBy on the constant-cardinality lang key; " +
+        "both micro-ratios are row-local integer DIVs on the agg output"),
+    ("q_ext_embed_outliers", 2,
+      "centroids broadcast; the min(struct) argmin exchange (one row per " +
+        "vector reaches the wire) + the cell-partitioned window count — " +
+        "a third means assignment stopped folding map-side"),
+    ("q_ext_bigram_kn", 8,
+      "data-bearing: the bigram-count agg, the doc-gram join sides and " +
+        "the per-doc final agg; ctx/cont/types are vocabulary- and " +
+        "scalar-sized aggs that broadcast back — the bigram table itself " +
+        "never broadcasts (100 TB rule)"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {
