@@ -1412,6 +1412,24 @@ object SparkEntry {
       q.awaitTermination()
       s.table("g_st21")
     }),
+
+    // Streaming ε-DP counts: the live per-language count is ordinary
+    // streaming state (one stateful agg, complete mode); the Laplace
+    // release (Privacy.dpRelease — the SAME mechanism the batch
+    // q_ext_dp_counts gates) is applied ONCE to the final state, never
+    // per micro-batch (per-batch noise would compound the ε spend).
+    // The gate pins streamed-state-then-release == the batch query.
+    "q_st22_stream_dp_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val counts = streamTable(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("true_n"))
+      s.catalog.dropTempView("g_st22")
+      val q = counts.writeStream.format("memory").queryName("g_st22")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.ext.Privacy.dpRelease(s.table("g_st22"), "lang", "true_n",
+        eps = 0.5)
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -2084,6 +2102,10 @@ object SparkEntry {
         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
         |       CAST(sum(vec_id) AS BIGINT) AS id_sum
         |FROM asg GROUP BY 1""".stripMargin,
+
+    // streamed count state + one DP release at emission equals the
+    // batch mechanism exactly (same keyed hash draw, same epsilon)
+    "q_st22_stream_dp_counts" -> ExtQueries.oracleSql("q_ext_dp_counts"),
 
     // streamed tombstone filter equals the batch anti-join
     "q_st19_stream_tombstone" ->

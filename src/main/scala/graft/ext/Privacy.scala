@@ -88,7 +88,17 @@ object Privacy {
     * (key, true_n, noisy_n, noise_abs_bound_ok): true_n stays ONLY
     * because this is the audit spelling — a release would drop it.
     */
-  def dpNoisyCounts(df: DataFrame, keyCol: String, eps: Double): DataFrame = {
+  def dpNoisyCounts(df: DataFrame, keyCol: String, eps: Double): DataFrame =
+    dpRelease(df.groupBy(col(keyCol)).agg(count(lit(1)).as("true_n")),
+      keyCol, "true_n", eps)
+
+  /** The release step of [[dpNoisyCounts]], factored so STREAMED count
+    * state can take the same mechanism at emission (the DP release
+    * happens once, on the final counts — noise applied per micro-batch
+    * would compound ε spend): `counts` is any (key, count) frame.
+    */
+  def dpRelease(counts: DataFrame, keyCol: String, countCol: String,
+      eps: Double): DataFrame = {
     require(eps > 0, s"epsilon must be positive, got $eps")
     // Key folded to a bounded integer seed before the multiply (ANSI
     // overflow discipline, cf. randomizedResponse): first-char code
@@ -99,14 +109,12 @@ object Privacy {
     val noise = lit(-1.0 / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
     // worst |noise| at this residue grid: (1/eps)·ln(1000003)
     val bound = math.log(1000003.0) / eps
-    df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("true_n"))
-      .select(
-        col(keyCol),
-        col("true_n"),
-        // + 0.0 normalizes any signed zero (fleet-wide -0.0 ban)
-        (round(col("true_n") + noise, 6) + lit(0.0)).as("noisy_n"),
-        (abs(noise) <= bound).cast("int").as("noise_bound_ok"))
+    counts.select(
+      col(keyCol),
+      col(countCol).cast("long").as("true_n"),
+      // + 0.0 normalizes any signed zero (fleet-wide -0.0 ban)
+      (round(col(countCol) + noise, 6) + lit(0.0)).as("noisy_n"),
+      (abs(noise) <= bound).cast("int").as("noise_bound_ok"))
   }
 
   /** Right-to-erasure propagation over a [[graft.io.SnapshotTable]]:

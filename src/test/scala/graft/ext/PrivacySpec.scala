@@ -113,6 +113,32 @@ class PrivacySpec extends SparkTestBase {
     rows.foreach { case (k, (_, noisy, _)) => assert(again(k) === noisy) }
   }
 
+  test("dpRelease over multi-batch streamed counts equals the batch mechanism") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dp").toString
+    // two micro-batches: the count STATE accumulates across them and the
+    // release happens once on the final state
+    Seq("en", "en", "de").toDF("lang").write.parquet(s"$dir/b1")
+    Seq("en", "de", "zh").toDF("lang").write.parquet(s"$dir/b2")
+    val schema = StructType(Seq(StructField("lang", StringType)))
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .groupBy(col("lang")).agg(count(lit(1)).as("true_n"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("dp_state").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Privacy.dpRelease(spark.table("dp_state"),
+        "lang", "true_n", eps = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("true_n"), r.getAs[Double]("noisy_n"))).toMap
+    val batch = Privacy.dpNoisyCounts(
+        spark.read.parquet(s"$dir/*").select(col("lang")), "lang", eps = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("true_n"), r.getAs[Double]("noisy_n"))).toMap
+    assert(streamed === batch)
+    assert(streamed("en")._1 === 3L && streamed("zh")._1 === 1L)
+  }
+
   test("dpNoisyCounts: smaller epsilon means larger noise for the same key") {
     val df = Seq.fill(100)("en").toDF("lang")
     def noiseAt(eps: Double): Double = {
