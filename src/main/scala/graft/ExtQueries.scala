@@ -1102,6 +1102,26 @@ object ExtQueries {
           expr("(bpe_tokens * 1000000L) DIV ws_tokens").as("fertility_micro"),
           expr("(chars * 1000000L) DIV bpe_tokens").as("chars_per_token_micro"))),
 
+    // Neyman-optimal stratified sample allocation (variance-minimizing
+    // n_h ∝ N_h·S_h): the eval-set construction step after splits —
+    // S_h from exact integer moments so the sqrt is bit-identical
+    // across engines (see Sampling.neymanAllocation).
+    "q_ext_neyman_alloc" -> ((s, dir) =>
+      Sampling.neymanAllocation(
+        Tables.documents(s, dir), "lang", "n_chars", n = 500L)),
+
+    // Per-source duplicate-rate report — the curation dashboard row
+    // that decides which crawl sources need aggressive dedup. Exact
+    // distinct on content, BIGINT micro-unit rate; one Expand-rewritten
+    // grouped aggregate.
+    "q_ext_dup_rate_by_source" -> ((s, dir) =>
+      Tables.documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("((n_docs - n_distinct) * 1000000L) DIV n_docs")
+            .as("dup_rate_micro"))),
+
     // Embedding-space outliers vs the pinned coarse quantizer: sparse
     // cells + far-from-own-centroid vectors — the embedding-hygiene
     // filter ahead of ANN index builds (garbage vectors pool in
@@ -3635,6 +3655,33 @@ object ExtQueries {
         |       CAST((chars * 1000000) // bpe_tokens AS BIGINT)
         |         AS chars_per_token_micro
         |FROM g""".stripMargin,
+
+    // Neyman replay: exact integer moments, IEEE-identical sqrt, the
+    // same multiply-then-divide allocation spelling.
+    "q_ext_neyman_alloc" ->
+      """WITH m AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(n_chars) AS BIGINT) AS sx,
+        |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+        |  FROM documents GROUP BY 1),
+        |sdt AS (
+        |  SELECT lang, n_rows,
+        |         sqrt(CAST(n_rows * sx2 - sx * sx AS DOUBLE)
+        |              / (CAST(n_rows AS DOUBLE) * n_rows)) AS sd
+        |  FROM m),
+        |w AS (SELECT lang, n_rows, sd,
+        |             CAST(n_rows AS DOUBLE) * sd AS w_num FROM sdt),
+        |t AS (SELECT sum(w_num) AS w_total FROM w)
+        |SELECT lang, n_rows, round(sd, 6) + 0.0 AS stddev,
+        |       CAST(floor(500.0 * w_num / w_total) AS BIGINT) AS alloc
+        |FROM w, t""".stripMargin,
+
+    "q_ext_dup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_distinct,
+        |       ((count(*) - count(DISTINCT text)) * 1000000) // count(*)
+        |         AS dup_rate_micro
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // Outlier replay: row_number assignment == the engine's
     // min(-sim, cent_id) argmin; flags and the count-by-cell are exact

@@ -240,6 +240,49 @@ object Sampling {
       .drop("__h", "__rk")
   }
 
+  /** Neyman-optimal stratified sample allocation: split a total budget
+    * `n` across strata proportional to N_h·S_h — the allocation that
+    * minimizes estimator variance for a fixed n (Neyman 1934) — where
+    * S_h is the per-stratum population std-dev of `valueCol`. Strata
+    * with more mass AND more spread get more samples; a uniform-valued
+    * stratum gets almost none regardless of size.
+    *
+    * Determinism contract: S_h is computed from EXACT integer moments
+    * (Σx, Σx², N all BIGINT; variance = (N·Σx² − (Σx)²)/N² leaves
+    * integer arithmetic only for the final division), so the double
+    * sqrt is bit-identical across engines (IEEE sqrt is correctly
+    * rounded); the allocation floor then sees identical doubles. The
+    * integer moments bound the input: |x| ≤ ~3e4 with ≤ ~1e9 rows per
+    * stratum before N·Σx² brushes int64 — at a true 100 TB fold to
+    * per-partition decimal moments first.
+    *
+    * One partial-agg shuffle on the stratum key; the strata-table
+    * total rides a broadcast single-row aggregate.
+    *
+    * Output: (stratum, n_rows, stddev — rounded 6, alloc — BIGINT
+    * floor of the Neyman share of `n`).
+    */
+  def neymanAllocation(
+      df: DataFrame, strataCol: String, valueCol: String,
+      n: Long): DataFrame = {
+    require(n > 0, s"sample budget must be positive, got $n")
+    val x = col(valueCol).cast("long")
+    val m = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x).as("sx"), sum(x * x).as("sx2"))
+      .withColumn("sd",
+        sqrt((col("n_rows") * col("sx2") - col("sx") * col("sx"))
+          .cast("double")
+          / (col("n_rows").cast("double") * col("n_rows"))))
+      .withColumn("w_num", col("n_rows").cast("double") * col("sd"))
+    val total = m.agg(sum(col("w_num")).as("w_total"))
+    m.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_rows"),
+        (round(col("sd"), 6) + lit(0.0)).as("stddev"),
+        floor(lit(n.toDouble) * col("w_num") / col("w_total"))
+          .cast("long").as("alloc"))
+  }
+
   /** Water-filling token allocation across sources: given a per-source
     * weight table and a global `budget`, find the level L with
     * Σ min(t_s, L) = budget and allocate min(t_s, L) to each source —

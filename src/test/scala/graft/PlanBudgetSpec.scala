@@ -285,7 +285,13 @@ class PlanBudgetSpec extends SparkTestBase {
       "data-bearing: the bigram-count agg, the doc-gram join sides and " +
         "the per-doc final agg; ctx/cont/types are vocabulary- and " +
         "scalar-sized aggs that broadcast back — the bigram table itself " +
-        "never broadcasts (100 TB rule)"))
+        "never broadcasts (100 TB rule)"),
+    ("q_ext_neyman_alloc", 2,
+      "one stratum-keyed integer-moment agg + the strata-table total's " +
+        "single-row gather (broadcast back); allocation is row-local"),
+    ("q_ext_dup_rate_by_source", 2,
+      "ONE grouped aggregate: the Expand-rewritten exact-distinct's " +
+        "keyed partial/final pair — the micro-rate is row-local DIV"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {

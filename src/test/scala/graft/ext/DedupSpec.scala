@@ -48,6 +48,20 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 === 1.0)
   }
 
+  test("per-source dup-rate micro arithmetic: exact distinct over content") {
+    val df = Seq(
+      ("s0", "same text"), ("s0", "same text"), ("s0", "other"),
+      ("s1", "unique one"), ("s1", "unique two")
+    ).toDF("source", "text")
+    val got = df.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"text").as("n_distinct"))
+      .select($"source",
+        expr("((n_docs - n_distinct) * 1000000L) DIV n_docs").as("r"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("r")).toMap
+    assert(got("s0") === 333333L) // 1 dup of 3 docs -> floor(1e6/3)
+    assert(got("s1") === 0L)
+  }
+
   test("wordContainmentPairs scores subset docs asymmetrically, exact dups at 1e6") {
     val subset = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

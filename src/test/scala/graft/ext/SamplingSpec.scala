@@ -232,4 +232,26 @@ class SamplingSpec extends SparkTestBase {
     val heavyIn = got.count(_ <= 20)
     assert(heavyIn >= 18, s"only $heavyIn/20 heavy rows sampled")
   }
+
+  test("neymanAllocation: spread earns samples, uniform strata earn none") {
+    // stratum a: values {0, 10} -> sd = 5, N = 2 -> weight 10
+    // stratum b: constant 5     -> sd = 0, N = 4 -> weight 0
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 5L), ("b", 5L), ("b", 5L),
+      ("b", 5L)).toDF("stratum", "v")
+    val got = Sampling.neymanAllocation(df, "stratum", "v", n = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("stddev"),
+          r.getAs[Long]("alloc"))).toMap
+    assert(got("a") === ((2L, 5.0, 100L)))
+    assert(got("b") === ((4L, 0.0, 0L)))
+  }
+
+  test("neymanAllocation: proportional when all strata share the spread") {
+    // equal sd, sizes 1:3 -> allocations split 25/75 exactly
+    val df = (Seq(("a", 0L), ("a", 2L)) ++
+      Seq.fill(3)(Seq(("b", 10L), ("b", 12L))).flatten).toDF("stratum", "v")
+    val got = Sampling.neymanAllocation(df, "stratum", "v", n = 100L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got("a") === 25L && got("b") === 75L)
+  }
 }
