@@ -201,9 +201,18 @@ object EvalQueries {
     def fx(v: String) =
       s"CASE WHEN $v >= 0 THEN CAST(floor(($v)*1e15 + 0.5) AS BIGINT) " +
         s"ELSE CAST(-floor(-(($v)*1e15) + 0.5) AS BIGINT) END"
+    // High-24-bit split via positive-operand floor-division, NOT `>>`:
+    // arithmetic right shift on negative BIGINTs is the exact
+    // environment-sensitive construct the safe-alphabet law bans from
+    // oracles (the canary's shr_neg row pins it; the covariance oracle
+    // was purged the same way). floor(p/2^24) for p<0 spelled as
+    // -((-p + 2^24 - 1) // 2^24).
+    val hdiv =
+      "CASE WHEN p >= 0 THEN p // 16777216 " +
+        "ELSE -((-p + 16777215) // 16777216) END"
     val rebuild =
-      "(CAST(sum(p >> 24) AS DOUBLE)*16777216.0 " +
-        "+ CAST(sum(p - ((p >> 24) * 16777216)) AS DOUBLE))/1e15"
+      s"(CAST(sum($hdiv) AS DOUBLE)*16777216.0 " +
+        s"+ CAST(sum(p - ($hdiv) * 16777216) AS DOUBLE))/1e15"
     val base =
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -394,8 +403,11 @@ object EvalQueries {
            |       ELSE CAST(-floor(-((t.x * w.w)*1e15) + 0.5) AS BIGINT) END AS p
            |  FROM t JOIN w$LrRounds w USING (j)),
            |zf AS (SELECT vec_id,
-           |  (CAST(sum(p >> 24) AS DOUBLE)*16777216.0
-           |   + CAST(sum(p - ((p >> 24) * 16777216)) AS DOUBLE))/1e15 AS z
+           |  (CAST(sum(CASE WHEN p >= 0 THEN p // 16777216
+           |       ELSE -((-p + 16777215) // 16777216) END) AS DOUBLE)*16777216.0
+           |   + CAST(sum(p - (CASE WHEN p >= 0 THEN p // 16777216
+           |       ELSE -((-p + 16777215) // 16777216) END) * 16777216)
+           |       AS DOUBLE))/1e15 AS z
            |  FROM pf GROUP BY vec_id),
            |sc AS (SELECT e.y, (0.5 + 0.5 * z.z / (1 + abs(z.z))) >= 0.5 AS pred
            |  FROM zf z JOIN e USING (vec_id))
@@ -515,8 +527,8 @@ object EvalQueries {
          |  FROM ag)
          |SELECT n, k, round(CAST(k AS DOUBLE) / n, 6) AS rate,
          |       round(llr, 6) AS llr,
-         |       llr >= $upper AS accept_h1,
-         |       llr <= $lower AS accept_h0
+         |       CAST(llr >= $upper AS BIGINT) AS accept_h1,
+         |       CAST(llr <= $lower AS BIGINT) AS accept_h0
          |FROM x""".stripMargin
     },
 
@@ -830,7 +842,8 @@ object EvalQueries {
          |  GROUP BY 1, 2, 3)
          |SELECT k, n_cal, n_eval, qhat,
          |       round(CAST(n_in AS DOUBLE) / n_eval, 6) AS coverage,
-         |       CAST(n_in AS DOUBLE) / n_eval >= 0.85 AS cov_ok
+         |       CAST(CAST(n_in AS DOUBLE) / n_eval >= 0.85 AS BIGINT)
+         |         AS cov_ok
          |FROM ev""".stripMargin,
   )
 }

@@ -368,12 +368,12 @@ object ExtQueries {
       val r = TextStats.c4Rules(col("text"))
       Tables.documents(s, dir).select(
         col("doc_id"),
-        r.getField("ends_with_punct").as("ends_with_punct"),
-        r.getField("long_enough").as("long_enough"),
-        r.getField("no_brace").as("no_brace"),
-        r.getField("no_lorem").as("no_lorem"),
-        r.getField("no_js").as("no_js"),
-        r.getField("keep").as("keep"))
+        r.getField("ends_with_punct").cast("long").as("ends_with_punct"),
+        r.getField("long_enough").cast("long").as("long_enough"),
+        r.getField("no_brace").cast("long").as("no_brace"),
+        r.getField("no_lorem").cast("long").as("no_lorem"),
+        r.getField("no_js").cast("long").as("no_js"),
+        r.getField("keep").cast("long").as("keep"))
     }),
 
     // Benchmark decontamination (the GPT-3-style n-gram overlap test):
@@ -409,7 +409,7 @@ object ExtQueries {
       a.join(b, col("id_b") === col("id_a") + 10)
         .select(col("id_a"), col("id_b"),
           round(j, 6).as("jaccard"),
-          (abs(est - j) <= 0.3).as("est_ok"))
+          (abs(est - j) <= 0.3).cast("long").as("est_ok"))
     }),
 
     // SimHash fingerprints + banded Hamming pairs (no oracle: xxhash64).
@@ -458,12 +458,17 @@ object ExtQueries {
       val b = batch.select(col("doc_id").as("id_b"), shingleSet.as("sh_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val j = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-      a.crossJoin(broadcast(b))
+      // Broadcast the PINNED side (hist = 50 docs, `doc_id < 250`) and
+      // stream the growing batch: at 100 TB the batch side is
+      // data-sized, so a.crossJoin(broadcast(b)) would ship the corpus
+      // to every executor. PlanBudgetSpec pins the build side.
+      b.crossJoin(broadcast(a))
         .withColumn("jaccard", round(j, 6))
         .filter(col("jaccard") >= 0.2)
         .join(found, Seq("id_a", "id_b"), "left")
         .select(col("id_a"), col("id_b"), col("jaccard"),
-          (col("jaccard") < 0.9 || coalesce(col("f"), lit(false))).as("found_ok"))
+          (col("jaccard") < 0.9 || coalesce(col("f"), lit(false)))
+            .cast("long").as("found_ok"))
     }),
 
     // BPE encode to token IDS under the pinned merge table — the
@@ -738,8 +743,11 @@ object ExtQueries {
           col("vec_id"),
           round(col("q.step"), 9).as("step"),
           expr("aggregate(q.codes, 0L, (a, c) -> a + c)").as("code_sum"),
-          round(graft.functions.VectorExpressions.vecCosine(
-            col("v"), Similarity.dequantizeInt8(col("q"))), 4).as("cos_fidelity"))
+          // nanvl -1.0: a zero vector dequantizes to zero → 0/0 cosine;
+          // DuckDB's list_cosine_similarity returns -1.0 there
+          round(nanvl(graft.functions.VectorExpressions.vecCosine(
+            col("v"), Similarity.dequantizeInt8(col("q"))), lit(-1.0)), 4)
+            .as("cos_fidelity"))
     }),
 
     // Embedding-cosine near-dup pairs within LSH buckets.
@@ -999,7 +1007,8 @@ object ExtQueries {
         .select(col("column"), col("n_rows"), col("n_null"), col("null_frac"),
           col("min_value"), col("max_value"),
           (abs(col("n_distinct_approx") - col("n_distinct")).cast("double")
-            / greatest(col("n_distinct"), lit(1L)) <= 0.15).as("approx_ok"))
+            / greatest(col("n_distinct"), lit(1L)) <= 0.15)
+            .cast("long").as("approx_ok"))
     }),
 
     // Referential-integrity check: events whose user_id has no matching
@@ -1084,11 +1093,14 @@ object ExtQueries {
     // whitespace word and chars per piece — the metric that decides
     // how many training tokens a corpus slice actually buys (fertility
     // near 1 = cheap latin text; high = scripts the tokenizer
-    // fragments). Ratios emitted in integer micro-units via BIGINT
-    // floor-division: the gate spelling is fp-free end to end. (At a
-    // true 100 TB the ×1e6 pre-multiply would want the per-group sums
-    // folded first — chars ≈ 1e14 × 1e6 brushes the int64 ceiling;
-    // the DIV-of-sums shape itself is one partial-agg shuffle.)
+    // fragments). Ratios emitted in integer micro-units via
+    // floor-division with the ×1e6 pre-multiply routed through
+    // DECIMAL(38,0): a 100 TB corpus has sum(chars) ≈ 1e14 and
+    // 1e14 × 1e6 = 1e20 > 2^63, which non-ANSI BIGINT arithmetic
+    // would WRAP silently — decimal keeps the intermediate exact and
+    // the quotient (≈ chars/tokens × 1e6, always small) lands back in
+    // BIGINT. Oracle mirrors via HUGEINT. Still one partial-agg
+    // shuffle; the gate spelling stays fp-free end to end.
     "q_ext_token_fertility" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(col("lang"))
@@ -1099,8 +1111,10 @@ object ExtQueries {
           sum(TextStats.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))
         .select(col("lang"), col("docs"), col("chars"),
           col("ws_tokens"), col("bpe_tokens"),
-          expr("(bpe_tokens * 1000000L) DIV ws_tokens").as("fertility_micro"),
-          expr("(chars * 1000000L) DIV bpe_tokens").as("chars_per_token_micro"))),
+          expr("CAST((CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000)" +
+            " DIV ws_tokens AS BIGINT)").as("fertility_micro"),
+          expr("CAST((CAST(chars AS DECIMAL(38,0)) * 1000000)" +
+            " DIV bpe_tokens AS BIGINT)").as("chars_per_token_micro"))),
 
     // Neyman-optimal stratified sample allocation (variance-minimizing
     // n_h ∝ N_h·S_h): the eval-set construction step after splits —
@@ -1111,13 +1125,15 @@ object ExtQueries {
         Tables.documents(s, dir), "lang", "n_chars", n = 500L)),
 
     // Per-source duplicate-rate report — the curation dashboard row
-    // that decides which crawl sources need aggressive dedup. Exact
-    // distinct on content, BIGINT micro-unit rate; one Expand-rewritten
-    // grouped aggregate.
+    // that decides which crawl sources need aggressive dedup. Distinct
+    // is folded through the md5-64 content fingerprint (the exact-dedup
+    // key, ~8 bytes/row) so the shuffle never carries raw documents as
+    // distinct keys — same answer, data-sized keys gone; BIGINT
+    // micro-unit rate; one Expand-rewritten grouped aggregate.
     "q_ext_dup_rate_by_source" -> ((s, dir) =>
       Tables.documents(s, dir).groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("text")).as("n_distinct"))
+          countDistinct(TextStats.fingerprintMd5(col("text"))).as("n_distinct"))
         .select(col("source"), col("n_docs"), col("n_distinct"),
           expr("((n_docs - n_distinct) * 1000000L) DIV n_docs")
             .as("dup_rate_micro"))),
@@ -1222,11 +1238,13 @@ object ExtQueries {
       val varOk = (0 until k).forall(c =>
         math.abs(varRow.getDouble(c) - comps(c)._1) <=
           1e-3 * math.max(comps.head._1, 1e-12))
+      // 0/1 BIGINT per the round-7 safe-alphabet law (raw BOOLEANs are
+      // hash-render hazards at the driver's compare)
       s.range(1).select(
-        lit(ortho).as("orthonormal"),
-        lit(sorted).as("eigvals_sorted"),
-        lit(resid).as("eigen_residual_ok"),
-        lit(varOk).as("projected_variance_ok"))
+        lit(if (ortho) 1L else 0L).as("orthonormal"),
+        lit(if (sorted) 1L else 0L).as("eigvals_sorted"),
+        lit(if (resid) 1L else 0L).as("eigen_residual_ok"),
+        lit(if (varOk) 1L else 0L).as("projected_variance_ok"))
     }),
 
     // Repeated-substring spans (Lee et al.-style exact-substring dedup,
@@ -1728,8 +1746,8 @@ object ExtQueries {
       top1.crossJoin(broadcast(approx))
         .select(
           array_contains(col("approx_set"), col("top_user"))
-            .as("top_key_found"),
-          (size(col("approx_set")) > 0).as("has_items"))
+            .cast("long").as("top_key_found"),
+          (size(col("approx_set")) > 0).cast("long").as("has_items"))
     }),
 
     // Versioned copy-on-write snapshots (lakehouse commit-log
@@ -1847,7 +1865,8 @@ object ExtQueries {
       pruned.filter(col("d").between("2024-01-05", "2024-01-07"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
-        .withColumn("prune_effective", lit(nRead < nTotal && nRead > 0))
+        .withColumn("prune_effective",
+          lit(if (nRead < nTotal && nRead > 0) 1L else 0L))
     }),
 
     // Trapezoidal integration of each irregular event series — the
@@ -2106,10 +2125,10 @@ object ExtQueries {
       val rep = concat_ws(" ", array_repeat(lit("spark"), 60))
       Tables.documents(s, dir).select(
         col("doc_id"),
-        (d2 < d1 * 2).as("doubling_compresses"),
-        (d1 > 0 && d1 <= octet_length(col("text")) + 64).as("bounded"),
+        (d2 < d1 * 2).cast("long").as("doubling_compresses"),
+        (d1 > 0 && d1 <= octet_length(col("text")) + 64).cast("long").as("bounded"),
         (TextStats.compressionRatio(rep) < TextStats.compressionRatio(col("text")))
-          .as("repetition_lower"))
+          .cast("long").as("repetition_lower"))
     }),
 
     // Deflate lengths of four constructed strings vs values pinned at
@@ -2159,7 +2178,8 @@ object ExtQueries {
         graft.functions.Bpe.bpeEncode(col("text")))
       Tables.documents(s, dir).select(
         col("doc_id"),
-        (decoded === replace(col("text"), lit(" "), lit(""))).as("round_trip"),
+        (decoded === replace(col("text"), lit(" "), lit("")))
+          .cast("long").as("round_trip"),
         length(decoded).cast("long").as("n_chars_decoded"))
     }),
 
@@ -2193,9 +2213,9 @@ object ExtQueries {
         nfc.as("nfc_text"),
         length(aug).cast("long").as("n_before"),
         length(nfc).cast("long").as("n_after"),
-        (nfc =!= aug).as("changed"),
+        (nfc =!= aug).cast("long").as("changed"),
         (TextStats.nfkcNormalize(lit("\ufb01 \uff11\uff12\uff13")) === lit("fi 123"))
-          .as("nfkc_folds"))
+          .cast("long").as("nfkc_folds"))
     }),
 
     // Interpolated-bigram LM scoring (the word-order-aware upgrade of
@@ -2575,9 +2595,9 @@ object ExtQueries {
         col("n_exact"), col("n_store_rows").as("n_days"),
         (abs(col("est_distinct") - col("est_direct")).cast("double") <=
           greatest(lit(0.07) * col("n_exact"), lit(2.0)))
-          .as("union_agrees"),
+          .cast("long").as("union_agrees"),
         (abs(col("est_distinct") - col("n_exact")) <=
-          lit(0.05) * col("n_exact")).as("est_ok"))
+          lit(0.05) * col("n_exact")).cast("long").as("est_ok"))
     }),
 
     // Persisted per-day histogram STORE — the quantile twin of the HLL
@@ -2618,7 +2638,7 @@ object ExtQueries {
       est.join(exact, "q_pct")
         .select(col("q_pct"), col("n"), col("est"), col("exact"),
           (abs(col("est") - col("exact")) <= lit((hi - lo) / bins))
-            .as("within_bin"))
+            .cast("long").as("within_bin"))
     }),
 
     // A-priori frequent token pairs: monotonicity prunes candidates to
@@ -3200,15 +3220,17 @@ object ExtQueries {
         |  FROM v, cent),
         |asg AS (SELECT vec_id, vv, cell FROM r WHERE rk = 1),
         |mr AS (
-        |  SELECT vec_id, cell,
+        |  SELECT vec_id, vv, cell,
         |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS mrk
         |  FROM asg),
+        |sc AS (SELECT vec_id, vv, cell FROM mr WHERE mrk <= 10000),
         |dup AS (
         |  SELECT DISTINCT b.vec_id
-        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  FROM sc a JOIN sc b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |  WHERE round(list_cosine_similarity(a.vv, b.vv), 4) >= 0.3)
-        |SELECT asg.vec_id, asg.cell, (dup.vec_id IS NULL) AS kept,
-        |       (mr.mrk <= 10000) AS scanned
+        |SELECT asg.vec_id, asg.cell,
+        |       CAST(dup.vec_id IS NULL AS BIGINT) AS kept,
+        |       CAST(mr.mrk <= 10000 AS BIGINT) AS scanned
         |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
         |JOIN mr ON mr.vec_id = asg.vec_id""".stripMargin,
 
@@ -3279,7 +3301,7 @@ object ExtQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(len(list_intersect(a.sh, b.sh)) * 1.0
         |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
-        |       TRUE AS found_ok
+        |       CAST(1 AS BIGINT) AS found_ok
         |FROM sh a, sh b
         |WHERE a.doc_id < 250 AND b.doc_id >= 250
         |  AND round(len(list_intersect(a.sh, b.sh)) * 1.0
@@ -3468,7 +3490,7 @@ object ExtQueries {
         |             / greatest(count(*), 1), 6) AS null_frac,
         |       CAST(min(lang) AS VARCHAR) AS min_value,
         |       CAST(max(lang) AS VARCHAR) AS max_value,
-        |       TRUE AS approx_ok
+        |       CAST(1 AS BIGINT) AS approx_ok
         |FROM documents
         |UNION ALL
         |SELECT 'source', count(*),
@@ -3544,10 +3566,16 @@ object ExtQueries {
         |  SELECT rid + 90000000 AS rid, 'X' || substring(name, 2) AS name,
         |         nation, bal + 5.0 AS bal, seg, phone
         |  FROM base WHERE rid % 29 = 3),
-        |rec AS (
+        |rec0 AS (
         |  SELECT *, substring(phone, 1, 4) AS block FROM
         |  (SELECT * FROM base UNION ALL SELECT * FROM dup1
         |   UNION ALL SELECT * FROM dup2)),
+        |rec AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY nation, block
+        |                                 ORDER BY rid) AS brn
+        |    FROM rec0)
+        |  WHERE brn <= 10000),
         |p AS (
         |  SELECT a.rid AS id_a, b.rid AS id_b,
         |         (CASE WHEN a.name = b.name THEN 6
@@ -3626,8 +3654,9 @@ object ExtQueries {
         |         (-1.0 / 0.5) * sign(uu) * ln(1 - 2 * abs(uu)) AS noise
         |  FROM u)
         |SELECT lang, true_n,
-        |       round(true_n + noise, 6) + 0.0 AS noisy_n,
-        |       CAST(abs(noise) <= ln(1000003.0) / 0.5 AS INT)
+        |       CAST(round(CAST(true_n + noise AS DECIMAL(28,15)), 6)
+        |            AS DOUBLE) + 0.0 AS noisy_n,
+        |       CAST(abs(noise) <= ln(1000003.0) / 0.5 + 1e-9 AS INT)
         |         AS noise_bound_ok
         |FROM z""".stripMargin,
 
@@ -3650,10 +3679,10 @@ object ExtQueries {
         |         CAST(sum(bpe) AS BIGINT) AS bpe_tokens
         |  FROM t GROUP BY 1)
         |SELECT lang, docs, chars, ws_tokens, bpe_tokens,
-        |       CAST((bpe_tokens * 1000000) // ws_tokens AS BIGINT)
-        |         AS fertility_micro,
-        |       CAST((chars * 1000000) // bpe_tokens AS BIGINT)
-        |         AS chars_per_token_micro
+        |       CAST((CAST(bpe_tokens AS HUGEINT) * 1000000) // ws_tokens
+        |         AS BIGINT) AS fertility_micro,
+        |       CAST((CAST(chars AS HUGEINT) * 1000000) // bpe_tokens
+        |         AS BIGINT) AS chars_per_token_micro
         |FROM g""".stripMargin,
 
     // Neyman replay: exact integer moments, IEEE-identical sqrt, the
@@ -3671,16 +3700,17 @@ object ExtQueries {
         |  FROM m),
         |w AS (SELECT lang, n_rows, sd,
         |             CAST(n_rows AS DOUBLE) * sd AS w_num FROM sdt),
-        |t AS (SELECT sum(w_num) AS w_total FROM w)
+        |t AS (SELECT CAST(sum(CAST(w_num AS DECIMAL(38,6))) AS DOUBLE)
+        |        AS w_total FROM w)
         |SELECT lang, n_rows, round(sd, 6) + 0.0 AS stddev,
         |       CAST(floor(500.0 * w_num / w_total) AS BIGINT) AS alloc
         |FROM w, t""".stripMargin,
 
     "q_ext_dup_rate_by_source" ->
       """SELECT source, count(*) AS n_docs,
-        |       count(DISTINCT text) AS n_distinct,
-        |       ((count(*) - count(DISTINCT text)) * 1000000) // count(*)
-        |         AS dup_rate_micro
+        |       count(DISTINCT substring(md5(text), 1, 16)) AS n_distinct,
+        |       ((count(*) - count(DISTINCT substring(md5(text), 1, 16)))
+        |         * 1000000) // count(*) AS dup_rate_micro
         |FROM documents GROUP BY 1""".stripMargin,
 
     // Outlier replay: row_number assignment == the engine's
@@ -3772,8 +3802,10 @@ object ExtQueries {
         |         AS neg_zero_norm""".stripMargin,
 
     "q_ext_pca_contract" ->
-      """SELECT TRUE AS orthonormal, TRUE AS eigvals_sorted,
-        |       TRUE AS eigen_residual_ok, TRUE AS projected_variance_ok""".stripMargin,
+      """SELECT CAST(1 AS BIGINT) AS orthonormal,
+        |       CAST(1 AS BIGINT) AS eigvals_sorted,
+        |       CAST(1 AS BIGINT) AS eigen_residual_ok,
+        |       CAST(1 AS BIGINT) AS projected_variance_ok""".stripMargin,
 
     "q_ext_repeated_spans" ->
       """WITH toks AS (
@@ -3813,7 +3845,7 @@ object ExtQueries {
          |  FROM toks),
          |z AS (SELECT doc_id, avg($w) AS z FROM b GROUP BY 1)
          |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
-         |       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+         |       CAST(round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS BIGINT) AS keep
          |FROM z""".stripMargin
     },
 
@@ -4110,7 +4142,7 @@ object ExtQueries {
         |       min(sec) AS start_sec, max(sec) AS end_sec,
         |       string_agg(CASE WHEN rk <= 8 THEN turn END,
         |                  ' ' ORDER BY rk) AS transcript,
-        |       (count(*) > 8) AS truncated
+        |       CAST(count(*) > 8 AS BIGINT) AS truncated
         |FROM ranked GROUP BY 1, 2""".stripMargin,
 
     "q_ext_mix_temperature" ->
@@ -4255,9 +4287,14 @@ object ExtQueries {
         |         NOT contains(lower(trim(text)), 'lorem ipsum') AS no_lorem,
         |         NOT contains(lower(trim(text)), 'javascript') AS no_js
         |  FROM documents)
-        |SELECT doc_id, ends_with_punct, long_enough, no_brace, no_lorem, no_js,
-        |       (ends_with_punct AND long_enough AND no_brace AND no_lorem
-        |        AND no_js) AS keep
+        |SELECT doc_id,
+        |       CAST(ends_with_punct AS BIGINT) AS ends_with_punct,
+        |       CAST(long_enough AS BIGINT) AS long_enough,
+        |       CAST(no_brace AS BIGINT) AS no_brace,
+        |       CAST(no_lorem AS BIGINT) AS no_lorem,
+        |       CAST(no_js AS BIGINT) AS no_js,
+        |       CAST(ends_with_punct AND long_enough AND no_brace AND no_lorem
+        |            AND no_js AS BIGINT) AS keep
         |FROM r""".stripMargin,
 
     "q_ext_contamination" ->
@@ -4289,7 +4326,7 @@ object ExtQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(len(list_intersect(a.sh, b.sh)) * 1.0
         |             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard,
-        |       TRUE AS est_ok
+        |       CAST(1 AS BIGINT) AS est_ok
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 10""".stripMargin,
 
     "q_ext_zorder3_value" -> {
@@ -4343,7 +4380,8 @@ object ExtQueries {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT user_id, v, sec AS valid_from,
         |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec) AS valid_to,
-        |       lead(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL AS is_current
+        |       CAST(lead(sec) OVER (PARTITION BY user_id ORDER BY sec)
+        |            IS NULL AS BIGINT) AS is_current
         |FROM ch""".stripMargin,
 
     // The Bloom prune is transparent by construction (no false
@@ -4480,7 +4518,7 @@ object ExtQueries {
     // counter sketch; the exact side is already oracle-gated via
     // q_ext_skew_profile).
     "q_ext_freq_items" ->
-      "SELECT TRUE AS top_key_found, TRUE AS has_items",
+      "SELECT CAST(1 AS BIGINT) AS top_key_found, CAST(1 AS BIGINT) AS has_items",
 
     "q_ext_time_travel" ->
       """SELECT 1 AS version, count(*) AS n_docs,
@@ -4500,7 +4538,7 @@ object ExtQueries {
 
     "q_ext_manifest_prune" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
-        |       TRUE AS prune_effective
+        |       CAST(1 AS BIGINT) AS prune_effective
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
         |GROUP BY 1""".stripMargin,
@@ -4951,8 +4989,9 @@ object ExtQueries {
         |JOIN sizes sb ON sb.source = source_b""".stripMargin,
 
     "q_ext_compress_contract" ->
-      """SELECT doc_id, true AS doubling_compresses, true AS bounded,
-        |       true AS repetition_lower
+      """SELECT doc_id, CAST(1 AS BIGINT) AS doubling_compresses,
+        |       CAST(1 AS BIGINT) AS bounded,
+        |       CAST(1 AS BIGINT) AS repetition_lower
         |FROM documents""".stripMargin,
 
     // Values measured from the committed operator (JDK zlib, level 6,
@@ -4974,7 +5013,7 @@ object ExtQueries {
          |FROM h GROUP BY 1""".stripMargin,
 
     "q_ext_bpe_decode" ->
-      """SELECT doc_id, true AS round_trip,
+      """SELECT doc_id, CAST(1 AS BIGINT) AS round_trip,
         |       length(replace(text, ' ', '')) AS n_chars_decoded
         |FROM documents""".stripMargin,
 
@@ -5078,8 +5117,8 @@ object ExtQueries {
         |  FROM documents)
         |SELECT doc_id, nfc_normalize(t) AS nfc_text,
         |  length(t) AS n_before, length(nfc_normalize(t)) AS n_after,
-        |  nfc_normalize(t) <> t AS changed,
-        |  true AS nfkc_folds
+        |  CAST(nfc_normalize(t) <> t AS BIGINT) AS changed,
+        |  CAST(1 AS BIGINT) AS nfkc_folds
         |FROM a""".stripMargin,
 
     "q_ext_script_profile" ->
@@ -5408,26 +5447,38 @@ object ExtQueries {
         |         ELSE CAST(-floor(-(x*1e15) + 0.5) AS BIGINT) END AS p1,
         |    CAST(floor(x*x*1e15 + 0.5) AS BIGINT) AS p2
         |  FROM ec),
+        |gb AS (SELECT dim, p1, p2,
+        |    CASE WHEN p1 >= 0 THEN p1 // 16777216
+        |         ELSE -((-p1 + 16777215) // 16777216) END AS h1,
+        |    CASE WHEN p2 >= 0 THEN p2 // 16777216
+        |         ELSE -((-p2 + 16777215) // 16777216) END AS h2
+        |  FROM fb),
+        |gc AS (SELECT dim, p1, p2,
+        |    CASE WHEN p1 >= 0 THEN p1 // 16777216
+        |         ELSE -((-p1 + 16777215) // 16777216) END AS h1,
+        |    CASE WHEN p2 >= 0 THEN p2 // 16777216
+        |         ELSE -((-p2 + 16777215) // 16777216) END AS h2
+        |  FROM fc),
         |sb AS (SELECT dim,
-        |    (CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
-        |      + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*) AS m,
-        |    (CAST(sum(p2 >> 24) AS DOUBLE)*16777216.0
-        |      + CAST(sum(p2 - ((p2 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)
-        |      - ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
-        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*))
-        |      * ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
-        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)) AS va
-        |  FROM fb GROUP BY 1),
+        |    (CAST(sum(h1) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p1 - h1 * 16777216) AS DOUBLE))/1e15/count(*) AS m,
+        |    (CAST(sum(h2) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p2 - h2 * 16777216) AS DOUBLE))/1e15/count(*)
+        |      - ((CAST(sum(h1) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - h1 * 16777216) AS DOUBLE))/1e15/count(*))
+        |      * ((CAST(sum(h1) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - h1 * 16777216) AS DOUBLE))/1e15/count(*)) AS va
+        |  FROM gb GROUP BY 1),
         |sc AS (SELECT dim,
-        |    (CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
-        |      + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*) AS m,
-        |    (CAST(sum(p2 >> 24) AS DOUBLE)*16777216.0
-        |      + CAST(sum(p2 - ((p2 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)
-        |      - ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
-        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*))
-        |      * ((CAST(sum(p1 >> 24) AS DOUBLE)*16777216.0
-        |          + CAST(sum(p1 - ((p1 >> 24) * 16777216)) AS DOUBLE))/1e15/count(*)) AS va
-        |  FROM fc GROUP BY 1)
+        |    (CAST(sum(h1) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p1 - h1 * 16777216) AS DOUBLE))/1e15/count(*) AS m,
+        |    (CAST(sum(h2) AS DOUBLE)*16777216.0
+        |      + CAST(sum(p2 - h2 * 16777216) AS DOUBLE))/1e15/count(*)
+        |      - ((CAST(sum(h1) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - h1 * 16777216) AS DOUBLE))/1e15/count(*))
+        |      * ((CAST(sum(h1) AS DOUBLE)*16777216.0
+        |          + CAST(sum(p1 - h1 * 16777216) AS DOUBLE))/1e15/count(*)) AS va
+        |  FROM gc GROUP BY 1)
         |SELECT sb.dim,
         |       round(sb.m, 6) AS mean_base, round(sc.m, 6) AS mean_batch,
         |       round(sb.va, 6) AS var_base, round(sc.va, 6) AS var_batch,
@@ -5441,7 +5492,7 @@ object ExtQueries {
         |t AS (SELECT w FROM w WHERE w <> ''),
         |n AS (SELECT count(*) AS n_total FROM t),
         |e AS (SELECT w AS item, count(*) AS exact_n FROM t GROUP BY 1)
-        |SELECT item, exact_n, TRUE AS present, TRUE AS within_bound
+        |SELECT item, exact_n, CAST(1 AS BIGINT) AS present, CAST(1 AS BIGINT) AS within_bound
         |FROM e, n WHERE exact_n * 40 > n_total""".stripMargin,
 
     "q_ext_ivf_incremental" ->
@@ -5545,7 +5596,8 @@ object ExtQueries {
       """WITH w AS (
         |  SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |  FROM documents)
-        |SELECT source, count(DISTINCT w) AS n_exact, TRUE AS est_ok
+        |SELECT source, count(DISTINCT w) AS n_exact,
+        |       CAST(1 AS BIGINT) AS est_ok
         |FROM w WHERE w <> '' GROUP BY 1""".stripMargin,
 
     "q_ext_hll_union" ->
@@ -5553,7 +5605,7 @@ object ExtQueries {
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
         |  FROM documents)
         |SELECT count(DISTINCT w) AS n_exact,
-        |       TRUE AS union_agrees, TRUE AS est_ok
+        |       CAST(1 AS BIGINT) AS union_agrees, CAST(1 AS BIGINT) AS est_ok
         |FROM w WHERE w <> ''""".stripMargin,
 
     "q_ext_cms_bounds" ->
@@ -5562,7 +5614,7 @@ object ExtQueries {
         |  FROM documents),
         |c AS (SELECT w AS item, count(*) AS n_exact
         |      FROM w WHERE w <> '' GROUP BY 1)
-        |SELECT item, n_exact, TRUE AS lower_ok, TRUE AS upper_ok
+        |SELECT item, n_exact, CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS upper_ok
         |FROM c ORDER BY n_exact DESC, item LIMIT 20""".stripMargin,
 
     "q_ext_zscore_roll" ->
@@ -5588,12 +5640,12 @@ object ExtQueries {
         |            THEN round((v - s1 / n_prev)
         |              / sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)), 6)
         |       END AS z,
-        |       CASE WHEN n_prev = 20
+        |       CAST(CASE WHEN n_prev = 20
         |             AND (s2 - s1 * s1 / n_prev) / (n_prev - 1) > 0
         |            THEN abs((v - s1 / n_prev)
         |              / sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)))
         |              > CAST(3.0 AS DOUBLE)
-        |       END AS is_anomaly
+        |       END AS BIGINT) AS is_anomaly
         |FROM w""".stripMargin,
 
     "q_ext_mad_outliers" ->
@@ -5672,8 +5724,8 @@ object ExtQueries {
         |        WHERE CAST(ts AS DATE)
         |              BETWEEN DATE '2024-01-08' AND DATE '2024-01-22')
         |         AS n_days,
-        |       TRUE AS union_agrees,
-        |       TRUE AS est_ok""".stripMargin,
+        |       CAST(1 AS BIGINT) AS union_agrees,
+        |       CAST(1 AS BIGINT) AS est_ok""".stripMargin,
 
     "q_ext_quantile_store" ->
       """WITH raw AS (
@@ -5705,7 +5757,7 @@ object ExtQueries {
         |  SELECT tg.q_pct, round(rk.v, 6) AS exact
         |  FROM rk JOIN tg ON rk.rn = tg.t)
         |SELECT e.q_pct, e.n, e.est, x.exact,
-        |       abs(e.est - x.exact) <= 2.0 AS within_bin
+        |       CAST(abs(e.est - x.exact) <= 2.0 AS BIGINT) AS within_bin
         |FROM estv e JOIN ex x USING (q_pct)""".stripMargin,
 
     "q_ext_retention_expiry" ->
@@ -5766,7 +5818,7 @@ object ExtQueries {
         |         AS n_after,
         |       (SELECT count(*) FROM t) AS n_tombstoned,
         |       CAST(0 AS BIGINT) AS deleted_remaining,
-        |       TRUE AS survivors_intact""".stripMargin,
+        |       CAST(1 AS BIGINT) AS survivors_intact""".stripMargin,
 
     "q_ext_frequent_pairs" ->
       """WITH toks AS (
@@ -5923,9 +5975,9 @@ object ExtQueries {
         |       CAST(sum(in_b) AS BIGINT) AS n_b,
         |       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
         |       count(*) AS n_union,
-        |       TRUE AS merge_eq_direct,
-        |       TRUE AS union_est_ok,
-        |       TRUE AS inter_est_ok
+        |       CAST(1 AS BIGINT) AS merge_eq_direct,
+        |       CAST(1 AS BIGINT) AS union_est_ok,
+        |       CAST(1 AS BIGINT) AS inter_est_ok
         |FROM g""".stripMargin,
 
     "q_ext_cohen_kappa" ->
@@ -5981,26 +6033,27 @@ object ExtQueries {
         |SELECT 'not_null' AS "constraint", 'text' AS col_name,
         |       round(nn_text / greatest(n, 1), 6) AS observed,
         |       CAST(1.0 AS DOUBLE) AS threshold,
-        |       nn_text / greatest(n, 1) >= 1.0 AS passed FROM a
+        |       CAST(nn_text / greatest(n, 1) >= 1.0 AS BIGINT) AS passed
+        |FROM a
         |UNION ALL
         |SELECT 'unique', 'doc_id',
         |       round(nd_doc / greatest(nn_doc, 1), 6),
         |       CAST(1.0 AS DOUBLE),
-        |       nd_doc / greatest(nn_doc, 1) >= 1.0 FROM a
+        |       CAST(nd_doc / greatest(nn_doc, 1) >= 1.0 AS BIGINT) FROM a
         |UNION ALL
         |SELECT 'in_set', 'lang',
         |       round(in_lang / greatest(nn_lang, 1), 6),
         |       CAST(0.8 AS DOUBLE),
-        |       in_lang / greatest(nn_lang, 1) >= 0.8 FROM a
+        |       CAST(in_lang / greatest(nn_lang, 1) >= 0.8 AS BIGINT) FROM a
         |UNION ALL
         |SELECT 'between', 'n_chars',
         |       round(in_chars / greatest(nn_chars, 1), 6),
         |       CAST(0.95 AS DOUBLE),
-        |       in_chars / greatest(nn_chars, 1) >= 0.95 FROM a
+        |       CAST(in_chars / greatest(nn_chars, 1) >= 0.95 AS BIGINT) FROM a
         |UNION ALL
         |SELECT 'matches', 'source',
         |       round(m_src / greatest(nn_src, 1), 6),
         |       CAST(1.0 AS DOUBLE),
-        |       m_src / greatest(nn_src, 1) >= 1.0 FROM a""".stripMargin,
+        |       CAST(m_src / greatest(nn_src, 1) >= 1.0 AS BIGINT) FROM a""".stripMargin,
   )
 }

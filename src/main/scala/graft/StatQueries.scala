@@ -391,7 +391,8 @@ object StatQueries {
          |  WHERE a.k = 'click' AND b.k = 'view' AND b.h = a.h + l.lag * 3600),
          |r AS (${pearsonSql("lag")} FROM p GROUP BY 1),
          |b AS (SELECT lag FROM r ORDER BY abs(r) DESC, lag LIMIT 1)
-         |SELECT lag, n, r, lag = (SELECT lag FROM b) AS best FROM r""".stripMargin,
+         |SELECT lag, n, r,
+         |       CAST(lag = (SELECT lag FROM b) AS BIGINT) AS best FROM r""".stripMargin,
 
     "q_ext_cusum" ->
       """WITH st AS (
@@ -611,7 +612,8 @@ object StatQueries {
         |         round(CAST(CAST(np + nn AS HUGEINT) * det * det AS DOUBLE)
         |           / CAST(CAST(a + b AS HUGEINT) * ((np - a) + (nn - b))
         |               * np * nn AS DOUBLE), 6) END AS chi2,
-        |       CAST(a AS HUGEINT) * nn > CAST(b AS HUGEINT) * np AS pos_assoc
+        |       CAST(CAST(a AS HUGEINT) * nn > CAST(b AS HUGEINT) * np
+        |            AS BIGINT) AS pos_assoc
         |FROM x""".stripMargin,
 
     "q_ext_nearest_station" ->
@@ -656,7 +658,8 @@ object StatQueries {
         |f AS (SELECT *, p * m * 20.0 <= CAST(1 * i AS DOUBLE) AS ok FROM r),
         |c AS (SELECT CAST(coalesce(max(CASE WHEN ok THEN i END), 0) AS BIGINT)
         |        AS i_cut FROM f)
-        |SELECT event_id, round(p, 6) AS p, i, ok, i <= i_cut AS rejected
+        |SELECT event_id, round(p, 6) AS p, i, CAST(ok AS BIGINT) AS ok,
+        |       CAST(i <= i_cut AS BIGINT) AS rejected
         |FROM f, c""".stripMargin,
 
     "q_ext_retention" ->
@@ -765,8 +768,8 @@ object StatQueries {
         |SELECT n, round(CAST(nb AS DOUBLE) / n, 6) AS true_rate,
         |       round(CAST(nr AS DOUBLE) / n, 6) AS reported_rate,
         |       round(2.0 * (CAST(nr AS DOUBLE) / n) - 0.5, 6) AS debiased,
-        |       abs(2.0 * (CAST(nr AS DOUBLE) / n) - 0.5
-        |         - CAST(nb AS DOUBLE) / n) <= 0.02 AS est_ok
+        |       CAST(abs(2.0 * (CAST(nr AS DOUBLE) / n) - 0.5
+        |         - CAST(nb AS DOUBLE) / n) <= 0.02 AS BIGINT) AS est_ok
         |FROM a""".stripMargin,
 
     "q_ext_k_anonymity" ->

@@ -59,7 +59,7 @@ object Assembly {
       .withColumn("transcript",
         array_join(transform(slice(col("__ts"), 1, maxTurns),
           x => x("turn")), " "))
-      .withColumn("truncated", col("n_turns") > maxTurns)
+      .withColumn("truncated", (col("n_turns") > maxTurns).cast("long"))
       .drop("__ts")
   }
 

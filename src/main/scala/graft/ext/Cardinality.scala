@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Cardinality / frequency SKETCHES — the constant-memory summaries
@@ -24,7 +24,8 @@ import org.apache.spark.util.sketch.CountMinSketch
   * Gate design (the q_ext_minhash_est pattern): sketch register values
   * are engine-specific, so the gates hash-check the EXACT counts both
   * engines can compute and pin the sketch's statistical contract as
-  * booleans the oracle asserts TRUE — relative error for HLL (Spark's
+  * 0/1 BIGINT flags the oracle asserts 1 (the safe-alphabet law:
+  * raw BOOLEANs are hash-render hazards at the driver compare) — relative error for HLL (Spark's
   * Datasketches HLL at lgK=12: 1.04/sqrt(4096) ≈ 1.6% rel std err, so
   * ±5% is a ≈3σ bound), and the one-sided Cormode-Muthukrishnan bounds
   * for CMS (never undercounts; overcount ≤ eps·N with prob ≥ conf).
@@ -45,7 +46,7 @@ object Cardinality {
         hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK))).as("_est"))
       .select(col(groupCol), col("n_exact"),
         (abs(col("_est") - col("n_exact")) <=
-          lit(relTol) * col("n_exact")).as("est_ok"))
+          lit(relTol) * col("n_exact")).cast("long").as("est_ok"))
 
   /** The MERGEABILITY contract: split the input on `splitCol` parity,
     * sketch each split independently, union the partial sketches, and
@@ -76,9 +77,9 @@ object Cardinality {
       .select(col("n_exact"),
         (abs(col("_est_u") - col("_est_d")).cast("double") <=
           greatest(lit(2.0 * relTol) * col("n_exact"), lit(2.0)))
-          .as("union_agrees"),
+          .cast("long").as("union_agrees"),
         (abs(col("_est_u") - col("n_exact")) <=
-          lit(relTol) * col("n_exact")).as("est_ok"))
+          lit(relTol) * col("n_exact")).cast("long").as("est_ok"))
   }
 
   /** Count-min-sketch frequency bounds for the `k` heaviest items of
@@ -114,14 +115,15 @@ object Cardinality {
       val item = r.getString(0)
       val exact = r.getLong(1)
       val est = cms.estimateCount(item)
-      Row(item, exact, est >= exact, est <= exact + margin)
+      Row(item, exact, if (est >= exact) 1L else 0L,
+        if (est <= exact + margin) 1L else 0L)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
       StructType(Seq(
         StructField("item", StringType),
         StructField("n_exact", LongType),
-        StructField("lower_ok", BooleanType),
-        StructField("upper_ok", BooleanType))))
+        StructField("lower_ok", LongType),
+        StructField("upper_ok", LongType))))
   }
 }

@@ -133,6 +133,6 @@ object Collocations {
             (dec(col("a") + col("b")) * dec(col("c") + col("d")) *
               dec(col("np")) * dec(col("nn"))).cast("double"))).as("chi2"),
         (dec(col("a")) * dec(col("nn")) >
-          dec(col("b")) * dec(col("np"))).as("pos_assoc"))
+          dec(col("b")) * dec(col("np"))).cast("long").as("pos_assoc"))
   }
 }

@@ -653,21 +653,52 @@ object Dedup {
   /** Near-dup pairs with Hamming distance ≤ `maxHamming` between SimHash
     * fingerprints, using 16-bit band blocking (any pair within Hamming 3
     * of a 64-bit hash shares at least one of 4 16-bit bands intact).
+    *
+    * Pair GENERATION is bounded per doc per band by a sorted
+    * neighborhood of `maxNeighbors`: within each (band, band_key)
+    * bucket, members are ranked by (sh, id) and each member pairs only
+    * with its next `maxNeighbors` successors. Without the cap, random
+    * 16-bit band-key collisions grow as N²/2¹⁶ — at 10× corpus the
+    * banded self-join went 15× (the one dedup tier still superlinear
+    * after round 7); with it, per-doc work is O(bands · maxNeighbors).
+    * Sorting by the FULL fingerprint first means identical/near-identical
+    * fingerprints (the duplicate-class case the operator exists for)
+    * are rank-adjacent, so a class of m docs stays transitively
+    * connected through its neighbor chain at O(m·w) pairs instead of
+    * O(m²) — the same contract shape as [[capCandidatesPerDoc]]'s j=8
+    * on the edit-distance verify tier. `capBuckets` still bounds
+    * degenerate buckets ahead of the rank.
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256, maxNeighbors: Int = 32): DataFrame = {
+    require(maxNeighbors >= 1, s"maxNeighbors must be >= 1, got $maxNeighbors")
     val fp = simHashes(df, idCol, textCol)
     val banded = capBuckets(fp.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xFFFFL))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key"), maxBucket)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key")
+    val ranked = banded
+      .withColumn("rn", row_number().over(bucket.orderBy(col("sh"), col("id"))))
+      .withColumn("sz", count(lit(1)).over(bucket))
+    // Probe ranks rn+1 .. min(rn+w, sz): an empty guard (not a bare
+    // sequence) because Spark's sequence(a, b) DESCENDS when a > b.
+    val probes = ranked
+      .filter(col("rn") < col("sz"))
+      .select(col("band"), col("band_key"),
+        col("id").as("id_x"), col("sh").as("sh_x"),
+        explode(sequence(col("rn") + 1,
+          least(col("rn") + maxNeighbors, col("sz")))).as("rn"))
+    probes
+      .join(ranked.select(col("band"), col("band_key"), col("rn"),
+        col("id").as("id_y"), col("sh").as("sh_y")),
+        Seq("band", "band_key", "rn"))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        bit_count(col("sh_x").bitwiseXOR(col("sh_y"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

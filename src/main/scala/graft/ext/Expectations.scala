@@ -112,7 +112,7 @@ object Expectations {
         lit(c.column).as("col_name"),
         round(raw, 6).as("observed"),
         lit(c.threshold).as("threshold"),
-        c.passed(raw).as("passed"))
+        c.passed(raw).cast("long").as("passed"))
     }
     one.select(explode(array(reports: _*)).as("r")).select("r.*")
   }

@@ -82,11 +82,14 @@ object HeavyHitters {
       .crossJoin(broadcast(summary))
       .select(
         col("item"), col("exact_n"),
-        col("summary").getItem(col("item")).isNotNull.as("present"),
+        // 0/1 BIGINT per the safe-alphabet law (raw BOOLEANs are
+        // hash-render hazards at the driver compare)
+        col("summary").getItem(col("item")).isNotNull
+          .cast("long").as("present"),
         (coalesce(col("summary").getItem(col("item")), lit(0L)).cast("double")
           .between(
             col("exact_n").cast("double") - col("n_total").cast("double") / k,
             col("exact_n").cast("double")))
-          .as("within_bound"))
+          .cast("long").as("within_bound"))
   }
 }

@@ -39,7 +39,7 @@ object IvfStore {
     * oracle-replayable.
     */
   def assign(vecs: DataFrame, centroids: DataFrame, simScale: Int = 4): DataFrame = {
-    val cos = Similarity.fastCosine(vecs) _
+    val cos = Similarity.safeCosine(vecs) _
     val cents = broadcast(centroids.select(col("id").as("cent_id"),
       Similarity.asDouble(col("vec")).as("cvec")))
     val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
@@ -88,7 +88,7 @@ object IvfStore {
   def searchStore(spark: SparkSession, queries: DataFrame, store: String,
       k: Int, nProbe: Int, simScale: Int = 4): DataFrame = {
     val postings = spark.table(s"${store}_postings")
-    val cos = Similarity.fastCosine(postings) _
+    val cos = Similarity.safeCosine(postings) _
     val cents = broadcast(spark.table(s"${store}_centroids")
       .select(col("id").as("cent_id"), col("vec").as("cvec")))
     val probeW = Window.partitionBy("query_id")

@@ -5,7 +5,7 @@ import java.util.Arrays
 import org.apache.spark.sql.{DataFrame, Encoder, Row}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** K-minimum-values (KMV / bottom-k) distinct sketch — the set-algebra
   * sketch HLL cannot be (Bar-Yossef et al. RANDOM'02; Beyer et al.
@@ -153,17 +153,19 @@ object Kmv {
     val estInter = jaccardEstimate(a, b, k) * estU
     val tolU = math.max(relTol * nUnion, 4.0)
     val tolI = math.max(relTol * nUnion, 4.0) // intersection error scales with union
+    // 0/1 BIGINT flags per the safe-alphabet law (raw BOOLEANs are
+    // hash-render hazards at the driver compare)
     val row = Row(nA, nB, nInter, nUnion,
-      Arrays.equals(merged, direct),
-      math.abs(estU - nUnion) <= tolU,
-      math.abs(estInter - nInter) <= tolI)
+      if (Arrays.equals(merged, direct)) 1L else 0L,
+      if (math.abs(estU - nUnion) <= tolU) 1L else 0L,
+      if (math.abs(estInter - nInter) <= tolI) 1L else 0L)
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row), 1),
       StructType(Seq(
         StructField("n_a", LongType), StructField("n_b", LongType),
         StructField("n_inter", LongType), StructField("n_union", LongType),
-        StructField("merge_eq_direct", BooleanType),
-        StructField("union_est_ok", BooleanType),
-        StructField("inter_est_ok", BooleanType))))
+        StructField("merge_eq_direct", LongType),
+        StructField("union_est_ok", LongType),
+        StructField("inter_est_ok", LongType))))
   }
 }

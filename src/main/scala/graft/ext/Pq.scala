@@ -61,7 +61,7 @@ object Pq {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, mSub: Int, subDim: Int,
       simScale: Int = 4): DataFrame = {
-    val cos = Similarity.fastCosine(corpus) _
+    val cos = Similarity.safeCosine(corpus) _
     val subs = (0 until mSub).map { m =>
       corpus.select(col(idCol).as("vec_id"), lit(m).as("sub"),
         Similarity.asDouble(subVec(col(vecCol), m, subDim)).as("sv"))

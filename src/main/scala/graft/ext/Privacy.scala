@@ -68,7 +68,8 @@ object Privacy {
         round(lit(2.0) * (col("nr").cast("double") / col("n")) - 0.5, 6)
           .as("debiased"),
         (abs(lit(2.0) * (col("nr").cast("double") / col("n")) - 0.5 -
-          col("nb").cast("double") / col("n")) <= tolerance).as("est_ok"))
+          col("nb").cast("double") / col("n")) <= tolerance)
+          .cast("long").as("est_ok"))
   }
 
   /** ε-differentially-private noisy counts per `keyCol` — the Laplace
@@ -107,13 +108,22 @@ object Privacy {
     val residue = pmod(seed * 2654435761L, lit(1000003L))
     val u = (residue.cast("double") + 0.5) / 1000003.0 - 0.5
     val noise = lit(-1.0 / eps) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
-    // worst |noise| at this residue grid: (1/eps)·ln(1000003)
-    val bound = math.log(1000003.0) / eps
+    // Worst |noise| at this residue grid is (1/eps)·ln(1000003) — but
+    // ln is NOT an IEEE correctly-rounded-required op, so Java's
+    // Math.log and the driver libm's may differ by 1 ulp; at the
+    // extreme residue `abs(noise) <= bound` is an exact-equality
+    // boundary that a cross-engine ulp could flip. The +1e-9 slack
+    // (mirrored in the oracle) is ~1e6 ulps wide at this magnitude —
+    // far above any libm disagreement, far below the next residue.
+    val bound = math.log(1000003.0) / eps + 1e-9
     counts.select(
       col(keyCol),
       col(countCol).cast("long").as("true_n"),
-      // + 0.0 normalizes any signed zero (fleet-wide -0.0 ban)
-      (round(col(countCol) + noise, 6) + lit(0.0)).as("noisy_n"),
+      // decimal-pinned round (the LogReg-weight idiom) + 0.0 signed-zero
+      // normalization: shrinks the 6-dp round-tie window a ln() ulp
+      // could otherwise straddle
+      (round((col(countCol) + noise).cast("decimal(28,15)"), 6)
+        .cast("double") + lit(0.0)).as("noisy_n"),
       (abs(noise) <= bound).cast("int").as("noise_bound_ok"))
   }
 
@@ -216,6 +226,6 @@ object Privacy {
           coalesce(col("s_after"), lit(0).cast("decimal(38,0)")) ===
             col("s_before") -
               coalesce(col("s_tomb"), lit(0).cast("decimal(38,0)")))
-          .as("survivors_intact"))
+          .cast("long").as("survivors_intact"))
   }
 }

@@ -68,6 +68,6 @@ object QualityModel {
       .agg((sum(col("w")) / count(lit(1))).as("z"))
       .select(col(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), scale).as("score"))
-      .withColumn("keep", col("score") >= threshold)
+      .withColumn("keep", (col("score") >= threshold).cast("long"))
   }
 }

@@ -275,7 +275,18 @@ object Sampling {
           .cast("double")
           / (col("n_rows").cast("double") * col("n_rows"))))
       .withColumn("w_num", col("n_rows").cast("double") * col("sd"))
-    val total = m.agg(sum(col("w_num")).as("w_total"))
+    // The strata total is summed in DECIMAL(38,6), not double: a double
+    // sum of irrational w_num values is ORDER-DEPENDENT (Spark's
+    // partial-agg merge order is run-to-run free, DuckDB's differs too),
+    // and `floor(n·w/w_total)` sits one ulp from flipping an alloc at
+    // an integer boundary. Each w_num quantizes to the same micro-unit
+    // decimal on both engines (a binary double can never land on a
+    // .5e-6 decimal tie), decimal addition is exact and commutative,
+    // and the single decimal→double cast at the end is the same nearest
+    // double everywhere — the division then sees identical operands in
+    // every run and engine. Oracle mirrors the spelling.
+    val total = m.agg(
+      sum(col("w_num").cast("decimal(38,6)")).cast("double").as("w_total"))
     m.crossJoin(broadcast(total))
       .select(col(strataCol), col("n_rows"),
         (round(col("sd"), 6) + lit(0.0)).as("stddev"),

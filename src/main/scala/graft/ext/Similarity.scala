@@ -44,6 +44,22 @@ object Similarity {
     graft.functions.VectorExpressions.vecCosine(a, b)
   }
 
+  /** [[fastCosine]] with the zero-norm guard every RANKED cosine must
+    * use: a zero-norm operand gives 0/0 = NaN, and NaN ORDERS
+    * DIFFERENTLY per argmin spelling — first under a `csim DESC`
+    * window, last under `min(struct(-csim, …))`, ignored by a
+    * strict-`>` fold — so one degenerate embedding would silently pick
+    * a different cell depending on which spelling a query uses. The
+    * sentinel is -1.0, NOT an arbitrary -2.0, because DuckDB's
+    * `list_cosine_similarity` RETURNS -1.0 for a zero-norm operand
+    * (verified on DuckDB 1.0.0): with nanvl(cos, -1.0) every engine
+    * spelling and every oracle replay agree bit-for-bit on degenerate
+    * input — a zero vector ties all centroids at -1.0 and the
+    * ascending-id tie-break resolves identically everywhere.
+    */
+  private[ext] def safeCosine(df: DataFrame)(a: Column, b: Column): Column =
+    nanvl(fastCosine(df)(a, b), lit(-1.0))
+
   /** Sign-bit bucket from the first `bits` dimensions: the LSH family
     * h(v) = sign(v·e_i). Deterministic, no trained state; swap the
     * axis planes for hashed pseudo-random planes without changing the
@@ -80,7 +96,7 @@ object Similarity {
     val c = corpus.select(col("id").as("neighbor_id"), asDouble(col("vec")).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
+      .withColumn("sim", round(safeCosine(corpus)(col("qv"), col("cv")), simScale))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -157,7 +173,7 @@ object Similarity {
       asDouble(col("vec")).as("cv"), col("label").as("__cl"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("__ql") =!= col("__cl"))
-      .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
+      .withColumn("sim", round(safeCosine(corpus)(col("qv"), col("cv")), simScale))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -194,7 +210,7 @@ object Similarity {
       .withColumn("bucket", bucketOf(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(fastCosine(corpus)(col("qv"), col("cv")), simScale))
+      .withColumn("sim", round(safeCosine(corpus)(col("qv"), col("cv")), simScale))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -225,7 +241,7 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nProbe: Int, simScale: Int = 4): DataFrame = {
-    val cos = fastCosine(corpus) _
+    val cos = safeCosine(corpus) _
     val cents = broadcast(
       centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
 
@@ -285,7 +301,7 @@ object Similarity {
   def lloydStep(
       corpus: DataFrame, centroids: DataFrame,
       simScale: Int = 4, dimScale: Int = 6): DataFrame = {
-    val cos = fastCosine(corpus) _
+    val cos = safeCosine(corpus) _
     val cents = broadcast(
       centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
     val assignW = Window.partitionBy("vid")
@@ -357,7 +373,7 @@ object Similarity {
       .withColumn("bucket", signBucket(col("v"), bits))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", round(fastCosine(df)(col("a.v"), col("b.v")), simScale))
+      .withColumn("sim", round(safeCosine(df)(col("a.v"), col("b.v")), simScale))
       .filter(col("sim") >= minCosine)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
@@ -393,7 +409,7 @@ object Similarity {
       tau: Double, capPerCell: Int = 10000, simScale: Int = 4): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(capPerCell > 1, s"capPerCell must exceed 1, got $capPerCell")
-    val cos = fastCosine(df) _
+    val cos = safeCosine(df) _
     val cents = broadcast(
       centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
     // Nearest-cell assignment as a partial-aggregable min(struct)
@@ -423,8 +439,10 @@ object Similarity {
       .select(col("b.vec_id").as("vec_id")).distinct()
     ranked.join(dropped.as("d"), ranked("vec_id") === col("d.vec_id"), "left")
       .select(ranked("vec_id"), col("cell"),
-        col("d.vec_id").isNull.as("kept"),
-        (ranked("m_rank") <= capPerCell).as("scanned"))
+        // 0/1 BIGINT per the safe-alphabet law (raw BOOLEANs are
+        // hash-render hazards at the driver compare)
+        col("d.vec_id").isNull.cast("long").as("kept"),
+        (ranked("m_rank") <= capPerCell).cast("long").as("scanned"))
   }
 
   /** Embedding-space outlier report against a pinned coarse quantizer:
@@ -449,7 +467,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
       minCell: Long, simFloor: Double, simScale: Int = 4): DataFrame = {
     require(minCell >= 1, s"minCell must be >= 1, got $minCell")
-    val cos = fastCosine(df) _
+    val cos = safeCosine(df) _
     val cents = broadcast(
       centroids.select(col("id").as("cent_id"), asDouble(col("vec")).as("cvec")))
     val assigned = df
@@ -483,6 +501,10 @@ object Similarity {
     * HOF fold per row. Tie-break identical to [[ivfTopK]]: highest
     * `simScale`-rounded cosine, then LOWEST centroid id — the fold
     * visits ids ascending and replaces only on strict improvement.
+    * NaN cosines (zero-norm operand) coalesce to the same -1.0
+    * sentinel as [[safeCosine]] — a bare NaN never wins a strict `>`
+    * compare, which would silently diverge from the other argmin
+    * spellings on degenerate input.
     */
   def nearestCellExpr(
       vec: Column, cents: Seq[(Long, Seq[Double])], simScale: Int = 4): Column = {
@@ -491,7 +513,7 @@ object Similarity {
     aggregate(table,
       struct(lit(-1L).as("id"), lit(-2.0).as("s")),
       (acc, c) => {
-        val sim = round(cosine(vec, c.getField("_2")), simScale)
+        val sim = nanvl(round(cosine(vec, c.getField("_2")), simScale), lit(-1.0))
         when(sim > acc.getField("s"),
           struct(c.getField("_1").as("id"), sim.as("s"))).otherwise(acc)
       },
@@ -526,6 +548,6 @@ object Similarity {
         s => s.getField("centroid")).as("v"))
     vecs.as("a").join(broadcast(vecs.as("b")), col("a.key") < col("b.key"))
       .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
-        round(fastCosine(df)(col("a.v"), col("b.v")), simScale).as("sim"))
+        round(safeCosine(df)(col("a.v"), col("b.v")), simScale).as("sim"))
   }
 }

@@ -66,7 +66,7 @@ object Anomaly {
         when(col("n_prev") === nPrev && winVariance > 0,
           round(winZ, 6)).as("z"),
         when(col("n_prev") === nPrev && winVariance > 0,
-          abs(winZ) > zThreshold).as("is_anomaly"))
+          abs(winZ) > zThreshold).cast("long").as("is_anomaly"))
   }
 
   private def winMean = col("_s1") / col("n_prev")

@@ -71,7 +71,7 @@ object Cdc {
     changes
       .withColumn("valid_from", col(seqCol))
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
-      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
   }
 
   /** Point-in-time (as-of) join of facts onto [[scd2History]]: each fact

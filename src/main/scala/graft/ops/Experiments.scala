@@ -47,8 +47,11 @@ object Experiments {
     val cut = flagged.agg(
       coalesce(max(when(col("ok"), col("i"))), lit(0L)).as("i_cut"))
     flagged.crossJoin(broadcast(cut))
-      .select(col(idCol), round(col("p"), 6).as("p"), col("i"), col("ok"),
-        (col("i") <= col("i_cut")).as("rejected"))
+      // 0/1 BIGINT per the safe-alphabet law (raw BOOLEANs are
+      // hash-render hazards at the driver compare)
+      .select(col(idCol), round(col("p"), 6).as("p"), col("i"),
+        col("ok").cast("long").as("ok"),
+        (col("i") <= col("i_cut")).cast("long").as("rejected"))
   }
 
   /** Wald's Sequential Probability Ratio Test for a Bernoulli rate —
@@ -84,7 +87,7 @@ object Experiments {
       .select(col("n"), col("k"),
         round(col("k").cast("double") / col("n"), 6).as("rate"),
         round(col("llr"), 6).as("llr"),
-        (col("llr") >= upper).as("accept_h1"),
-        (col("llr") <= lower).as("accept_h0"))
+        (col("llr") >= upper).cast("long").as("accept_h1"),
+        (col("llr") <= lower).cast("long").as("accept_h0"))
   }
 }

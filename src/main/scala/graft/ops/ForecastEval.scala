@@ -108,6 +108,6 @@ object ForecastEval {
       .select(col("k"), col("n_cal"), col("n_eval"), col("qhat"),
         d6(col("n_in").cast("double") / col("n_eval")).as("coverage"),
         (col("n_in").cast("double") / col("n_eval") >=
-          (alphaPct - 5) / 100.0).as("cov_ok"))
+          (alphaPct - 5) / 100.0).cast("long").as("cov_ok"))
   }
 }

@@ -106,7 +106,7 @@ object SeriesOps {
     // |r| ranking on rounded values; ties break to the smallest lag —
     // deterministic because r is 6 dp-rounded before the compare.
     val best = r.orderBy(abs(col("r")).desc, col("lag").asc).limit(1)
-      .select(col("lag").as("lag"), lit(true).as("best"))
+      .select(col("lag").as("lag"), lit(1L).as("best"))
     r.join(best, Seq("lag"), "left")
       .na.fill(false, Seq("best"))
       .select(col("lag"), col("n"), col("r"), col("best"))

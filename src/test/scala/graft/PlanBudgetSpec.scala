@@ -302,6 +302,33 @@ class PlanBudgetSpec extends SparkTestBase {
     }
   }
 
+  /** q_ext_incr_recall's ground-truth cross join must broadcast the
+    * PINNED 50-doc hist side (`doc_id < 250`), never the batch side
+    * that grows with the corpus — broadcasting a data-sized frame of
+    * full shingle arrays is a driver/executor-memory scale-killer
+    * (round-7 verdict, What's wrong #1). Pinned on the
+    * BroadcastNestedLoopJoin's build side directly.
+    */
+  test("q_ext_incr_recall broadcasts the pinned hist side, not the growing batch") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = SparkEntry.queries("q_ext_incr_recall")(noAqe, sfDir)
+      .queryExecution.executedPlan
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, s"expected a broadcast cross join in:\n$plan")
+    bnlj.foreach { j =>
+      val build = j.buildSide match {
+        case BuildRight => j.right
+        case BuildLeft => j.left
+      }
+      val s = build.toString
+      assert(!s.contains(">= 250"),
+        s"the GROWING batch side (doc_id >= 250) is being broadcast:\n$j")
+      assert(s.contains("< 250"),
+        s"broadcast build side is not the pinned hist (doc_id < 250):\n$j")
+    }
+  }
+
   /** The shared-plan win of [[graft.ops.PrefixSum.runningTotals]]: all N
     * value columns ride ONE chunk window, ONE chunk directory, and ONE
     * block scan, so the exchange count must not grow with N. Pinned as

@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkTestBase {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product, no unpartitioned window") {
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.sparkPlan
       val cartesians = plan.collect { case c: CartesianProductExec => c }
       assert(cartesians.isEmpty,
         s"$name plans CartesianProductExec — unbounded all-pairs join")
@@ -50,6 +51,18 @@ class PlanShapeSpec extends SparkTestBase {
       }
       assert(globalWindows.isEmpty,
         s"$name plans a single-partition global WindowExec over unbounded input")
+      // Safe-alphabet law (round 7, SCALE.md): gate outputs are BIGINT,
+      // 6-dp DOUBLE, and strings — raw BOOLEANs render differently
+      // under some driver hash compares than under value equality.
+      // Only the canary keeps BOOLEAN cells (it exists to PIN the
+      // driver environment's rendering of the banned constructs).
+      if (name != "q_ext_oracle_canary") {
+        val bools = df.schema.fields.filter(
+          _.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+        assert(bools.isEmpty,
+          s"$name emits raw BOOLEAN gate column(s) ${bools.mkString(", ")} — " +
+            "re-emit as 0/1 BIGINT per the safe-alphabet law")
+      }
     }
   }
 }

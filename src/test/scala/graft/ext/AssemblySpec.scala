@@ -22,12 +22,12 @@ class AssemblySpec extends SparkTestBase {
       (2L, 10L, 5L, "x")
     ).toDF("user", "sec", "eid", "et")
     val got = conv(df).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(5), r.getBoolean(6))))
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(5), r.getLong(6))))
       .toMap
-    assert(got((1L, 0L)) === ((3L, "a#1 b#2 c#3", false)),
+    assert(got((1L, 0L)) === ((3L, "a#1 b#2 c#3", 0L)),
       "same-second turns must order by seq id")
-    assert(got((1L, 1L)) === ((1L, "d#4", false)))
-    assert(got((2L, 0L)) === ((1L, "x#5", false)))
+    assert(got((1L, 1L)) === ((1L, "d#4", 0L)))
+    assert(got((2L, 0L)) === ((1L, "x#5", 0L)))
   }
 
   test("conversations truncate to maxTurns but keep the full count") {
@@ -36,7 +36,7 @@ class AssemblySpec extends SparkTestBase {
     val got = conv(df, gapSec = 100L, maxTurns = 3).collect().head
     assert(got.getLong(2) === 5L, "n_turns reports the UNtruncated length")
     assert(got.getString(5) === "t#1 t#2 t#3")
-    assert(got.getBoolean(6) === true)
+    assert(got.getLong(6) === 1L)
     assert(got.getLong(3) === 1L && got.getLong(4) === 5L,
       "start/end span the whole session, not the kept prefix")
   }

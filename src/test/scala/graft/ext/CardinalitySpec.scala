@@ -13,21 +13,21 @@ class CardinalitySpec extends SparkTestBase {
 
   test("hllDistinctContract: exact distinct per group, estimate inside tolerance") {
     val rows = Cardinality.hllDistinctContract(items, "g", "w")
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exactByG = items.select("g", "w").distinct().groupBy("g").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.keySet === Set("g1", "g2"))
     rows.foreach { case (g, (n, ok)) =>
       assert(n === exactByG(g))
-      assert(ok, s"HLL estimate out of tolerance for group $g")
+      assert(ok === 1L, s"HLL estimate out of tolerance for group $g")
     }
   }
 
   test("hllUnionContract: merged shards agree with the direct sketch") {
     val r = Cardinality.hllUnionContract(items, "w", "id").collect().head
     assert(r.getLong(0) === 17)
-    assert(r.getBoolean(1), "union-of-sketches must agree with direct sketch")
-    assert(r.getBoolean(2))
+    assert(r.getLong(1) === 1L, "union-of-sketches must agree with direct sketch")
+    assert(r.getLong(2) === 1L)
   }
 
   test("sparse regime: union estimate is EXACTLY the direct estimate") {
@@ -46,14 +46,14 @@ class CardinalitySpec extends SparkTestBase {
 
   test("cmsBoundsContract: top-k exact counts with CMS one-sided bounds") {
     val got = Cardinality.cmsBoundsContract(items, "w", k = 3)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // count desc, item asc: a(30), b(15), then the lexicographically
     // first singleton c0.
     assert(got.map(_._1).toSeq === Seq("a", "b", "c0"))
     assert(got.map(_._2).toSeq === Seq(30L, 15L, 1L))
     got.foreach { case (w, _, lo, hi) =>
-      assert(lo, s"CMS undercounted $w")
-      assert(hi, s"CMS overcount bound violated for $w")
+      assert(lo === 1L, s"CMS undercounted $w")
+      assert(hi === 1L, s"CMS overcount bound violated for $w")
     }
   }
 }

@@ -37,9 +37,9 @@ class CollocationsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[String]("token") -> r).toMap
     // a=2,b=0,c=0,d=2 -> chi2 = 4·(4)²/(2·2·2·2) = 4
     assert(out("x").getAs[Double]("chi2") === 4.0)
-    assert(out("x").getAs[Boolean]("pos_assoc"))
+    assert(out("x").getAs[Long]("pos_assoc") === 1L)
     assert(out("y").getAs[Double]("chi2") === 4.0)
-    assert(!out("y").getAs[Boolean]("pos_assoc"))
+    assert(out("y").getAs[Long]("pos_assoc") === 0L)
     // present in every doc -> association undefined -> null
     assert(out("common").isNullAt(out("common").fieldIndex("chi2")))
   }

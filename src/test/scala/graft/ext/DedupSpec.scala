@@ -237,6 +237,35 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simHashPairs: sorted-neighborhood cap bounds per-doc pairs, keeps classes connected") {
+    // 12 identical docs -> one duplicate class sharing every band. With
+    // maxNeighbors = 2, pair generation must stay O(m·w), and the class
+    // must remain TRANSITIVELY connected through the neighbor chain
+    // (identical fingerprints are rank-adjacent in (sh, id) order).
+    val many = (1L to 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(many, "doc_id", "text",
+        maxHamming = 3, maxNeighbors = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // per-doc degree on the capped side is bounded by bands x w = 8
+    val degree = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map(_._2.size)
+    assert(degree.max <= 8, s"cap leaked: max degree ${degree.max}")
+    // union-find: all 12 docs land in one component
+    val parent = scala.collection.mutable.Map((1L to 12L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert((1L to 12L).map(find).toSet.size === 1,
+      "the duplicate class lost transitive connectivity under the cap")
+  }
+
+  test("simHashPairs: near-dup pair still found under the default cap") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("segmentDedup strips corpus-frequent segments and reassembles in order") {
     // Segment unit = 2 words. "ad spam" opens 3 of 4 docs -> boilerplate
     // at maxDocFreq=3; the rest of each doc must survive verbatim.

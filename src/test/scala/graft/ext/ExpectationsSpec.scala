@@ -15,7 +15,7 @@ class ExpectationsSpec extends SparkTestBase {
   private def report(checks: Seq[Expectations.Check]) =
     Expectations.suite(df, checks).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+        (r.getDouble(2), r.getDouble(3), r.getLong(4) == 1L)).toMap
 
   test("one pass evaluates every constraint with integer-ratio metrics") {
     val rep = report(Seq(
@@ -49,7 +49,7 @@ class ExpectationsSpec extends SparkTestBase {
     val rep = Expectations.suite(
         df.filter($"id" < 0L), Seq(Expectations.NotNull("text", 0.5)))
       .collect().head
-    assert(rep.getDouble(2) === 0.0 && !rep.getBoolean(4))
+    assert(rep.getDouble(2) === 0.0 && rep.getLong(4) === 0L)
   }
 
   test("refIntegrity: orphan rows and keys counted separately") {

@@ -61,8 +61,8 @@ class HeavyHittersSpec extends SparkTestBase {
       (1 to 666).map(i => ('a' + i % 25).toChar.toString)).toDF("w")
       .repartition(7) // force nontrivial partial-summary merges
     val out = HeavyHitters.heavyHitterContract(tokens, "w", k = 5)
-      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getBoolean(3)))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
     assert(out.map(_._1).contains("z"))
-    assert(out.forall { case (_, present, bound) => present && bound })
+    assert(out.forall { case (_, present, bound) => present == 1L && bound == 1L })
   }
 }

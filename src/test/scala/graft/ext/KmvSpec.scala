@@ -43,9 +43,9 @@ class KmvSpec extends SparkTestBase {
       .collect().head
     assert(r.getLong(0) === 300 && r.getLong(1) === 300)
     assert(r.getLong(2) === 100 && r.getLong(3) === 500)
-    assert(r.getBoolean(4), "bottom-k merge identity must be exact")
-    assert(r.getBoolean(5), "union estimate out of tolerance")
-    assert(r.getBoolean(6), "intersection estimate out of tolerance")
+    assert(r.getLong(4) === 1L, "bottom-k merge identity must be exact")
+    assert(r.getLong(5) === 1L, "union estimate out of tolerance")
+    assert(r.getLong(6) === 1L, "intersection estimate out of tolerance")
   }
 
   test("one empty side: estimates degrade gracefully, no crash") {
@@ -53,6 +53,6 @@ class KmvSpec extends SparkTestBase {
     val r = Kmv.setAlgebraContract(df, "v", "side", k = 64).collect().head
     assert(r.getLong(0) === 50 && r.getLong(1) === 0)
     assert(r.getLong(2) === 0 && r.getLong(3) === 50)
-    assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getLong(4) === 1L && r.getLong(5) === 1L && r.getLong(6) === 1L)
   }
 }

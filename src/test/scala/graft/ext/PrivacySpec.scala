@@ -37,7 +37,7 @@ class PrivacySpec extends SparkTestBase {
     assert(audit.getAs[Long]("n_after") === 97L)
     assert(audit.getAs[Long]("n_tombstoned") === 3L)
     assert(audit.getAs[Long]("deleted_remaining") === 0L)
-    assert(audit.getAs[Boolean]("survivors_intact"))
+    assert(audit.getAs[Long]("survivors_intact") === 1L)
     // copy-on-write: time travel to the pre-erasure version still works
     assert(graft.io.SnapshotTable.readSnapshot(spark, dir, 1).count() === 100L)
   }
@@ -52,7 +52,7 @@ class PrivacySpec extends SparkTestBase {
     val audit = Privacy.erasureAudit(spark, dir, 1, 2, "k",
       Seq(9L).toDF("k")).collect().head
     assert(audit.getAs[Long]("deleted_remaining") === 1L)
-    assert(!audit.getAs[Boolean]("survivors_intact"))
+    assert(audit.getAs[Long]("survivors_intact") === 0L)
   }
 
   test("pseudonymize: deterministic salted surrogate, raw id gone") {
@@ -87,7 +87,7 @@ class PrivacySpec extends SparkTestBase {
     assert(r.getAs[Double]("true_rate") === 0.25)
     // reported ≈ p/2 + 1/4; debiasing must land near the true rate
     assert(math.abs(r.getAs[Double]("debiased") - 0.25) < 0.05)
-    assert(r.getAs[Boolean]("est_ok"))
+    assert(r.getAs[Long]("est_ok") === 1L)
   }
 
   test("dpNoisyCounts: Laplace mechanism is deterministic, bounded, and non-degenerate") {

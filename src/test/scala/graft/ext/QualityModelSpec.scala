@@ -19,7 +19,7 @@ class QualityModelSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
     assert(a.forall(r => r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0))
-    assert(a.forall(r => r.getBoolean(2) === (r.getDouble(1) >= 0.5)))
+    assert(a.forall(r => (r.getLong(2) == 1L) === (r.getDouble(1) >= 0.5)))
     // a single repeated token scores exactly sigmoid(w(bucket))
     val w = QualityModel.bucketWeight(
       QualityModel.featureBucket(lit("the"), 256, "qm"))

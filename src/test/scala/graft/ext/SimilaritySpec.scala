@@ -164,8 +164,8 @@ class SimilaritySpec extends SparkTestBase {
       (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
       (12L, Array(-1.0f, 0.0f))).toDF("id", "vec")
     val got = Similarity.semDeDup(emb, "vec_id", "embedding", cents, tau = 0.95)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
   test("semDeDup never pairs across cells even when vectors are close") {
@@ -178,8 +178,8 @@ class SimilaritySpec extends SparkTestBase {
     val cents = Seq(
       (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f))).toDF("id", "vec")
     val got = Similarity.semDeDup(emb, "vec_id", "embedding", cents, tau = 0.9)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(got === Map(1L -> true, 2L -> true))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
   }
 
   test("semDeDup capPerCell keeps overflow members without scanning them") {
@@ -194,7 +194,7 @@ class SimilaritySpec extends SparkTestBase {
     val cents = Seq((10L, Array(1.0f, 0.0f))).toDF("id", "vec")
     val got = Similarity.semDeDup(
       emb, "vec_id", "embedding", cents, tau = 0.99, capPerCell = 2)
-      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     // kept, scanned: id 3 is kept ONLY because the cap exempted it, and
     // the honest marker says so (scanned=false); scanned rows say true.
     assert(got === Map(

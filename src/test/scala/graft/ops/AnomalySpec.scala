@@ -24,10 +24,10 @@ class AnomalySpec extends SparkTestBase {
     // id 4: window {10,12,11} -> mean 11, sd 1, z = (10-11)/1 = -1
     assert(out(4L).getDouble(4) === 11.0)
     assert(out(4L).getDouble(5) === -1.0)
-    assert(!out(4L).getBoolean(6))
+    assert(out(4L).getLong(6) === 0L)
     // id 5: window {12,11,10} -> mean 11, sd 1, z = 89 -> anomaly
     assert(out(5L).getDouble(5) === 89.0)
-    assert(out(5L).getBoolean(6))
+    assert(out(5L).getLong(6) === 1L)
     // key b: single point, never flagged
     assert(out(6L).isNullAt(6))
   }

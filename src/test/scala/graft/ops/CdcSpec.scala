@@ -60,13 +60,13 @@ class CdcSpec extends SparkTestBase {
       .select("k", "attr", "valid_from", "valid_to", "is_current")
       .collect()
       .map(r => (r.getString(0), r.getString(1),
-        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
       .toSet
     assert(got === Set(
-      ("u1", "v1", 100L, Some(200L), false),
-      ("u1", "v2", 200L, Some(300L), false),
-      ("u1", "v3", 300L, None, true),
-      ("u2", "w1", 150L, None, true)))
+      ("u1", "v1", 100L, Some(200L), 0L),
+      ("u1", "v2", 200L, Some(300L), 0L),
+      ("u1", "v3", 300L, None, 1L),
+      ("u2", "w1", 150L, None, 1L)))
   }
 
   test("pitJoin: each fact picks the version valid at its time; " +

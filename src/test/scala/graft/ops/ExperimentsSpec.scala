@@ -11,7 +11,8 @@ class ExperimentsSpec extends SparkTestBase {
       ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "pv"),
       "id", "pv", alphaNum = 1L, alphaDen = 20L)
       .collect().map(r => r.getAs[Long]("id") ->
-        (r.getAs[Long]("i"), r.getAs[Boolean]("ok"), r.getAs[Boolean]("rejected")))
+        (r.getAs[Long]("i"), r.getAs[Long]("ok") == 1L,
+          r.getAs[Long]("rejected") == 1L))
       .toMap
 
   test("bhFdr: simple cut — small ps rejected, large ps kept") {
@@ -43,12 +44,12 @@ class ExperimentsSpec extends SparkTestBase {
     val r = Experiments.sprt(strong, col("ok"), p0 = 0.5, p1 = 0.6)
       .collect().head
     assert(r.getAs[Long]("n") === 250L && r.getAs[Long]("k") === 200L)
-    assert(r.getAs[Boolean]("accept_h1") && !r.getAs[Boolean]("accept_h0"))
+    assert(r.getAs[Long]("accept_h1") === 1L && r.getAs[Long]("accept_h0") === 0L)
     // a handful of mixed observations decides nothing yet
     val few = Seq(true, false, true, false).map(Tuple1(_)).toDF("ok")
     val f = Experiments.sprt(few, col("ok"), p0 = 0.5, p1 = 0.6)
       .collect().head
-    assert(!f.getAs[Boolean]("accept_h1") && !f.getAs[Boolean]("accept_h0"))
+    assert(f.getAs[Long]("accept_h1") === 0L && f.getAs[Long]("accept_h0") === 0L)
   }
 
   test("sprt: hand llr value") {

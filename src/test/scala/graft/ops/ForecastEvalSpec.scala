@@ -34,6 +34,6 @@ class ForecastEvalSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_eval") === 12L)
     assert(r.getAs[Double]("qhat") === 0.0)
     assert(r.getAs[Double]("coverage") === 1.0)
-    assert(r.getAs[Boolean]("cov_ok"))
+    assert(r.getAs[Long]("cov_ok") === 1L)
   }
 }

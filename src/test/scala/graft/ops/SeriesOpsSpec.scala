@@ -33,7 +33,7 @@ class SeriesOpsSpec extends SparkTestBase {
     val b = (2 until 14).map(i => ("b", h(i), pat(i - 2)))
     val out = SeriesOps.crossCorrelation((a ++ b).toDF("k", "t", "v"),
       "k", "t", "v", "a", "b", 3).collect()
-    val best = out.filter(_.getAs[Boolean]("best"))
+    val best = out.filter(_.getAs[Long]("best") == 1L)
     assert(best.length === 1)
     assert(best.head.getAs[Long]("lag") === 2L)
     assert(best.head.getAs[Double]("r") === 1.0)
