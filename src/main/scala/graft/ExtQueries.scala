@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
@@ -31,6 +31,44 @@ object ExtQueries {
     val h = ((s.sparkContext.applicationId + "|" + dir).hashCode & 0x7fffffff).toHexString
     s"${tag}_$h"
   }
+
+  /** The linkage fixture: customer rows + two deterministic duplicate
+    * classes (near-identical and name-corrupted), phone-prefix blocked.
+    * SHARED by the batch gate (`q_ext_record_linkage`) and the
+    * streaming ingest gate (`q_st23_stream_linkage`) so stream==batch
+    * equivalence compares the same derivation. Works on a static OR a
+    * streaming frame (stateless projections/filters/unions only).
+    */
+  private[graft] def linkageRecords(customer: DataFrame): DataFrame = {
+    val phone = concat(
+      lpad(pmod(col("rid"), lit(997)).cast("string"), 4, "0"), lit("-"),
+      lpad(pmod(col("rid"), lit(10000)).cast("string"), 4, "0"))
+    val base = customer
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      .withColumn("phone", phone)
+    val dup1 = base.filter(col("rid") % 13 === 0)
+      .select((col("rid") + 50000000L).as("rid"), col("name"), col("nation"),
+        (col("bal") + 0.01).as("bal"), col("seg"), col("phone"))
+    val dup2 = base.filter(col("rid") % 29 === 3)
+      .select((col("rid") + 90000000L).as("rid"),
+        concat(lit("X"), substring(col("name"), 2, 1000)).as("name"),
+        col("nation"), (col("bal") + 5.0).as("bal"), col("seg"), col("phone"))
+    base.unionByName(dup1).unionByName(dup2)
+      .withColumn("block", substring(col("phone"), 1, 4))
+  }
+
+  /** The linkage field weights (all SYMMETRIC in _a/_b, so cross-store
+    * pair orientation never changes a score) — shared batch/stream.
+    */
+  private[graft] def linkageScores(pairs: DataFrame): Seq[Column] = Seq(
+    when(col("name_a") === col("name_b"), 6L)
+      .when(levenshtein(col("name_a"), col("name_b")) <= 2, 2L)
+      .otherwise(-3L),
+    when(col("phone_a") === col("phone_b"), 4L).otherwise(-2L),
+    when(abs(col("bal_a") - col("bal_b")) <= 0.02, 2L).otherwise(-1L),
+    when(col("seg_a") === col("seg_b"), 1L).otherwise(-1L))
 
   /** DuckDB replay of `k` BPE merge-learning rounds as chained CTEs:
     * d0 = the char-split (word, count) dictionary, then per round a
@@ -1041,32 +1079,10 @@ object ExtQueries {
     // identically; every weight and both thresholds are part of the
     // contract.
     "q_ext_record_linkage" -> ((s, dir) => {
-      val phone = concat(
-        lpad(pmod(col("rid"), lit(997)).cast("string"), 4, "0"), lit("-"),
-        lpad(pmod(col("rid"), lit(10000)).cast("string"), 4, "0"))
-      val base = Tables.load(s, dir, "customer")
-        .select(col("c_custkey").as("rid"), col("c_name").as("name"),
-          col("c_nationkey").cast("long").as("nation"),
-          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
-        .withColumn("phone", phone)
-      val dup1 = base.filter(col("rid") % 13 === 0)
-        .select((col("rid") + 50000000L).as("rid"), col("name"), col("nation"),
-          (col("bal") + 0.01).as("bal"), col("seg"), col("phone"))
-      val dup2 = base.filter(col("rid") % 29 === 3)
-        .select((col("rid") + 90000000L).as("rid"),
-          concat(lit("X"), substring(col("name"), 2, 1000)).as("name"),
-          col("nation"), (col("bal") + 5.0).as("bal"), col("seg"), col("phone"))
-      val records = base.unionByName(dup1).unionByName(dup2)
-        .withColumn("block", substring(col("phone"), 1, 4))
+      val records = linkageRecords(Tables.load(s, dir, "customer"))
       val pairs = Linkage.blockedPairs(records, "rid", Seq("nation", "block"))
-      Linkage.classify(pairs, Seq(
-        when(col("name_a") === col("name_b"), 6L)
-          .when(levenshtein(col("name_a"), col("name_b")) <= 2, 2L)
-          .otherwise(-3L),
-        when(col("phone_a") === col("phone_b"), 4L).otherwise(-2L),
-        when(abs(col("bal_a") - col("bal_b")) <= 0.02, 2L).otherwise(-1L),
-        when(col("seg_a") === col("seg_b"), 1L).otherwise(-1L)),
-        matchMin = 10L, possibleMin = 1L)
+      Linkage.classify(pairs, linkageScores(pairs), matchMin = 10L,
+        possibleMin = 1L)
     }),
 
     // Asymmetric set-containment pairs (Broder's containment, the
@@ -1096,11 +1112,13 @@ object ExtQueries {
     // fragments). Ratios emitted in integer micro-units via
     // floor-division with the ×1e6 pre-multiply routed through
     // DECIMAL(38,0): a 100 TB corpus has sum(chars) ≈ 1e14 and
-    // 1e14 × 1e6 = 1e20 > 2^63, which non-ANSI BIGINT arithmetic
-    // would WRAP silently — decimal keeps the intermediate exact and
-    // the quotient (≈ chars/tokens × 1e6, always small) lands back in
-    // BIGINT. Oracle mirrors via HUGEINT. Still one partial-agg
-    // shuffle; the gate spelling stays fp-free end to end.
+    // 1e14 × 1e6 = 1e20 > 2^63 — under the ANSI default that BIGINT
+    // multiply THROWS at the worst moment (a full-corpus job dying at
+    // the last aggregate), under non-ANSI it wraps silently
+    // (FertilityOverflowSpec pins the failure) — decimal keeps the
+    // intermediate exact and the quotient (≈ chars/tokens × 1e6,
+    // always small) lands back in BIGINT. Oracle mirrors via HUGEINT.
+    // Still one partial-agg shuffle; fp-free end to end.
     "q_ext_token_fertility" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy(col("lang"))
@@ -1137,6 +1155,25 @@ object ExtQueries {
         .select(col("source"), col("n_docs"), col("n_distinct"),
           expr("((n_docs - n_distinct) * 1000000L) DIV n_docs")
             .as("dup_rate_micro"))),
+
+    // Curriculum phase assignment: exact difficulty-quantile buckets
+    // (BPE token count as difficulty) WITHOUT a global ntile window —
+    // boundaries are order statistics off the chunked PrefixSum scan,
+    // phases are row-local against the broadcast thresholds. Ties land
+    // in the lower phase (a pure function of the value, oracle-stable).
+    "q_ext_curriculum" -> ((s, dir) =>
+      Curriculum.phases(Tables.documents(s, dir), "doc_id",
+        TextStats.bpeTokenCount(col("text")), nPhases = 4)
+        .withColumnRenamed("id", "doc_id")),
+
+    // DoReMi-shaped multiplicative-weights mixture reweighting over the
+    // fixed source domain: 3 linear-form MW rounds on the per-source
+    // mean-chars statistic — the update machinery a pipeline swaps its
+    // proxy-loss signal into. One partial-agg shuffle; the rounds are a
+    // one-row expression chain in literal index order (Mixture doc).
+    "q_ext_mix_mw" -> ((s, dir) =>
+      Mixture.multiplicativeWeights(
+        Tables.documents(s, dir), "source", col("n_chars"))),
 
     // Embedding-space outliers vs the pinned coarse quantizer: sparse
     // cells + far-from-own-centroid vectors — the embedding-hygiene
@@ -3684,6 +3721,32 @@ object ExtQueries {
         |       CAST((CAST(chars AS HUGEINT) * 1000000) // bpe_tokens
         |         AS BIGINT) AS chars_per_token_micro
         |FROM g""".stripMargin,
+
+    // Curriculum replay: the same ceil-rank boundary rule over the
+    // same BPE-token difficulty; DuckDB's row_number over a full sort
+    // is the single-node stand-in for the engine's PrefixSum scan.
+    "q_ext_curriculum" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+|\s'))
+        |      AS BIGINT) AS d
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |tg AS (SELECT k, (k * nn.n + 3) // 4 AS t
+        |       FROM range(1, 4) r(k), nn),
+        |srt AS (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM base),
+        |thr AS (SELECT tg.k, min(srt.d) AS td
+        |        FROM srt JOIN tg ON srt.rn = tg.t GROUP BY 1)
+        |SELECT b.doc_id, b.d AS difficulty,
+        |       CAST(1 + sum(CASE WHEN b.d > thr.td THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS phase
+        |FROM base b, thr GROUP BY 1, 2""".stripMargin,
+
+    // MW-mixture replay: generated beside the operator (Mixture
+    // .oracleSql) so constants and the index-ordered update chain can
+    // never drift from the engine spelling.
+    "q_ext_mix_mw" -> Mixture.oracleSql("n_chars"),
 
     // Neyman replay: exact integer moments, IEEE-identical sqrt, the
     // same multiply-then-divide allocation spelling.

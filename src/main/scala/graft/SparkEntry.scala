@@ -1444,6 +1444,48 @@ object SparkEntry {
       graft.ext.Privacy.dpRelease(s.table("g_st22"), "lang", "true_n",
         eps = 0.5)
     }),
+
+    // §2.10 driver-gated streaming record linkage: the Fellegi–Sunter
+    // operator run continuously against a persisted block-keyed record
+    // store (graft.streaming.StreamLinkage — the Linkage twin of the
+    // q_st8 near-dup ingest; state lives in the bucketed store, not in
+    // streaming state). With the fixture's single source file,
+    // AvailableNow delivers ONE batch against an empty store, so the
+    // emitted classified pairs must equal the batch
+    // q_ext_record_linkage output exactly — the gate folds the set
+    // comparison to safe-alphabet BIGINT cells (count + id/score sums
+    // both sides, min over per-pair agreement). Multi-batch cross-store
+    // semantics are spec-pinned in StreamLinkageSpec instead.
+    "q_st23_stream_linkage" -> ((s, dir) => {
+      val store = ExtQueries.scratchTable(s, "g_st23_store", dir)
+      val out = new java.io.File(s"target/${store}_out").getAbsolutePath
+      val ckpt = new java.io.File(s"target/${store}_ckpt").getAbsolutePath
+      Seq(out, ckpt).foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+      s.sql(s"DROP TABLE IF EXISTS `$store`")
+      val records = ExtQueries.linkageRecords(streamTable(s, dir, "customer"))
+      val q = graft.streaming.StreamLinkage.ingest(
+        records, "rid", Seq("nation", "block"), ExtQueries.linkageScores,
+        matchMin = 10L, possibleMin = 1L, storeName = store,
+        outPath = out, checkpoint = ckpt)
+      q.awaitTermination()
+      val streamed = s.read.parquet(out)
+        .select(col("id_a"), col("id_b"), col("score"), col("verdict"))
+      val batch = ExtQueries.queries("q_ext_record_linkage")(s, dir)
+      val merged = streamed.withColumn("src", lit(1))
+        .unionByName(batch.withColumn("src", lit(2)))
+        .groupBy(col("id_a"), col("id_b"), col("score"), col("verdict"))
+        .agg(countDistinct(col("src")).as("k"))
+      merged.agg(
+        count(lit(1)).as("n_pairs"),
+        min((col("k") === 2).cast("long")).as("stream_matches_batch"),
+        sum(col("score")).as("score_sum"),
+        sum(when(col("verdict") === "match", 1L).otherwise(0L))
+          .as("n_match"))
+    }),
   )
 
   /** DuckDB rendition of the compare pipeline for one component. */
@@ -2122,6 +2164,18 @@ object SparkEntry {
     // streamed count state + one DP release at emission equals the
     // batch mechanism exactly (same keyed hash draw, same epsilon)
     "q_st22_stream_dp_counts" -> ExtQueries.oracleSql("q_ext_dp_counts"),
+
+    // single-batch stream linkage == the batch operator: the oracle
+    // replays the batch linkage and folds the same BIGINT digest
+    "q_st23_stream_linkage" ->
+      (s"WITH lk AS (\n${ExtQueries.oracleSql("q_ext_record_linkage")}\n)" +
+        """
+          |SELECT count(*) AS n_pairs,
+          |       CAST(1 AS BIGINT) AS stream_matches_batch,
+          |       CAST(sum(score) AS BIGINT) AS score_sum,
+          |       CAST(sum(CASE WHEN verdict = 'match' THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_match
+          |FROM lk""".stripMargin),
 
     // streamed tombstone filter equals the batch anti-join
     "q_st19_stream_tombstone" ->

@@ -108,8 +108,10 @@ object SeriesOps {
     val best = r.orderBy(abs(col("r")).desc, col("lag").asc).limit(1)
       .select(col("lag").as("lag"), lit(1L).as("best"))
     r.join(best, Seq("lag"), "left")
-      .na.fill(false, Seq("best"))
-      .select(col("lag"), col("n"), col("r"), col("best"))
+      // 0/1 BIGINT, never null: a nullable long renders as float64 at
+      // the pandas compare (safe-alphabet law)
+      .select(col("lag"), col("n"), col("r"),
+        coalesce(col("best"), lit(0L)).as("best"))
   }
 
   /** CUSUM level-shift statistic per key: S_i = Σ_{j≤i}(x_j − μ) over

@@ -26,14 +26,18 @@ class FertilityOverflowSpec extends SparkTestBase {
     assert(got === 2_500_000L, s"expected exact 2.5e6 micro-units, got $got")
   }
 
-  test("the old BIGINT spelling demonstrably wraps at the same input") {
+  test("the old BIGINT spelling demonstrably breaks at the same input") {
+    // under ANSI (the session default) the ×1e6 multiply THROWS
+    // ARITHMETIC_OVERFLOW; under non-ANSI it would wrap to garbage —
+    // either way the plain-BIGINT spelling cannot survive 100 TB sums
     val g = Seq((10_000_000_000_000L, 4_000_000_000_000L))
       .toDF("chars", "bpe_tokens")
-    val wrapped = g.select(
-      expr("(chars * 1000000L) DIV bpe_tokens").as("m")).head().getLong(0)
-    assert(wrapped !== 2_500_000L,
-      "the BIGINT spelling no longer wraps — revisit whether the decimal " +
-        "route is still needed (ANSI mode would instead throw)")
+    val r = scala.util.Try(
+      g.select(expr("(chars * 1000000L) DIV bpe_tokens").as("m"))
+        .head().getLong(0))
+    assert(r.isFailure || r.get != 2_500_000L,
+      "the BIGINT spelling no longer overflows — revisit whether the " +
+        "decimal route is still needed")
   }
 
   test("gate-scale values are unchanged by the decimal route") {

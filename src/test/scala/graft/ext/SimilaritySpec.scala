@@ -198,7 +198,7 @@ class SimilaritySpec extends SparkTestBase {
     // kept, scanned: id 3 is kept ONLY because the cap exempted it, and
     // the honest marker says so (scanned=false); scanned rows say true.
     assert(got === Map(
-      1L -> ((true, true)), 2L -> ((false, true)), 3L -> ((true, false))))
+      1L -> ((1L, 1L)), 2L -> ((0L, 1L)), 3L -> ((1L, 0L))))
   }
 
   test("nearestCellExpr matches the batch argmin, including the id tie-break") {
