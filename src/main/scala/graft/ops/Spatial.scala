@@ -58,7 +58,18 @@ object Spatial {
       stations: DataFrame, stationIdCol: String): DataFrame = {
     val st = stations.select(col(stationIdCol).as("station_id"),
       col("lat").as("s_lat"), col("lon").as("s_lon"))
-    probes.crossJoin(broadcast(st))
+    // Deliberate repartition before the pair expansion (the
+    // q_ext_editdist idiom): the scan side of a broadcast nest is as
+    // parallel as its FILE SPLITS, and a small probe file is ONE split
+    // — which serializes |probes|·|stations| haversine evaluations
+    // (2 trig + asin each) on a single core (measured: 9.7 s for a
+    // 15M-pair pass that takes ~1 s spread over the cores). The
+    // exchange moves only slim (id, lat, lon) rows; at cluster scale
+    // probes arrive in thousands of splits and the same hash pass is
+    // noise against the trig it unlocks.
+    probes.repartition(probes.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .crossJoin(broadcast(st))
       .withColumn("dist_km",
         round(haversineKm(col("lat"), col("lon"), col("s_lat"), col("s_lon")), 6))
       .groupBy(col(idCol))
