@@ -3748,6 +3748,7 @@ object ExtQueries {
     // never drift from the engine spelling.
     "q_ext_mix_mw" -> Mixture.oracleSql("n_chars"),
 
+
     // Neyman replay: exact integer moments, IEEE-identical sqrt, the
     // same multiply-then-divide allocation spelling.
     "q_ext_neyman_alloc" ->
