@@ -291,7 +291,25 @@ class PlanBudgetSpec extends SparkTestBase {
         "single-row gather (broadcast back); allocation is row-local"),
     ("q_ext_dup_rate_by_source", 2,
       "ONE grouped aggregate: the Expand-rewritten exact-distinct's " +
-        "keyed partial/final pair — the micro-rate is row-local DIV"))
+        "keyed partial/final pair — the micro-rate is row-local DIV"),
+    ("q_ext_curriculum", 0,
+      "the RETURNED plan is scan + row-local phase expression against " +
+        "literal thresholds; the boundary order statistics run as " +
+        "separate bounded jobs (value-table agg + PrefixSum directory) " +
+        "at build time — the data itself never shuffles to be phased"),
+    ("q_ext_mix_mw", 2,
+      "one per-source partial agg + the one-row pivot gather; the MW " +
+        "round chain is a one-row named-projection ladder, zero " +
+        "exchanges"),
+    ("q_ext_nearest_station", 1,
+      "the deliberate probe repartition is keyed on the PROBE ID, so " +
+        "the per-probe argmin aggregate reuses that partitioning — one " +
+        "exchange total unlocks core-count parallelism on the " +
+        "haversine pair scan"),
+    ("q_ext_incr_recall", 3,
+      "the incremental probe's band/candidate exchanges; the exact " +
+        "ground-truth cross join broadcasts the PINNED hist side " +
+        "(build side asserted below), the batch side streams"))
 
   budgets.foreach { case (name, max, why) =>
     test(s"$name stays within $max shuffle(s): $why") {
