@@ -142,10 +142,12 @@ object Drift {
     val pairs = sample.select(col("__id").as("__ida"), col("__v").as("__va"))
       .join(broadcast(sample.select(col("__id").as("__idb"),
         col("__v").as("__vb"))), col("__ida") < col("__idb"))
-      // nanvl -1.0 mirrors DuckDB's list_cosine_similarity on a
-      // zero-norm operand (the fleet-wide safeCosine sentinel)
-      .select(nanvl(round(Similarity.cosine(col("__va"), col("__vb")), 6),
-        lit(-1.0)).as("cos"))
+      // guarded -1.0 sentinel mirrors DuckDB's list_cosine_similarity
+      // on a zero-norm operand (and a raw 0/0 would THROW under the
+      // sessions' ANSI default — the HOF spelling must guard BEFORE
+      // the division, unlike the native codegen'd expression)
+      .select(round(Similarity.cosineOrSentinel(col("__va"), col("__vb")), 6)
+        .as("cos"))
     pairs
       .select(
         least(greatest(floor((col("cos") + 1.0) / 2.0 * bins), lit(0)),

@@ -36,6 +36,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the zero-norm guard for ANSI sessions: a raw 0/0
+    * DOUBLE division THROWS under Spark's ANSI default (unlike the
+    * native codegen'd expression, which emits the raw IEEE NaN), so
+    * the interpreted HOF spelling needs the guard BEFORE the division.
+    * Sentinel -1.0 = [[safeCosine]]'s (DuckDB's zero-norm value).
+    */
+  def cosineOrSentinel(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0.0, dot(a, b) / denom).otherwise(lit(-1.0))
+  }
+
   /** Codegen'd cosine; registers the native functions on the frame's
     * session on first use.
     */
@@ -501,10 +512,11 @@ object Similarity {
     * HOF fold per row. Tie-break identical to [[ivfTopK]]: highest
     * `simScale`-rounded cosine, then LOWEST centroid id — the fold
     * visits ids ascending and replaces only on strict improvement.
-    * NaN cosines (zero-norm operand) coalesce to the same -1.0
-    * sentinel as [[safeCosine]] — a bare NaN never wins a strict `>`
-    * compare, which would silently diverge from the other argmin
-    * spellings on degenerate input.
+    * Zero-norm operands take [[cosineOrSentinel]]'s -1.0 (the same
+    * sentinel as [[safeCosine]]) — a bare NaN never wins a strict `>`
+    * compare (silent divergence from the other argmin spellings), and
+    * the interpreted 0/0 division would THROW outright under the
+    * sessions' ANSI default.
     */
   def nearestCellExpr(
       vec: Column, cents: Seq[(Long, Seq[Double])], simScale: Int = 4): Column = {
@@ -513,7 +525,7 @@ object Similarity {
     aggregate(table,
       struct(lit(-1L).as("id"), lit(-2.0).as("s")),
       (acc, c) => {
-        val sim = nanvl(round(cosine(vec, c.getField("_2")), simScale), lit(-1.0))
+        val sim = round(cosineOrSentinel(vec, c.getField("_2")), simScale)
         when(sim > acc.getField("s"),
           struct(c.getField("_1").as("id"), sim.as("s"))).otherwise(acc)
       },
