@@ -2047,9 +2047,12 @@ object ExtQueries {
     // Embedding-geometry probe: pairwise-cosine histogram over an md5
     // sample — the anisotropy/collapse check behind every ANN and
     // SemDeDup threshold (Drift watches moments; this watches shape).
+    // The sample is an ABSOLUTE 512-row budget (md5 top-k, oracle
+    // replays the draw), so pair work is constant at any corpus size —
+    // the round-8 fixed-RATE spelling was (0.3·n)², quadratic.
     "q_ext_cos_histogram" -> ((s, dir) =>
       Drift.cosineHistogram(Tables.embeddings(s, dir), "vec_id",
-        "embedding", sampleRate = 0.3, bins = 20)),
+        "embedding", maxSample = 512, bins = 20)),
 
     // Newman modularity of a partition of the link graph (community =
     // v mod 4 — the quality number for ANY community assignment, e.g.
@@ -4817,12 +4820,11 @@ object ExtQueries {
          |FROM e8 GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
 
     "q_ext_cos_histogram" -> {
-      val thr = Sampling.rateThreshold(0.3)
       s"""WITH sm AS (
          |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings
-         |  WHERE substring(md5('geo' || CAST(vec_id AS VARCHAR)), 1, 8)
-         |        < '$thr'),
+         |  ORDER BY md5('geo' || CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT 512),
          |p AS (
          |  SELECT round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |  FROM sm a JOIN sm b ON a.id < b.id),

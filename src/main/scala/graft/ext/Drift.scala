@@ -122,23 +122,33 @@ object Drift {
     * 1, a collapsing encoder piles pairs near 1, and every ANN /
     * SemDeDup threshold silently degrades when that happens).
     *
-    * Sample-pair work is (rate·n)² by construction — the same
-    * broadcast-bounded brute-force budget as the ANN cosine baseline,
-    * with the rate the documented knob. Cosines round to 6 dp before
+    * The sample is an ABSOLUTE budget, never a rate: the `maxSample`
+    * rows whose salted md5 ranks lowest (a deterministic uniform draw,
+    * id tie-broken) are taken via a bounded per-partition-heap top-k
+    * (TakeOrderedAndProject — no sort shuffle), so pair work is a
+    * fixed maxSample²/2 at ANY corpus size. A fixed RATE here was the
+    * round-8 scale bug: (rate·n)² pair work is quadratic in the
+    * corpus, 100× at 10× data — the same bug class the KeyShift pin
+    * killed for the ANN centroid sets, fixed the same way (the oracle
+    * replays the identical ORDER BY md5 LIMIT draw). A corpus smaller
+    * than the budget is sampled whole. Cosines round to 6 dp before
     * binning (engine parity), counts are exact, per-bin mean rides a
     * decimal sum. Output per non-empty bin over [-1, 1]:
     * (bin, n_pairs, mean_cos).
     */
   def cosineHistogram(df: DataFrame, idCol: String, vecCol: String,
-      sampleRate: Double, bins: Int = 20,
+      maxSample: Int, bins: Int = 20,
       salt: String = "geo"): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]: $bins")
-    val thr = Sampling.rateThreshold(sampleRate)
+    require(maxSample >= 2 && maxSample <= 4096,
+      s"maxSample must be in [2, 4096]: $maxSample")
     val sample = df
-      .filter(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
-        1, 8) < lit(thr))
       .select(col(idCol).as("__id"),
-        Similarity.asDouble(col(vecCol)).as("__v"))
+        Similarity.asDouble(col(vecCol)).as("__v"),
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("__h"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(maxSample)
+      .select(col("__id"), col("__v"))
     val pairs = sample.select(col("__id").as("__ida"), col("__v").as("__va"))
       .join(broadcast(sample.select(col("__id").as("__idb"),
         col("__v").as("__vb"))), col("__ida") < col("__idb"))

@@ -91,9 +91,18 @@ object LangModel {
     *
     * Scale shape: doc bigrams join the bigram table ON THE GRAM KEY as
     * a shuffle join — a 100 TB corpus's bigram table dwarfs executor
-    * memory, so it must never broadcast (the unigram side is
-    * vocabulary-sized and does, as in [[scoreUnigram]]). One explode,
-    * one keyed shuffle join, one partial-agg per doc.
+    * memory, so it must never broadcast. The unigram counts are
+    * VOCABULARY-sized and must not broadcast either (a web-crawl
+    * vocabulary is billions of distinct tokens; under the scale
+    * harness's caesar replication the vocab grows linearly with
+    * replicas, and round 8 measured the broadcast build blowing the
+    * scaled leg out 62.9×): instead, every lookup the formula needs
+    * (c12 via gram, c1/c2 via w1/w2) lands on the corpus's DISTINCT-
+    * gram table — map-side-deduped, type-sized — via shuffle joins,
+    * and the position table then joins that finished lookup exactly
+    * once on the gram key. Raw positions cross the wire ONCE; every
+    * other exchange carries gram/term types or per-doc partials. Only
+    * the one-row totals broadcast.
     */
   def scoreBigramInterpolated(
       docs: DataFrame, idCol: String, textCol: String,
@@ -108,15 +117,20 @@ object LangModel {
       .select(explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
     val docBi = docs.select(col(idCol).as("id"),
-        explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+      explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+    // type-sized lookup: every gram the corpus mentions, with the
+    // counts the formula needs attached via shuffle joins
+    val gramInfo = docBi.select(col("gram")).distinct()
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-    val p = docBi
-      .join(bi, Seq("gram"), "left")
-      .join(broadcast(uc.select(col("term").as("w1"), col("c").as("c1"))),
-        Seq("w1"), "left")
-      .join(broadcast(uc.select(col("term").as("w2"), col("c").as("c2"))),
-        Seq("w2"), "left")
+      .join(bi.hint("shuffle_hash"), Seq("gram"), "left")
+      .join(uc.select(col("term").as("w1"), col("c").as("c1"))
+        .hint("shuffle_hash"), Seq("w1"), "left")
+      .join(uc.select(col("term").as("w2"), col("c").as("c2"))
+        .hint("shuffle_hash"), Seq("w2"), "left")
+      .select(col("gram"), col("c12"), col("c1"), col("c2"))
+    // gramInfo covers every doc gram by construction -> inner join
+    val p = docBi.join(gramInfo.hint("shuffle_hash"), Seq("gram"))
       .crossJoin(broadcast(totals))
       .withColumn("p_bi",
         (coalesce(col("c12"), lit(0L)) + 1).cast("double")
@@ -161,8 +175,13 @@ object LangModel {
     *
     * Scale shape: identical to [[scoreBigramInterpolated]] — the gram
     * join shuffles on the gram key (a 100 TB bigram table never
-    * broadcasts); ctx/cont/types are vocabulary- and scalar-sized and
-    * do. One explode, one keyed shuffle join, one partial agg per doc.
+    * broadcasts), and the vocabulary-sized ctx/cont tables never
+    * broadcast either (round 8's scale bug: the vocab grows linearly
+    * under replication and without bound on a web crawl). All lookups
+    * (c12, ctx's c1/n_follow, cont's n_prec) land on the corpus's
+    * distinct-gram table via type-sized shuffle joins; raw positions
+    * shuffle exactly once, onto that finished lookup. Only the scalar
+    * `types` broadcasts.
     */
   def scoreBigramKneserNey(
       docs: DataFrame, idCol: String, textCol: String,
@@ -179,13 +198,18 @@ object LangModel {
     val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
     val types = bi.agg(count(lit(1)).as("n_types"))
     val docBi = docs.select(col(idCol).as("id"),
-        explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+      explode(TextStats.ngramArray(col(textCol), 2)).as("gram"))
+    // type-sized lookup over the corpus's distinct grams
+    val gramInfo = docBi.select(col("gram")).distinct()
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-    val p = docBi
-      .join(bi.select(col("gram"), col("c12")), Seq("gram"), "left")
-      .join(broadcast(ctx), Seq("w1"), "left")
-      .join(broadcast(cont), Seq("w2"), "left")
+      .join(bi.select(col("gram"), col("c12")).hint("shuffle_hash"),
+        Seq("gram"), "left")
+      .join(ctx.hint("shuffle_hash"), Seq("w1"), "left")
+      .join(cont.hint("shuffle_hash"), Seq("w2"), "left")
+      .select(col("gram"), col("c12"),
+        col("c1"), col("n_follow"), col("n_prec"))
+    val p = docBi.join(gramInfo.hint("shuffle_hash"), Seq("gram"))
       .crossJoin(broadcast(types))
       .withColumn("skipped",
         (col("c1").isNull || col("n_prec").isNull).cast("int"))

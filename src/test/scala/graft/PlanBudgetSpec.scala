@@ -77,9 +77,13 @@ class PlanBudgetSpec extends SparkTestBase {
         "read-back digest agg is the single counted exchange"),
     ("q_ext_unicode_nfc", 0, "codegen'd normalizer — scan to output"),
     ("q_ext_script_profile", 0, "replace-length counting — scan to output"),
-    ("q_ext_bigram_lm", 4,
-      "bigram-table count agg + doc-gram x gram-table shuffle join sides + " +
-        "per-doc partial agg; unigram context/fallback and totals broadcast"),
+    ("q_ext_bigram_lm", 9,
+      "ONE position-sized exchange (doc grams onto the finished lookup) " +
+        "+ the per-doc partial agg; the rest are gram/term-TYPE-sized: " +
+        "bigram + unigram count aggs, the distinct-gram dedup, its w1/w2 " +
+        "lookup joins and re-key, the one-row totals gather — NOTHING " +
+        "vocabulary-sized broadcasts (asserted below; the round-8 " +
+        "broadcast of ctx/cont grew linearly with the vocab)"),
     ("q_ext_seq_pairs", 1,
       "one keyed shuffle on the entity; the bounded ROWS window sorts " +
         "within partitions, no second exchange"),
@@ -124,7 +128,9 @@ class PlanBudgetSpec extends SparkTestBase {
       "one keyed window scan; integral, span and count fold in the " +
         "window's partitioning"),
     ("q_ext_cos_histogram", 1,
-      "the md5 sample broadcasts both pair sides; one bins partial agg"),
+      "the 512-row md5 top-k sample is TakeOrderedAndProject (bounded " +
+        "heaps, no sort exchange) and broadcasts both pair sides; one " +
+        "bins partial agg"),
     ("q_ext_interval_join", 2,
       "per-(user, day) interval agg feeds both sides; the bin join and " +
         "overlap filter add one exchange — a third means the dedup " +
@@ -281,11 +287,12 @@ class PlanBudgetSpec extends SparkTestBase {
       "centroids broadcast; the min(struct) argmin exchange (one row per " +
         "vector reaches the wire) + the cell-partitioned window count — " +
         "a third means assignment stopped folding map-side"),
-    ("q_ext_bigram_kn", 8,
-      "data-bearing: the bigram-count agg, the doc-gram join sides and " +
-        "the per-doc final agg; ctx/cont/types are vocabulary- and " +
-        "scalar-sized aggs that broadcast back — the bigram table itself " +
-        "never broadcasts (100 TB rule)"),
+    ("q_ext_bigram_kn", 13,
+      "ONE position-sized exchange (doc grams onto the finished lookup) " +
+        "+ the per-doc partial agg; the rest are type-sized: bigram agg, " +
+        "ctx/cont re-keys of it, the distinct-gram dedup and its three " +
+        "lookup joins, the scalar types gather — ctx/cont are " +
+        "vocabulary-sized and must NEVER broadcast (asserted below)"),
     ("q_ext_neyman_alloc", 2,
       "one stratum-keyed integer-moment agg + the strata-table total's " +
         "single-row gather (broadcast back); allocation is row-local"),
@@ -344,6 +351,31 @@ class PlanBudgetSpec extends SparkTestBase {
         s"the GROWING batch side (doc_id >= 250) is being broadcast:\n$j")
       assert(s.contains("< 250"),
         s"broadcast build side is not the pinned hist (doc_id < 250):\n$j")
+    }
+  }
+
+  /** The bigram scorers must never broadcast a VOCABULARY-keyed frame
+    * (round-8 scale bug: the vocab grows linearly under the harness's
+    * caesar replication and without bound on a web crawl, so a
+    * broadcast of ctx/cont/unigram counts breaches any memory budget
+    * at 100 TB). The only legal broadcast in either plan is the
+    * one-ROW scalar totals frame — pinned on the broadcast node's
+    * output schema, which is scalar aggregate columns only.
+    */
+  for ((q, scalarCols) <- Seq(
+      "q_ext_bigram_lm" -> Set("n_total", "v_size"),
+      "q_ext_bigram_kn" -> Set("n_types"))) {
+    test(s"$q broadcasts only the one-row scalar totals, never the vocabulary") {
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+      val plan = SparkEntry.queries(q)(noAqe, sfDir).queryExecution.executedPlan
+      val bcs = plan.collect { case b: BroadcastExchangeLike => b }
+      assert(bcs.nonEmpty, s"expected the scalar totals broadcast in:\n$plan")
+      bcs.foreach { b =>
+        val cols = b.schema.fieldNames.toSet
+        assert(cols.subsetOf(scalarCols),
+          s"$q broadcasts a non-scalar frame (${cols.mkString(",")}) — " +
+            s"a vocabulary-keyed broadcast is the 100 TB scale bug:\n$b")
+      }
     }
   }
 

@@ -23,7 +23,7 @@ class DriftSpec extends SparkTestBase {
   test("cosineHistogram: collapsed space piles all pairs in the top bin") {
     // identical directions -> every pairwise cosine is 1.0 -> bin 19
     val df = (1L to 30L).map(i => (i, Seq(1.0f, 1.0f))).toDF("id", "vec")
-    val rows = Drift.cosineHistogram(df, "id", "vec", sampleRate = 1.0)
+    val rows = Drift.cosineHistogram(df, "id", "vec", maxSample = 64)
       .collect()
     assert(rows.length === 1)
     assert(rows.head.getAs[Long]("bin") === 19L)
@@ -36,7 +36,7 @@ class DriftSpec extends SparkTestBase {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
       .toDF("id", "vec")
-    val rows = Drift.cosineHistogram(df, "id", "vec", sampleRate = 1.0)
+    val rows = Drift.cosineHistogram(df, "id", "vec", maxSample = 64)
       .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_pairs"))
       .toMap
     assert(rows === Map(0L -> 1L, 10L -> 2L))
@@ -66,13 +66,18 @@ class DriftSpec extends SparkTestBase {
     assert(ab > 0.0)
   }
 
-  test("cosineHistogram: the md5 sample is a strict, deterministic subset") {
+  test("cosineHistogram: the md5 sample is an absolute, deterministic budget") {
     val df = (1L to 200L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("id", "vec")
-    val a = Drift.cosineHistogram(df, "id", "vec", sampleRate = 0.2)
+    val a = Drift.cosineHistogram(df, "id", "vec", maxSample = 40)
       .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
-    val b = Drift.cosineHistogram(df, "id", "vec", sampleRate = 0.2)
+    val b = Drift.cosineHistogram(df, "id", "vec", maxSample = 40)
       .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
-    assert(a === b, "same salt + rate must sample identically")
-    assert(a < 200L * 199L / 2L, "sample must actually subset")
+    assert(a === b, "same salt + budget must sample identically")
+    // pair work is EXACTLY the budget's triangle, independent of n
+    assert(a === 40L * 39L / 2L, "sample must be exactly maxSample rows")
+    val c = Drift.cosineHistogram(df.union(df.selectExpr("id + 1000 AS id", "vec")),
+        "id", "vec", maxSample = 40)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(c === 40L * 39L / 2L, "pair work must not grow with the corpus")
   }
 }
