@@ -29,14 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object Curriculum {
 
-  /** (id, difficulty, phase) for every input row; `difficulty` must be
-    * integer-typed (exact order statistics need exact values).
+  /** (id, difficulty, phase) for every input row; `difficulty` must
+    * RESOLVE to an integral type (exact order statistics need exact
+    * values) — checked, not silently cast: a fractional difficulty
+    * truncated by a blind cast("long") would produce plausible but
+    * wrong quantile boundaries.
     */
   def phases(
       df: DataFrame, idCol: String, difficulty: Column,
       nPhases: Int): DataFrame = {
     require(nPhases >= 2 && nPhases <= 100,
       s"nPhases must be in [2, 100], got $nPhases")
+    val dType = df.select(difficulty.as("__d")).schema.head.dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(dType.simpleString),
+      s"difficulty must resolve to an integral type, got ${dType.simpleString}" +
+        " — round or scale fractional scores to integers explicitly first")
     val base = df.select(col(idCol).as("id"), difficulty.cast("long").as("d"))
     val pv = base.groupBy(col("d")).agg(count(lit(1)).as("c"))
     val scanned = graft.ops.PrefixSum.runningTotal(pv, "d", "c", "p", 64L)

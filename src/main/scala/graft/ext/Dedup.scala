@@ -650,9 +650,17 @@ object Dedup {
       .agg(graft.functions.SketchAggregates.simHashVotes(col("h")).as("sh"))
   }
 
-  /** Near-dup pairs with Hamming distance ≤ `maxHamming` between SimHash
-    * fingerprints, using 16-bit band blocking (any pair within Hamming 3
-    * of a 64-bit hash shares at least one of 4 16-bit bands intact).
+  /** APPROXIMATE near-dup pairs with Hamming distance ≤ `maxHamming`
+    * between SimHash fingerprints — approximate on BOTH axes: band
+    * blocking guarantees every qualifying pair shares a 16-bit band
+    * (any pair within Hamming 3 of a 64-bit hash leaves one of 4 bands
+    * intact), but the sorted-neighborhood cap below can still DROP a
+    * true pair whose two members rank more than `maxNeighbors` apart
+    * inside a large band bucket (the bucket key pins only 16 of the 64
+    * bits; a pair differing in high-order bits outside the shared band
+    * sorts far apart). Recall is exact only while every band bucket
+    * holds ≤ maxNeighbors+1 members — beyond that it degrades
+    * gracefully, never the wall time (the fleet's cap contract).
     *
     * Pair GENERATION is bounded per doc per band by a sorted
     * neighborhood of `maxNeighbors`: within each (band, band_key)

@@ -20,7 +20,10 @@ import graft.ext.Linkage
   *     (hot-block cap applies per batch);
   *  2. cross-batch candidate pairs = batch × store joined on the block
   *     keys (the store scan's bucketing carries the join — zero
-  *     store-side Exchange), scored by the SAME field weights and
+  *     store-side Exchange), with the STORE side capped per block at
+  *     probe time (row_number by id <= maxBlock, the blockedPairs
+  *     spelling — a hot block accreted across appends degrades recall,
+  *     never wall time), scored by the SAME field weights and
   *     re-oriented id_a < id_b to match the batch operator's output;
   *  3. classified pairs append to the output; the batch's records
   *     append to the store (bucket spec preserved).
@@ -58,8 +61,23 @@ object StreamLinkage {
             within, scores(within), matchMin, possibleMin)
           val classified =
             if (spark.catalog.tableExists(storeName)) {
+              // The cross-batch join must cap the STORE side per block
+              // just as blockedPairs caps within-batch blocks: the
+              // store accretes over the stream's lifetime, so an
+              // uncapped hot (block) bucket would charge every later
+              // micro-batch |hot-block| fan-out, growing without bound
+              // — the exact degenerate case maxBlock exists for. Same
+              // spelling as blockedPairs (rank by id, overflow excluded
+              // — recall degrades, wall time never); the row_number
+              // rides the store's bucketing, zero store-side Exchange.
+              val capW = org.apache.spark.sql.expressions.Window
+                .partitionBy(blockCols.map(col): _*).orderBy(col(idCol))
+              val store = spark.table(storeName)
+                .withColumn("__br", row_number().over(capW))
+                .filter(col("__br") <= maxBlock)
+                .drop("__br")
               val cross = side(b, "_a")
-                .join(side(spark.table(storeName), "_b"), blockCols)
+                .join(side(store, "_b"), blockCols)
                 .filter(col("id_a") =!= col("id_b"))
               val crossCls = Linkage.classify(
                 cross, scores(cross), matchMin, possibleMin)

@@ -27,6 +27,19 @@ class CurriculumSpec extends SparkTestBase {
     assert(got(30L) === 4L)
   }
 
+  test("phases: a fractional difficulty column is REJECTED, not truncated") {
+    val df = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Curriculum.phases(df, "id", col("score"), nPhases = 2)
+    }
+    assert(e.getMessage.contains("integral"))
+    // an explicit integer scaling is the sanctioned route
+    val ok = Curriculum.phases(df, "id",
+        (col("score") * 1000000).cast("long"), nPhases = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ok === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("phases: result is partitioning-invariant") {
     val df = (1L to 100L).map(i => (i, i % 17)).toDF("id", "score")
     val a = Curriculum.phases(df, "id", col("score"), 4)

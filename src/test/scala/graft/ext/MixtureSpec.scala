@@ -44,4 +44,33 @@ class MixtureSpec extends SparkTestBase {
       .orderBy("source").collect().toSeq
     assert(a === b)
   }
+
+  test("operator runs on an arbitrary (non-gate) domain set") {
+    // 3 domains the gate never ships, custom eta/rounds — the operator
+    // must not be welded to the q_ext_mix_mw fixture constants
+    val df = Seq(
+      (1L, "web", 40L), (2L, "web", 60L),
+      (3L, "code", 200L), (4L, "books", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val rows = Mixture.multiplicativeWeights(df, "source", col("n_chars"),
+        sources = Seq("web", "code", "books"), eta = 0.5, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === Set("web", "code", "books"))
+    val w = rows.map(r => r._1 -> r._3).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-6)
+    assert(w("code") > w("books") && w("books") > w("web"),
+      s"MW must upweight above-average domains: $w")
+    // e_micro is still the exact integer mean in micro-units
+    assert(rows.find(_._1 == "web").get._2 === 50L * 1000000L)
+    // hand-check round 1 for 'code': h = (0.25, 1.0, 0.5), w0 = 1/3 each
+    // avg = (0.25 + 1.0 + 0.5) / 3; up_i = (1/3)(1 + 0.5(h_i - avg))
+    val h = Seq(0.25, 1.0, 0.5)
+    var wts = Seq.fill(3)(1.0 / 3)
+    (1 to 2).foreach { _ =>
+      val avg = wts.zip(h).map { case (a, b) => a * b }.sum
+      val up = wts.zip(h).map { case (wi, hi) => wi * (1.0 + 0.5 * (hi - avg)) }
+      wts = up.map(_ / up.sum)
+    }
+    assert(math.abs(w("code") - math.rint(wts(1) * 1e6) / 1e6) <= 1e-6)
+  }
 }

@@ -74,4 +74,45 @@ class StreamLinkageSpec extends SparkTestBase {
     // the store accreted every ingested record
     assert(spark.table("t_slk_store").count() === 5L)
   }
+
+  test("cross-batch fan-out is bounded by maxBlock against a hot store block") {
+    val root = Files.createTempDirectory("graft-slk-hot").toString
+    val src = s"$root/src"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    spark.sql("DROP TABLE IF EXISTS `t_slk_hot_store`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "t_slk_hot_store")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    def run(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      val q = StreamLinkage.ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$src/*"),
+        "rid", Seq("block"), scores,
+        matchMin = 10L, possibleMin = -100L,
+        storeName = "t_slk_hot_store", outPath = out, checkpoint = ckpt,
+        maxBlock = 3, trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // batch 1: a HOT block — 8 store rows in block "a", far over the cap
+    (1L to 8L).map(i => (i, s"name$i", "city", "a"))
+      .toDF("rid", "name", "city", "block")
+      .coalesce(1).write.parquet(s"$src/b1")
+    run()
+    // batch 2: one probe record against the accreted hot block
+    Seq((100L, "probe", "city", "a"))
+      .toDF("rid", "name", "city", "block")
+      .coalesce(1).write.parquet(s"$src/b2")
+    run()
+    val crossPairs = spark.read.parquet(out)
+      .filter(col("id_a") === 100L || col("id_b") === 100L)
+      .count()
+    // uncapped the probe would pair with all 8 store rows; the capped
+    // store exposes only the maxBlock lowest-id members per block
+    assert(crossPairs === 3L,
+      s"hot-block fan-out must be capped at maxBlock=3, got $crossPairs")
+  }
 }
