@@ -1,0 +1,30 @@
+package graft
+
+/** Drift guard for [[ExtQueries.prepare]] (the bench's untimed
+  * store-build hooks): every prep key must name a real driver query —
+  * a renamed gate with a stale prep entry would silently stop
+  * prepping, and the scaled bench would quietly go back to timing
+  * store build + probe together (the round-8 regression this map
+  * exists to prevent).
+  */
+class PrepareSpec extends SparkTestBase {
+
+  test("every prepare key names a declared driver query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = ExtQueries.prepare.keySet.diff(qs)
+    assert(orphans.isEmpty,
+      s"prepare entries without a matching query: ${orphans.mkString(", ")}")
+  }
+
+  test("prep then probe: the prepped store satisfies the gate's ensure (no rebuild)") {
+    val dir = "/root/testdata/sf0.001"
+    val name = "q_ext_dedup_incremental_near"
+    ExtQueries.prepare(name)(spark, dir)
+    // after prep, the gate's own ensure must see both store halves
+    val store = ExtQueries.scratchTable(spark, "g_mh_store", dir)
+    assert(spark.catalog.tableExists(s"${store}_bands"))
+    assert(spark.catalog.tableExists(s"${store}_sigs"))
+    // and the query itself runs green against the prepped store
+    assert(SparkEntry.queries(name)(spark, dir).count() >= 0L)
+  }
+}
