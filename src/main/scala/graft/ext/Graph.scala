@@ -96,9 +96,13 @@ object Graph {
   def pageRankSql(iterations: Int): String = {
     require(iterations >= 1)
     val base = s"((${DampDen - DampNum} * $Scale) // ($DampDen * (SELECT n FROM nn)))"
+    // AS MATERIALIZED: pins one evaluation per round under an inlining
+    // CTE evaluator (the kCoreSql lesson; single-reference chains are
+    // only quadratic, but the hint costs nothing and the content is
+    // identical)
     val iters = (1 to iterations).map { k =>
       val prev = if (k == 1) "r0" else s"it${k - 1}"
-      s"""it$k AS (
+      s"""it$k AS MATERIALIZED (
          |  SELECT nodes.v,
          |    CAST($base + ($DampNum * coalesce(c.s, 0)) // $DampDen AS BIGINT) AS r
          |  FROM nodes LEFT JOIN (
@@ -322,14 +326,23 @@ object Graph {
     */
   def kCoreSql(k: Int, rounds: Int): String = {
     require(k >= 1 && rounds >= 1)
+    // Every CTE is AS MATERIALIZED: each round references e_{i-1} twice
+    // (degree filter + edge prune) and k_i twice (both endpoints), so an
+    // INLINING evaluator re-computes the chain per reference — 2^rounds
+    // blow-up. DuckDB 1.0 inlines by default, and the unmaterialized
+    // spelling measured ~10 MINUTES at sf0.01 (it was the gate's single
+    // slowest oracle and a sweep-stall for three rounds) vs 0.07 s
+    // materialized — same rows. Materialization is evaluation-order
+    // pinning only; the relational content is identical.
     val sym =
-      """e0 AS (
+      """e0 AS MATERIALIZED (
         |  SELECT src AS a, dst AS b FROM edges WHERE src <> dst
         |  UNION
         |  SELECT dst, src FROM edges WHERE src <> dst)""".stripMargin
     val iters = (1 to rounds).map { i =>
-      s"""k$i AS (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= $k),
-         |e$i AS (
+      s"""k$i AS MATERIALIZED (
+         |  SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
          |  SELECT e.a, e.b FROM e${i - 1} e
          |  JOIN k$i x ON x.a = e.a JOIN k$i y ON y.a = e.b)""".stripMargin
     }.mkString(",\n")
@@ -373,8 +386,12 @@ object Graph {
     */
   def hitsSql(iterations: Int): String = {
     require(iterations >= 1)
+    // AS MATERIALIZED: each round references its predecessor TWICE
+    // (normalizer sum + join), so an inlining evaluator re-computes the
+    // chain 4^k times (the kCoreSql lesson); materialization pins one
+    // evaluation per CTE, identical content
     def norm(scoresFrom: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT nodes.v,
          |    CAST((CAST(coalesce(c.c, 0) AS HUGEINT) * $Scale)
          |      // (SELECT sum(c) FROM ($scoresFrom) z) AS BIGINT) AS s
