@@ -54,6 +54,36 @@ object Bench {
   private def noteRun(seconds: Double): Unit =
     if (seconds < 0 || seconds >= 1.0) residue = true
 
+  /** Cumulative stop-the-world GC milliseconds of this JVM — the delta
+    * across a measured run is the storm detector round 9's manual
+    * cross-run diffs did by hand (VERDICT r9 "noise-harden the bench"):
+    * a query whose REPORTED run carries seconds of GC identifies its
+    * own inflation in the artifact instead of reading as a regression.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Prep hooks that threw this process — a broken store build must
+    * not silently revert the bench to timing build + probe together
+    * (the round-8 conflation the hooks exist to prevent), so failures
+    * are recorded and emitted as `prep_failed` in BOTH output lines.
+    */
+  private[graft] val prepFailed = scala.collection.mutable.LinkedHashSet[String]()
+
+  private[graft] def runPrep(name: String,
+      prep: Option[(SparkSession, String) => Unit],
+      spark: SparkSession, dir: String): Unit =
+    prep.foreach { p =>
+      try p(spark, dir) catch {
+        case t: Throwable =>
+          prepFailed += name
+          System.err.println(s"[bench] PREP FAILED for $name: $t")
+      }
+    }
+
   /** Adaptive iteration policy (round-6 wall-time budget).
     *
     * Median-of-3 exists to defend SHORT queries, where a 0.3 s GC/JIT
@@ -74,30 +104,39 @@ object Bench {
     */
   private final val LongQueryS = 2.5
 
-  private def timeQuery(fn: (SparkSession, String) => DataFrame,
+  /** Time one query. Returns (reported seconds, GC seconds observed
+    * during the run that produced the reported number) — the GC column
+    * is what separates "regressed" from "a storm landed here" without
+    * a manual cross-run diff.
+    */
+  private def timeQuery(name: String, fn: (SparkSession, String) => DataFrame,
       spark: SparkSession, dir: String,
       cheapIters: Int, expensiveIters: Int,
-      prep: Option[(SparkSession, String) => Unit] = None): Double = {
+      prep: Option[(SparkSession, String) => Unit] = None): (Double, Double) = {
     // store-backed gates: build the session store UNTIMED so even a
     // single measured run (the scaled leg's policy for long queries)
     // sees the steady-state probe, not probe + one-time ingest
-    prep.foreach(p => try p(spark, dir) catch { case _: Throwable => () })
-    def once(): Option[Double] = {
+    runPrep(name, prep, spark, dir)
+    def once(): Option[(Double, Double)] = {
       fenceIfResidue()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
-      val r = try { runOnce(fn(spark, dir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      noteRun(r.getOrElse(-1.0))
+      val r = try {
+        runOnce(fn(spark, dir))
+        Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - gc0) / 1e3))
+      } catch { case _: Throwable => None }
+      noteRun(r.map(_._1).getOrElse(-1.0))
       r
     }
     once() match {
-      case None => -1.0
-      case Some(t0) if t0 >= LongQueryS =>
-        (Seq(t0) ++ (2 to expensiveIters).flatMap(_ => once())).min
-      case Some(t0) =>
+      case None => (-1.0, 0.0)
+      case Some(r0 @ (t0, _)) if t0 >= LongQueryS =>
+        (Seq(r0) ++ (2 to expensiveIters).flatMap(_ => once())).minBy(_._1)
+      case Some(r0) =>
         // lower median: true median at 3 runs, MIN at 2 (additive noise
         // only ever inflates a warm run, so round down, never up)
-        val times = (Seq(t0) ++ (2 to cheapIters).flatMap(_ => once())).sorted
+        val times = (Seq(r0) ++ (2 to cheapIters).flatMap(_ => once()))
+          .sortBy(_._1)
         times((times.size - 1) / 2)
     }
   }
@@ -114,19 +153,30 @@ object Bench {
     SparkEntry.queries.get("q_a1_resample").foreach { fn =>
       try runOnce(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeQuery(fn, spark, sfDir, cheapIters = iters,
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeQuery(name, fn, spark, sfDir, cheapIters = iters,
         expensiveIters = 2, prep = ExtQueries.prepare.get(name))
     }
+    val results = timed.map { case (k, (t, _)) => k -> t }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // GC seconds seen during each query's REPORTED run (≥0.1 s only —
+    // the quiet majority would triple the artifact for no signal)
+    val gcs = timed.filter(_._2._2 >= 0.1)
+      .map { case (k, (_, g)) => s"\"" + k + "\":" + math.rint(g * 100) / 100 }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val (scaled, scaledResults) = scaledBlock(spark, sfDir)
     // record the per-query timing policy in the artifact so cross-round
     // totals aren't silently compared across methodologies (round 6
-    // switched long queries from median-of-3 to min-of-<=2)
-    val timing = s""""timing":"min>=${LongQueryS}s/median<${LongQueryS}s""""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$timing,"queries":$qs,"sf":"$sfDir"$scaled}"""
+    // switched long queries from median-of-3 to min-of-<=2; round 10
+    // extended min-of-2 to the scaled leg's long queries — r9's
+    // single-measured leg let one GC storm write ±50% into the
+    // artifact, VERDICT r9 "What's wrong #2")
+    val timing = s""""timing":"min>=${LongQueryS}s/median<${LongQueryS}s/scaled-min-of-2""""
+    val prepJson = prepFailed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$timing,"prep_failed":$prepJson,"queries":$qs,"gc_sec":$gcs,"sf":"$sfDir"$scaled}"""
     // The driver preserves only a ~2 KB TAIL of stdout, and the full
     // line is ~11 KB — in rounds 1–5 the capture truncated it from the
     // front and every parse came back null. So stdout gets a COMPACT
@@ -143,6 +193,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":${math.rint(total * 10) / 10},""" +
       s""""unit":"sec",$timing,""" +
       s""""n_queries":${results.size},"n_failed":${failures.size},""" +
+      s""""prep_failed":$prepJson,""" +
       s""""queries":$compactQs,"sf":"$sfDir"$ratios,"full":"$out"}"""
     println(compact)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
@@ -196,20 +247,28 @@ object Bench {
     try {
       val dst = new java.io.File(s"target/scaled-${x}x").getAbsolutePath
       graft.io.ScaleReplicate.ensure(spark, sfDir, dst, x)
-      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      // r9's scaled leg measured long queries ONCE and a single GC
+      // storm wrote ±50% into the judged artifact (driver 758.9 s vs
+      // builder 510/504 s of identical code). Long queries now get
+      // min-of-2 like the base leg — timing noise on a warm fixed plan
+      // is additive-only, so the min is the plan's cost.
+      val longIters =
+        sys.env.getOrElse("SPARK_GRAFT_SCALED_LONG_ITERS", "2").toInt.max(1)
+      val timed = SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => fixtureQueries(name) }
         .map { case (name, fn) =>
-          // the scaled pass exists for RATIOS: long queries get a single
-          // run (self-averaging over tens of seconds of task time),
-          // short ones min-of-scaledIters (additive-noise defense)
-          name -> timeQuery(fn, spark, dst,
-            cheapIters = scaledIters, expensiveIters = 1,
+          name -> timeQuery(name, fn, spark, dst,
+            cheapIters = scaledIters, expensiveIters = longIters,
             prep = ExtQueries.prepare.get(name))
         }
+      val results = timed.map { case (k, (t, _)) => k -> t }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val gcs = timed.filter(_._2._2 >= 0.1)
+        .map { case (k, (_, g)) => s"\"" + k + "\":" + math.rint(g * 100) / 100 }
+        .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      (s""","scaled_x":$x,"scaled_total":$total,"scaled_queries":$qs""", results)
+      (s""","scaled_x":$x,"scaled_total":$total,"scaled_queries":$qs,"scaled_gc_sec":$gcs""", results)
     } catch { case _: Throwable => ("", Nil) }
   }
 }

@@ -41,8 +41,17 @@ object Curriculum {
     require(nPhases >= 2 && nPhases <= 100,
       s"nPhases must be in [2, 100], got $nPhases")
     val dType = df.select(difficulty.as("__d")).schema.head.dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-        .contains(dType.simpleString),
+    // match the DataType itself, not simpleString: Spark renders
+    // ByteType/ShortType/IntegerType/LongType as tinyint/smallint/int/
+    // bigint, so a name allowlist silently rejected valid byte/short
+    // difficulty columns (round-9 ADVICE)
+    require(dType match {
+        case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      },
       s"difficulty must resolve to an integral type, got ${dType.simpleString}" +
         " — round or scale fractional scores to integers explicitly first")
     val base = df.select(col(idCol).as("id"), difficulty.cast("long").as("d"))

@@ -123,14 +123,14 @@ object LangModel {
     val gramInfo = docBi.select(col("gram")).distinct()
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-      .join(bi.hint("shuffle_hash"), Seq("gram"), "left")
+      .join(bi.hint("merge"), Seq("gram"), "left")
       .join(uc.select(col("term").as("w1"), col("c").as("c1"))
-        .hint("shuffle_hash"), Seq("w1"), "left")
+        .hint("merge"), Seq("w1"), "left")
       .join(uc.select(col("term").as("w2"), col("c").as("c2"))
-        .hint("shuffle_hash"), Seq("w2"), "left")
+        .hint("merge"), Seq("w2"), "left")
       .select(col("gram"), col("c12"), col("c1"), col("c2"))
     // gramInfo covers every doc gram by construction -> inner join
-    val p = docBi.join(gramInfo.hint("shuffle_hash"), Seq("gram"))
+    val p = docBi.join(gramInfo.hint("merge"), Seq("gram"))
       .crossJoin(broadcast(totals))
       .withColumn("p_bi",
         (coalesce(col("c12"), lit(0L)) + 1).cast("double")
@@ -203,13 +203,13 @@ object LangModel {
     val gramInfo = docBi.select(col("gram")).distinct()
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-      .join(bi.select(col("gram"), col("c12")).hint("shuffle_hash"),
+      .join(bi.select(col("gram"), col("c12")).hint("merge"),
         Seq("gram"), "left")
-      .join(ctx.hint("shuffle_hash"), Seq("w1"), "left")
-      .join(cont.hint("shuffle_hash"), Seq("w2"), "left")
+      .join(ctx.hint("merge"), Seq("w1"), "left")
+      .join(cont.hint("merge"), Seq("w2"), "left")
       .select(col("gram"), col("c12"),
         col("c1"), col("n_follow"), col("n_prec"))
-    val p = docBi.join(gramInfo.hint("shuffle_hash"), Seq("gram"))
+    val p = docBi.join(gramInfo.hint("merge"), Seq("gram"))
       .crossJoin(broadcast(types))
       .withColumn("skipped",
         (col("c1").isNull || col("n_prec").isNull).cast("int"))

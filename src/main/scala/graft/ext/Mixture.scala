@@ -57,6 +57,10 @@ object Mixture {
     require(sources.nonEmpty && sources.size <= 64,
       s"sources must be 1..64 domains: ${sources.size}")
     require(sources.distinct.size == sources.size, "sources must be distinct")
+    // names are interpolated into stack()/oracle '$s' literals: a quote
+    // or comma would produce malformed SQL or a wrong oracle (r9 ADVICE)
+    sources.foreach(s => require(s.matches("^[A-Za-z0-9_.-]+$"),
+      s"source name must match [A-Za-z0-9_.-]+: '$s'"))
     require(eta > 0 && eta < 1, s"eta must be in (0,1): $eta")
     require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
     val per = df.groupBy(col(sourceCol).as("source"))

@@ -39,7 +39,9 @@ object Packing {
     val hashed = df.withColumn("__h",
       conv(Sampling.hashHex(col(keyCol), salt), 16, 10).cast("long"))
     PrefixSum.runningTotal(hashed, "__h", sizeCol, "__start",
-        chunkSpan = (1L << 32) / 256, tieBreak = Seq(keyCol))
+        chunkSpan = (1L << 32) / 256, tieBreak = Seq(keyCol),
+        // corpus rows — must stream through the scan, never materialize
+        boundedInput = false)
       .withColumn("bin_id", expr(s"__start div $binCapacity"))
       .withColumn("bin_offset", col("__start") % binCapacity)
       .drop("__h", "__start")

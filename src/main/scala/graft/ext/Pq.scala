@@ -46,14 +46,26 @@ object Pq {
     */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       mSub: Int, subDim: Int, centFilter: Column, iters: Int,
-      simScale: Int = 4, dimScale: Int = 6): DataFrame =
-    (0 until mSub).map { m =>
-      val sub = corpus.select(col(idCol).as("id"),
-        Similarity.asDouble(subVec(col(vecCol), m, subDim)).as("vec"))
-      val init = sub.filter(centFilter)
-      Similarity.lloyd(sub, init, iters, simScale, dimScale)
-        .select(lit(m).as("sub"), col("id").as("cent_id"), col("vec").as("cvec"))
-    }.reduce(_ unionByName _)
+      simScale: Int = 4, dimScale: Int = 6): DataFrame = {
+    // The mSub subspace trainings are INDEPENDENT jobs (lloyd
+    // checkpoints eagerly, so building them serially idles the cluster
+    // through each training's straggler tail — optimization guide
+    // §2.6): submit them from a small thread pool and union the
+    // results in index order, which keeps the output deterministic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until mSub).map { m =>
+      Future {
+        val sub = corpus.select(col(idCol).as("id"),
+          Similarity.asDouble(subVec(col(vecCol), m, subDim)).as("vec"))
+        val init = sub.filter(centFilter)
+        Similarity.lloyd(sub, init, iters, simScale, dimScale)
+          .select(lit(m).as("sub"), col("id").as("cent_id"), col("vec").as("cvec"))
+      }
+    }
+    trained.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+  }
 
   /** Encode every vector as `(vec_id, sub, code)` — argmax-cosine
     * centroid per subspace, the same assignment rule training used.

@@ -87,13 +87,17 @@ object Ranking {
     // Symmetrize wins and totals in ONE union+aggregate (no join):
     // each directed row contributes (i, j, wins=w, n=w) forward and
     // (j, i, wins=0, n=w) backward.
-    val pairs = directed
+    // |items|²-bounded: materialized ONCE so the vote-log reduction
+    // runs once instead of being re-inlined into the strengths init
+    // and every MM iteration (the r9 plan carried 272 Exchanges for
+    // iterations = 2 — graft.ops.Materialize doc)
+    val pairs = graft.ops.Materialize.bounded(directed
       .select(col("i"), col("j"), col("w").as("wins_ij"),
         col("w").as("n_ij"))
       .unionByName(directed.select(col("j").as("i"), col("i").as("j"),
         lit(0L).as("wins_ij"), col("w").as("n_ij")))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("wins_ij")).as("wins_ij"), sum(col("n_ij")).as("n_ij"))
+      .agg(sum(col("wins_ij")).as("wins_ij"), sum(col("n_ij")).as("n_ij")))
     var strengths = pairs.groupBy(col("i").as("item"))
       .agg(sum(col("wins_ij")).as("n_wins"),
         sum(col("n_ij")).as("n_comparisons"))
@@ -110,11 +114,13 @@ object Ranking {
         .groupBy(col("i").as("item"))
         .agg(sum(round(col("n_ij") / (col("p_i") + col("p_j")), 12)
           .cast("decimal(28,14)")).as("denom"))
-      strengths = strengths.drop("p")
+      // item-sized; the barrier stops the tree doubling per iteration
+      // (each round references the previous strengths twice: p_i, p_j)
+      strengths = graft.ops.Materialize.bounded(strengths.drop("p")
         .join(broadcast(denom), Seq("item"))
         .withColumn("p",
           round(col("n_wins") / col("denom").cast("double"), 9))
-        .drop("denom")
+        .drop("denom"))
     }
     strengths.select(col("item"), col("n_wins"), col("n_comparisons"),
       round(col("p"), 6).as("strength"))

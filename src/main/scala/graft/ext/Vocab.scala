@@ -107,11 +107,14 @@ object Vocab {
       sizes: Seq[Int], chunkSpan: Long = 16L): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ >= 1),
       s"sizes must be positive: $sizes")
-    val counts = docs
+    // vocabulary-sized, read by BOTH the chunked scan and the totals
+    // aggregate — materialized once so the corpus token agg is not
+    // re-derived per reference (r10; graft.ops.Materialize doc)
+    val counts = graft.ops.Materialize.bounded(docs
       .select(explode(TextStats.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n_occ"))
       .withColumn("neg", -col("n_occ"))
-      .withColumn("one", lit(1L))
+      .withColumn("one", lit(1L)))
     val scanned = graft.ops.PrefixSum.runningTotals(counts, "neg",
         Seq("n_occ" -> "cum_before", "one" -> "rank_before"), chunkSpan,
         tieBreak = Seq("term"))

@@ -109,6 +109,12 @@ object RewriteWindowTopK extends Rule[LogicalPlan]
         Some((a, k.toInt))
       case LessThan(RankRef(a), Literal(k: Long, _)) if k <= Int.MaxValue =>
         Some((a, k.toInt - 1))
+      // the argmax spelling: rank == 1 is exactly rank <= 1 (r10 —
+      // Pq.encode/keepBest ran a full Window because only </<= matched)
+      case EqualTo(RankRef(a), Literal(1, _)) => Some((a, 1))
+      case EqualTo(Literal(1, _), RankRef(a)) => Some((a, 1))
+      case EqualTo(RankRef(a), Literal(1L, _)) => Some((a, 1))
+      case EqualTo(Literal(1L, _), RankRef(a)) => Some((a, 1))
       case _ => None
     }
   }

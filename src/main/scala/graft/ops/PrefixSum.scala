@@ -38,8 +38,10 @@ object PrefixSum {
       valueCol: String,
       outCol: String,
       chunkSpan: Long,
-      tieBreak: Seq[String] = Nil): DataFrame =
-    runningTotals(df, orderCol, Seq(valueCol -> outCol), chunkSpan, tieBreak)
+      tieBreak: Seq[String] = Nil,
+      boundedInput: Boolean = true): DataFrame =
+    runningTotals(df, orderCol, Seq(valueCol -> outCol), chunkSpan, tieBreak,
+      boundedInput)
 
   /** [[runningTotal]] for SEVERAL value columns in ONE pass: every
     * (valueCol, outCol) pair shares the chunking, the within-chunk
@@ -47,16 +49,28 @@ object PrefixSum {
     * sums for the plan cost of one. (A cumulative quota usually needs
     * at least two: the running weight AND the running row count.)
     */
+  /** `boundedInput = true` (the default — every caller but [[graft.ext.Packing]]
+    * passes a domain-bounded value table, not corpus rows) materializes
+    * the input once behind a plan-truncation barrier: the scan below
+    * references it from BOTH the within-chunk window path and the chunk
+    * -totals path, so a lazy input's producing subtree would be inlined
+    * — and executed — twice, and chained prefix scans (Kaplan-Meier)
+    * compounded that into a 186-Exchange plan (r10 measurement;
+    * [[Materialize]] doc). Pass false for data-sized inputs, which must
+    * keep streaming through the two scans instead of materializing.
+    */
   def runningTotals(
       df: DataFrame,
       orderCol: String,
       valueCols: Seq[(String, String)],
       chunkSpan: Long,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      boundedInput: Boolean = true): DataFrame = {
     require(chunkSpan > 0, s"chunkSpan must be positive: $chunkSpan")
     require(valueCols.nonEmpty, "at least one (valueCol, outCol) pair")
+    val in = if (boundedInput) Materialize.bounded(df) else df
     val ord: Seq[Column] = col(orderCol) +: tieBreak.map(col)
-    val chunked = df.withColumn("__chunk",
+    val chunked = in.withColumn("__chunk",
       floor(col(orderCol) / chunkSpan).cast("long"))
     val wIn = Window.partitionBy("__chunk").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)

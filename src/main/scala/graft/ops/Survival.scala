@@ -31,16 +31,22 @@ object Survival {
     * survival estimate just after t.
     */
   def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String): DataFrame = {
-    val perT = df
+    // distinct-duration-bounded (the module doc's scale contract);
+    // materialized because BOTH chunked scans below re-inline every
+    // upstream reference — r9's plan carried 186 Exchanges / 49
+    // sequential jobs for this query (graft.ops.Materialize doc)
+    val perT = graft.ops.Materialize.bounded(df
       .select(col(durationCol).cast("long").as("t"),
         col(eventCol).cast("int").as("e"))
       .groupBy("t")
-      .agg(sum("e").as("d"), (count(lit(1)) - sum("e")).as("c"))
+      .agg(sum("e").as("d"), (count(lit(1)) - sum("e")).as("c")))
     val total = perT.agg(sum(col("d") + col("c")).as("n_total"))
     // removed-before-t (events + censorings at strictly smaller t)
     val risked = PrefixSum.runningTotal(
       perT.withColumn("rem", col("d") + col("c")), "t", "rem", "removed",
       chunkSpan = 3600L)
+    // (pass 2's runningTotal materializes its own input, so the chain
+    // from `risked` through `lterm` is captured behind that barrier)
     val kmInput = risked.crossJoin(broadcast(total))
       .withColumn("n_risk", col("n_total") - col("removed"))
       // ln(1 − d/n) at event times, ×10⁸ scaled long; 0 where no event.

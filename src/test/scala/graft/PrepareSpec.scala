@@ -16,6 +16,18 @@ class PrepareSpec extends SparkTestBase {
       s"prepare entries without a matching query: ${orphans.mkString(", ")}")
   }
 
+  test("a throwing prep hook is RECORDED, not swallowed (r10 bench hardening)") {
+    Bench.prepFailed.clear()
+    Bench.runPrep("q_fake_forced_failure",
+      Some((_, _) => throw new RuntimeException("forced")), spark, "/nonexistent")
+    assert(Bench.prepFailed.contains("q_fake_forced_failure"),
+      "prep failure must land in Bench.prepFailed for the artifact's prep_failed field")
+    Bench.prepFailed.clear()
+    // and a green prep records nothing
+    Bench.runPrep("q_fake_ok", Some((_, _) => ()), spark, "/nonexistent")
+    assert(Bench.prepFailed.isEmpty)
+  }
+
   test("prep then probe: the prepped store satisfies the gate's ensure (no rebuild)") {
     val dir = "/root/testdata/sf0.001"
     val name = "q_ext_dedup_incremental_near"
