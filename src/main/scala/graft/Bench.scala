@@ -32,8 +32,17 @@ object Bench {
     * 2.0 s in isolation — SCALE.md "Scaled-block noise"). Unloading is
     * lazy-safe: the next streaming query re-registers its providers.
     */
-  private def dropResidue(): Unit = {
+  private def dropResidue(spark: SparkSession): Unit = {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    // r10: completed queries' plan-truncation barriers
+    // (Materialize.bounded = localCheckpoint) leave their block-manager
+    // partitions behind until the async ContextCleaner gets to them;
+    // under the scaled leg's allocation pressure that residue feeds the
+    // storm windows this fence exists to kill. Every persistent RDD
+    // here belongs to a FINISHED query (the fence runs before the next
+    // query is even constructed), so dropping them is pure hygiene.
+    try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     catch { case _: Throwable => () }
     System.gc()
   }
@@ -48,8 +57,8 @@ object Bench {
     */
   private var residue = true // first query follows warmup — fence it
 
-  private def fenceIfResidue(): Unit =
-    if (residue) { dropResidue(); residue = false }
+  private def fenceIfResidue(spark: SparkSession): Unit =
+    if (residue) { dropResidue(spark); residue = false }
 
   private def noteRun(seconds: Double): Unit =
     if (seconds < 0 || seconds >= 1.0) residue = true
@@ -118,7 +127,7 @@ object Bench {
     // sees the steady-state probe, not probe + one-time ingest
     runPrep(name, prep, spark, dir)
     def once(): Option[(Double, Double)] = {
-      fenceIfResidue()
+      fenceIfResidue(spark)
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val r = try {

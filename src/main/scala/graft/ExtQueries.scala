@@ -696,8 +696,10 @@ object ExtQueries {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val base = col("id") < graft.io.ScaleReplicate.KeyShift
-      val trained = Similarity.lloydStep(
-        corpus = emb, centroids = emb.filter(col("id") % 50 === 7 && base))
+      // bounded (pinned sample); materialized so ivfTopK's two
+      // references (assign + probe) don't re-run the Lloyd step
+      val trained = graft.ops.Materialize.bounded(Similarity.lloydStep(
+        corpus = emb, centroids = emb.filter(col("id") % 50 === 7 && base)))
       Similarity.ivfTopK(
           queries = emb.filter(col("id") % 25 === 0 && base),
           corpus = emb,
@@ -2527,9 +2529,9 @@ object ExtQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val base = emb.filter(col("id") % 3 =!= 0)
       val batch = emb.filter(col("id") % 3 === 0)
-      val cents = Similarity.lloydStep(base,
+      val cents = graft.ops.Materialize.bounded(Similarity.lloydStep(base,
         base.filter(col("id") % 50 === 7 &&
-          col("id") < graft.io.ScaleReplicate.KeyShift))
+          col("id") < graft.io.ScaleReplicate.KeyShift)))
       IvfStore.build(base, cents, store)
       IvfStore.ingest(batch, store)
       s.table(s"${store}_postings")
