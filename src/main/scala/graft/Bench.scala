@@ -175,7 +175,7 @@ object Bench {
       .map { case (k, (_, g)) => s"\"" + k + "\":" + math.rint(g * 100) / 100 }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    val (scaled, scaledResults) = scaledBlock(spark, sfDir)
+    val (scaled, scaledResults, scaledGcs) = scaledBlock(spark, sfDir)
     // record the per-query timing policy in the artifact so cross-round
     // totals aren't silently compared across methodologies (round 6
     // switched long queries from median-of-3 to min-of-<=2; round 10
@@ -198,12 +198,26 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     val ratios = worstRatios(results.toMap, scaledResults)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // Per-run artifact name (r10 verdict "What's wrong #2"): the
+    // driver's 32- and 8-core runs both defaulted to bench_last.json,
+    // so the second run clobbered the first's gc evidence. The cpu
+    // count is the axis the driver varies, so it keys the default.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_last_c$cpus.json")
+    // Worst GC-seconds entries IN the compact stdout line — the only
+    // artifact the driver durably preserves per run — so a storm's
+    // evidence survives even when the full JSON is overwritten.
+    def gcTop(gs: Seq[(String, Double)]): String = gs.filter(_._2 >= 0.1)
+      .sortBy(-_._2).take(5)
+      .map { case (k, g) => s"\"" + k + "\":" + math.rint(g * 100) / 100 }
+      .mkString("{", ",", "}")
+    val gcCompact =
+      s""","gc_top":${gcTop(timed.map { case (k, (_, g)) => k -> g })}""" +
+      s""","scaled_gc_top":${gcTop(scaledGcs)}"""
     val compact = s"""{"metric":"total","value":${math.rint(total * 10) / 10},""" +
       s""""unit":"sec",$timing,""" +
       s""""n_queries":${results.size},"n_failed":${failures.size},""" +
       s""""prep_failed":$prepJson,""" +
-      s""""queries":$compactQs,"sf":"$sfDir"$ratios,"full":"$out"}"""
+      s""""queries":$compactQs,"sf":"$sfDir"$ratios$gcCompact,"full":"$out"}"""
     println(compact)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case _: Throwable => () }
@@ -249,9 +263,9 @@ object Bench {
     * failing the bench.
     */
   private def scaledBlock(spark: SparkSession, sfDir: String)
-      : (String, Seq[(String, Double)]) = {
+      : (String, Seq[(String, Double)], Seq[(String, Double)]) = {
     val x = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
-    if (x <= 1) return ("", Nil)
+    if (x <= 1) return ("", Nil, Nil)
     val scaledIters = sys.env.getOrElse("SPARK_GRAFT_SCALED_ITERS", "2").toInt.max(1)
     try {
       val dst = new java.io.File(s"target/scaled-${x}x").getAbsolutePath
@@ -277,7 +291,8 @@ object Bench {
         .map { case (k, (_, g)) => s"\"" + k + "\":" + math.rint(g * 100) / 100 }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      (s""","scaled_x":$x,"scaled_total":$total,"scaled_queries":$qs,"scaled_gc_sec":$gcs""", results)
-    } catch { case _: Throwable => ("", Nil) }
+      (s""","scaled_x":$x,"scaled_total":$total,"scaled_queries":$qs,"scaled_gc_sec":$gcs""",
+        results, timed.map { case (k, (_, g)) => k -> g })
+    } catch { case _: Throwable => ("", Nil, Nil) }
   }
 }

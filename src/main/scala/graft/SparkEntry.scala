@@ -42,6 +42,48 @@ object SparkEntry {
     Tables.normalizeTs(raw)
   }
 
+  /** Size a streaming query's state/shuffle partition count to its
+    * SOURCE BYTES instead of the core count, for the eager region of a
+    * streaming query (build → start → awaitTermination).
+    *
+    * Stateful streaming disables AQE, so `spark.sql.shuffle.partitions`
+    * is taken verbatim as the state-store partition count for the life
+    * of the checkpoint — and every partition pays fixed per-micro-batch
+    * overhead (store provider init, version checkpoint files,
+    * maintenance) regardless of how many rows it holds. Defaulting the
+    * count to the session's core count couples that overhead to the
+    * MACHINE: the round-10 scaling block measured the stream-stream
+    * joins running 2× FASTER at 8 cores than 32 purely because fewer
+    * state partitions existed. Partitioning should follow the data
+    * (guide §2.2): one partition per `graft.stream.statePartitionBytes`
+    * of source parquet (default 32 MB compressed ≈ a few hundred MB of
+    * in-flight rows), clamped to [1, 4096]. The conf is restored before
+    * the query function returns; the post-stream comparison plans are
+    * lazy and execute under the caller's configuration as before.
+    */
+  private def withBoundedStreamState[T](s: SparkSession, paths: Seq[String])
+      (body: => T): T = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      else f.length()
+    val bytes = paths.map(p => sizeOf(new java.io.File(p))).sum
+    val target = math.max(1L,
+      s.conf.get("graft.stream.statePartitionBytes", (32L << 20).toString).toLong)
+    val parts = math.max(1L, math.min(4096L, (bytes + target - 1) / target))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** [[withBoundedStreamState]] keyed by sf-table names — the wrapper
+    * every `q_st*` entry applies to its whole (eager) body.
+    */
+  private def streamQ(tables: String*)(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => withBoundedStreamState(
+      s, tables.map(tb => s"$dir/$tb.parquet"))(fn(s, dir))
+
   /** Exact decimal sum of a double column, surfaced back as double. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(28,$scale)")).cast("double")
@@ -824,7 +866,7 @@ object SparkEntry {
     // append+watermark production path is spec-gated in
     // streaming/StreamResampleSpec). The streamed answer must equal the
     // batch groupBy bit-for-bit, which the DuckDB oracle pins.
-    "q_st1_stream_resample" -> ((s, dir) => {
+    "q_st1_stream_resample" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val events = streamTable(s, dir, "events")
       val agg = graft.streaming.StreamResample.tumblingMean(
@@ -852,7 +894,7 @@ object SparkEntry {
     // The 500 ms delay fraction keeps the watermark off the
     // second-aligned window-end lattice, so the <=-vs-< eviction
     // boundary can never bite regardless of the fixture's max(ts).
-    "q_st10_stream_late" -> ((s, dir) => {
+    "q_st10_stream_late" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val events = streamTable(s, dir, "events")
       val agg = graft.streaming.StreamResample.tumblingMean(
@@ -873,7 +915,7 @@ object SparkEntry {
     // document stream (append mode; state = 8-byte fingerprints only).
     // Projecting JUST the fingerprint keeps the emitted set independent
     // of arrival order, so the batch DISTINCT oracle pins it exactly.
-    "q_st2_stream_dedup" -> ((s, dir) => {
+    "q_st2_stream_dedup" -> streamQ("documents")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val docs = streamTable(s, dir, "documents")
       val fp = docs.select(substring(md5(col("text")), 1, 16).as("fp"))
@@ -891,7 +933,7 @@ object SparkEntry {
     // reproducible in epoch-seconds SQL; a single AvailableNow batch
     // (one source file, default maxFilesPerTrigger) makes the per-group
     // fold order the tracker's own within-batch sort.
-    "q_st3_stream_tracker" -> ((s, dir) => {
+    "q_st3_stream_tracker" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sp = s
       import sp.implicits._
@@ -917,7 +959,7 @@ object SparkEntry {
     // READ BACK — output-commit correctness, not just in-memory state.
     // Output and checkpoint are cleared first so the query is
     // idempotent across driver runs.
-    "q_st5_stream_file_sink" -> ((s, dir) => {
+    "q_st5_stream_file_sink" -> streamQ("documents")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val out = new java.io.File("target/g_st5_out").getAbsolutePath
       val ckpt = new java.io.File("target/g_st5_ckpt").getAbsolutePath
@@ -946,7 +988,7 @@ object SparkEntry {
     // join the oracle runs. Splitting ingestion into multiple batches
     // (e.g. adding maxFilesPerTrigger) would let the watermark drop
     // out-of-order rows and flake this gate; keep single-batch here.
-    "q_st6_stream_join" -> ((s, dir) => {
+    "q_st6_stream_join" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       def ev() = streamTable(s, dir, "events")
       val clicks = ev().filter(col("event_type") === "click")
@@ -977,7 +1019,7 @@ object SparkEntry {
     // stream are withheld in state and never emit — also replayed.
     // The 500 ms delay fraction keeps the eviction boundary off any
     // second-aligned timestamp lattice (same defense as q_st10).
-    "q_st11_stream_join_outer" -> ((s, dir) => {
+    "q_st11_stream_join_outer" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       def ev() = streamTable(s, dir, "events")
       val clicks = ev().filter(col("event_type") === "click")
@@ -1009,7 +1051,7 @@ object SparkEntry {
     // would legitimately pick different cluster canonicals across
     // batches; the multi-batch ORDER semantics are spec-pinned in
     // StreamNearDupSpec instead.)
-    "q_st8_stream_neardup" -> ((s, dir) => {
+    "q_st8_stream_neardup" -> streamQ("documents")((s, dir) => {
       // store/out/ckpt scoped per (application, dir) so concurrent
       // sessions and the bench's base/scaled passes never clobber each
       // other; cleared up front so reruns stay idempotent
@@ -1066,7 +1108,7 @@ object SparkEntry {
     // sessionizer) run to completion — the emitted (user, session
     // start, count) set must equal the batch gap-sessionization the
     // oracle computes with lag + running sum.
-    "q_st7_session_window" -> ((s, dir) => {
+    "q_st7_session_window" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val events = streamTable(s, dir, "events")
       // whole-second truncation (as q_st3): sub-second parts would make
@@ -1091,7 +1133,7 @@ object SparkEntry {
     // outage. Single AvailableNow batch + within-batch (ts, id) sort
     // makes the emitted set bit-identical to the batch operator, so
     // this query SHARES the q_ext_gaps oracle.
-    "q_st9_stream_gaps" -> ((s, dir) => {
+    "q_st9_stream_gaps" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val sp = s
       import sp.implicits._
@@ -1120,7 +1162,7 @@ object SparkEntry {
     // for ANY merge order, so the gate is robust to micro-batch
     // boundaries; with the fixture's single AvailableNow batch it
     // shares q_ext_heavy_hitters' oracle outright.
-    "q_st12_stream_heavy_hitters" -> ((s, dir) => {
+    "q_st12_stream_heavy_hitters" -> streamQ("documents")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val k = 40
       val words = streamTable(s, dir, "documents")
@@ -1157,7 +1199,7 @@ object SparkEntry {
     // id). The per-window estimate is arrival-order- and
     // batch-boundary-independent, so the gate hash-checks the batch
     // exact counts and pins the ±10% (≫3σ at rsd=0.02) contract.
-    "q_st13_stream_distinct" -> ((s, dir) => {
+    "q_st13_stream_distinct" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val events = streamTable(s, dir, "events")
       val agg = graft.streaming.StreamDistinct.windowedApproxDistinct(
@@ -1186,7 +1228,7 @@ object SparkEntry {
     // §2.10 driver-gated stream-static enrichment: per-event broadcast
     // lookup against a static dimension, streamed to completion — must
     // equal the batch join row-for-row.
-    "q_st4_stream_enrich" -> ((s, dir) => {
+    "q_st4_stream_enrich" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val raw = streamTable(s, dir, "events")
       val stream = raw.select(col("event_id"),
@@ -1206,7 +1248,7 @@ object SparkEntry {
     // stream side never shuffles) and carries its deviation. The
     // monitoring loop the reference's batch compare feeds, made
     // continuous; equals the batch join row-for-row.
-    "q_st14_stream_climatology" -> ((s, dir) => {
+    "q_st14_stream_climatology" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val profile = graft.ops.Climatology.profile(
         Tables.events(s, dir), "event_type", "ts", "value")
@@ -1234,7 +1276,7 @@ object SparkEntry {
     // stateless (map-side cell expand + stream-static join), so
     // append mode needs no watermark. Equals the batch join
     // row-for-row.
-    "q_st15_stream_radius" -> ((s, dir) => {
+    "q_st15_stream_radius" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val probes = streamTable(s, dir, "events")
         .filter(col("event_id") % 29 === 0)
@@ -1260,7 +1302,7 @@ object SparkEntry {
     // rows), no watermark needed, and the final table equals the
     // batch curve bit-for-bit. Score is per-row md5 noise, label a
     // value threshold, so the whole gate is oracle-replayable.
-    "q_st16_stream_reliability" -> ((s, dir) => {
+    "q_st16_stream_reliability" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val stream = streamTable(s, dir, "events")
         .select(
@@ -1284,7 +1326,7 @@ object SparkEntry {
     // addition, the stream-built store's range quantiles equal the
     // batch-built store's bit-for-bit, and the oracle replays them
     // from raw data.
-    "q_st17_stream_quantile_ingest" -> ((s, dir) => {
+    "q_st17_stream_quantile_ingest" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val store = ExtQueries.scratchTable(s, "g_st17_hist", dir)
       val ckpt = new java.io.File(s"target/${store}_ckpt").getAbsolutePath
@@ -1315,7 +1357,7 @@ object SparkEntry {
     // bins-row state), then the PSI algebra runs between the streamed
     // counts and the frozen batch reference; equals the batch PSI
     // bit-for-bit because the bin counts are exact integers.
-    "q_st18_stream_psi" -> ((s, dir) => {
+    "q_st18_stream_psi" -> streamQ("events")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val lo = 0.0; val hi = 500.0; val bins = 10
       val binsStream = graft.ext.Drift.psiBinned(
@@ -1337,7 +1379,7 @@ object SparkEntry {
     // left-outer + null filter, so deleted keys can never re-enter the
     // corpus between batch erasure runs. Audit equals the batch
     // anti-join exactly (count + decimal key-sum).
-    "q_st19_stream_tombstone" -> ((s, dir) => {
+    "q_st19_stream_tombstone" -> streamQ("documents")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val tomb = Tables.documents(s, dir)
         .filter(col("doc_id") % 37 === 0)
@@ -1368,7 +1410,7 @@ object SparkEntry {
     // Gates, in one row: batch-2 dups of batch-1 keeps die via the
     // persisted STORE (no streaming state), batch order is respected,
     // and in-batch canonical selection keeps the min id.
-    "q_st20_stream_neardup_order" -> ((s, dir) => {
+    "q_st20_stream_neardup_order" -> streamQ()((s, dir) => {
       val srcDir = graft.io.VerifyFixtures.streamNearDupFixture()
       val store = ExtQueries.scratchTable(s, "g_st20_store", dir)
       val out = new java.io.File(s"target/${store}_out").getAbsolutePath
@@ -1405,7 +1447,7 @@ object SparkEntry {
     // by the KeyShift pin (a design constant, not a data fraction).
     // Gate: streamed per-cell (count, id-sum) equals the batch
     // inverted-file build exactly.
-    "q_st21_stream_ann_ingest" -> ((s, dir) => {
+    "q_st21_stream_ann_ingest" -> streamQ("embeddings")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val cents = Tables.embeddings(s, dir)
         .filter(col("vec_id") % 50 === 7 &&
@@ -1433,7 +1475,7 @@ object SparkEntry {
     // q_ext_dp_counts gates) is applied ONCE to the final state, never
     // per micro-batch (per-batch noise would compound the ε spend).
     // The gate pins streamed-state-then-release == the batch query.
-    "q_st22_stream_dp_counts" -> ((s, dir) => {
+    "q_st22_stream_dp_counts" -> streamQ("documents")((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val counts = streamTable(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("true_n"))
@@ -1456,7 +1498,7 @@ object SparkEntry {
     // comparison to safe-alphabet BIGINT cells (count + id/score sums
     // both sides, min over per-pair agreement). Multi-batch cross-store
     // semantics are spec-pinned in StreamLinkageSpec instead.
-    "q_st23_stream_linkage" -> ((s, dir) => {
+    "q_st23_stream_linkage" -> streamQ("customer")((s, dir) => {
       val store = ExtQueries.scratchTable(s, "g_st23_store", dir)
       val out = new java.io.File(s"target/${store}_out").getAbsolutePath
       val ckpt = new java.io.File(s"target/${store}_ckpt").getAbsolutePath

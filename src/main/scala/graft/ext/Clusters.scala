@@ -66,6 +66,14 @@ object Clusters {
       .distinct()
       .localCheckpoint(true)
 
+    // r11 note, measured and kept for the record: pinning the star loop
+    // to a static plan (AQE off + edge-count-derived shuffle partitions)
+    // DOES collapse the per-round job count (q_ext_dedup_keep 49→23
+    // jobs, entity_resolution 34→16) but costs MORE wall time (+~1 s
+    // per family query, consistent across all 5) — the static planner
+    // keeps the node-min joins as sort-merge where AQE's runtime sizes
+    // convert them to broadcasts, and the extra sort stages outweigh
+    // the saved job-submission overhead. The adaptive loop stays.
     var round = 0
     var prevSig: Option[(Long, Long, Long)] = None
     while (round < maxIterations) {
@@ -104,6 +112,12 @@ object Clusters {
     val mins = sym.groupBy(col("u").as("c"))
       .agg(min(col("v")).as("mn"))
       .select(col("c"), least(col("mn"), col("c")).as("m"))
+    // (r11 measured: dropping this distinct — smallStar's min is
+    // duplicate-insensitive and its terminal distinct restores set
+    // semantics — changed neither the AQE job count nor wall time at
+    // gate scale, so the r10 spelling stays: at 100 TB the distinct
+    // keeps heavy-duplicate template corpora from pushing >D rows
+    // through smallStar's two exchanges.)
     sym.join(mins, sym("u") === mins("c"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))

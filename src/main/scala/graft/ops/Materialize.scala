@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 
 /** Plan-truncation barrier for BOUNDED intermediates (optimization
   * guide §3.3: "very wide unions/joins of many inputs produce enormous
@@ -34,9 +35,30 @@ object Materialize {
   /** Truncate lineage under a bounded derived frame. Idempotent: a
     * frame that is already a materialized scan (its logical plan is a
     * leaf — a prior checkpoint, an in-memory relation) passes through
-    * unchanged instead of being copied again.
+    * unchanged instead of being copied again. The same applies through
+    * a chain of DETERMINISTIC row-local operators (Project/Filter) over
+    * such a leaf: re-inlining a cheap projection of already-material
+    * partitions into two consumers duplicates neither meaningful work
+    * nor plan text, so paying a checkpoint job for it (r10 shape:
+    * Kaplan-Meier re-checkpointed `perT.withColumn(...)` one job after
+    * checkpointing `perT`) is pure overhead. Non-deterministic
+    * projections still checkpoint — two inlined copies of those could
+    * disagree.
     */
   def bounded(df: DataFrame): DataFrame =
-    if (df.queryExecution.logical.children.isEmpty) df
+    // the ANALYZED plan, not `.logical`: Spark 4's withColumn leaves an
+    // UnresolvedStarWithColumns in the raw plan whose contained
+    // unresolved function calls report deterministic=true — resolution
+    // is what reveals a rand()/udf projection as non-deterministic
+    if (cheapOverLeaf(df.queryExecution.analyzed)) df
     else df.localCheckpoint()
+
+  private def cheapOverLeaf(p: LogicalPlan): Boolean = p match {
+    case _ if p.children.isEmpty => true
+    case pr: Project =>
+      pr.projectList.forall(_.deterministic) && cheapOverLeaf(pr.child)
+    case f: Filter => f.condition.deterministic && cheapOverLeaf(f.child)
+    case a: SubqueryAlias => cheapOverLeaf(a.child)
+    case _ => false
+  }
 }

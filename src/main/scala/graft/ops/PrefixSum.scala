@@ -39,9 +39,28 @@ object PrefixSum {
       outCol: String,
       chunkSpan: Long,
       tieBreak: Seq[String] = Nil,
-      boundedInput: Boolean = true): DataFrame =
+      boundedInput: Boolean = true,
+      sharedIndex: Option[DataFrame] = None): DataFrame =
     runningTotals(df, orderCol, Seq(valueCol -> outCol), chunkSpan, tieBreak,
-      boundedInput)
+      boundedInput, sharedIndex)
+
+  /** Materialized dense chunk index for `df`'s (orderCol, chunkSpan)
+    * chunking, for CHAINED prefix scans over the SAME ordered row set
+    * (Kaplan-Meier's removed-before-t then log-survival scans): each
+    * [[runningTotals]] call otherwise rebuilds the identical directory
+    * index — a range sort + zipWithIndex per call (r10 "Not yet
+    * optimized" item). Pass the result as `sharedIndex` to every call
+    * in the chain. Contract: each call's input must have exactly this
+    * chunk set (same order column values, same span).
+    */
+  def chunkIndex(df: DataFrame, orderCol: String, chunkSpan: Long): DataFrame =
+    // explicit localCheckpoint, not Materialize.bounded: denseIndex is
+    // an RDD-backed frame — a LEAF plan, but a lazy one, which every
+    // consumer would otherwise re-derive (range sort + zipWithIndex)
+    ChunkedWindow.denseIndex(
+      df.select(floor(col(orderCol) / chunkSpan).cast("long").as("__chunk"))
+        .distinct(),
+      "__chunk").localCheckpoint()
 
   /** [[runningTotal]] for SEVERAL value columns in ONE pass: every
     * (valueCol, outCol) pair shares the chunking, the within-chunk
@@ -65,7 +84,8 @@ object PrefixSum {
       valueCols: Seq[(String, String)],
       chunkSpan: Long,
       tieBreak: Seq[String] = Nil,
-      boundedInput: Boolean = true): DataFrame = {
+      boundedInput: Boolean = true,
+      sharedIndex: Option[DataFrame] = None): DataFrame = {
     require(chunkSpan > 0, s"chunkSpan must be positive: $chunkSpan")
     require(valueCols.nonEmpty, "at least one (valueCol, outCol) pair")
     val in = if (boundedInput) Materialize.bounded(df) else df
@@ -87,8 +107,8 @@ object PrefixSum {
       .agg(totAggs.head, totAggs.tail: _*)
     val blockSize = 4096L
     val tIdx = totals
-      .join(broadcast(ChunkedWindow.denseIndex(
-        totals.select(col("__chunk")), "__chunk")), "__chunk")
+      .join(broadcast(sharedIndex.getOrElse(ChunkedWindow.denseIndex(
+        totals.select(col("__chunk")), "__chunk"))), "__chunk")
       .withColumn("__blk", (col("__idx") / blockSize).cast("long"))
     val wBlk = Window.partitionBy("__blk").orderBy("__idx")
       .rowsBetween(Window.unboundedPreceding, -1)

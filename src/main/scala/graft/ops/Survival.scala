@@ -41,10 +41,13 @@ object Survival {
       .groupBy("t")
       .agg(sum("e").as("d"), (count(lit(1)) - sum("e")).as("c")))
     val total = perT.agg(sum(col("d") + col("c")).as("n_total"))
+    // both chained scans chunk the same distinct-t set at the same
+    // span, so they share one materialized directory index (r11)
+    val idx = PrefixSum.chunkIndex(perT, "t", 3600L)
     // removed-before-t (events + censorings at strictly smaller t)
     val risked = PrefixSum.runningTotal(
       perT.withColumn("rem", col("d") + col("c")), "t", "rem", "removed",
-      chunkSpan = 3600L)
+      chunkSpan = 3600L, sharedIndex = Some(idx))
     // (pass 2's runningTotal materializes its own input, so the chain
     // from `risked` through `lterm` is captured behind that barrier)
     val kmInput = risked.crossJoin(broadcast(total))
@@ -58,7 +61,7 @@ object Survival {
             1e8).cast("long"))
           .otherwise(lit(0L)))
     val scanned = PrefixSum.runningTotal(kmInput, "t", "lterm", "lpfx",
-      chunkSpan = 3600L)
+      chunkSpan = 3600L, sharedIndex = Some(idx))
     scanned
       .filter(col("d") > 0)
       .select(col("t"), col("n_risk"), col("d"), col("c"),

@@ -29,6 +29,23 @@ class PrefixSumSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("chained scans sharing one chunkIndex equal per-call indexing") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 800)
+      .map(i => (i.toLong, rnd.nextInt(30) * 1000L, rnd.nextInt(50).toLong))
+      .toDF("id", "ord", "v")
+    val idx = PrefixSum.chunkIndex(data, "ord", 3000L)
+    val shared = PrefixSum.runningTotal(
+      data, "ord", "v", "ps", chunkSpan = 3000L, tieBreak = Seq("id"),
+      sharedIndex = Some(idx))
+    val plain = PrefixSum.runningTotal(
+      data, "ord", "v", "ps", chunkSpan = 3000L, tieBreak = Seq("id"))
+    assert(shared.exceptAll(plain).isEmpty && plain.exceptAll(shared).isEmpty)
+    // the index is materialized once: its plan is a leaf, so the
+    // consuming scans cannot re-derive the sort + zipWithIndex chain
+    assert(idx.queryExecution.logical.children.isEmpty)
+  }
+
   test("empty input yields empty output with the prefix column") {
     val empty = Seq.empty[(Long, Long)].toDF("ord", "v")
     val out = PrefixSum.runningTotal(empty, "ord", "v", "ps", 100L)
