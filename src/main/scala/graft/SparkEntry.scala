@@ -68,7 +68,7 @@ object SparkEntry {
       else f.length()
     val bytes = paths.map(p => sizeOf(new java.io.File(p))).sum
     val target = math.max(1L,
-      s.conf.get("graft.stream.statePartitionBytes", (32L << 20).toString).toLong)
+      s.conf.get("graft.stream.statePartitionBytes", (8L << 20).toString).toLong)
     val parts = math.max(1L, math.min(4096L, (bytes + target - 1) / target))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
